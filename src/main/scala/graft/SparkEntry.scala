@@ -1,13 +1,457 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalize
+import graft.operators.Relational
+
+/** Driver contract — queries keyed by SURVEY.md §2, each with a DuckDB
+  * oracle twin in [[oracleSql]] (same column names/aliases, same
+  * deterministic ORDER BY, floats rounded identically on both sides).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Decoded-view star join (reference's aircraft_decoded). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q03(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------
+  // Relational / query core
+  // ---------------------------------------------------------------
+
+  /** q01: multi-agg groupBy with map-side partial agg (TPC-H Q1
+    * shape — the reference's `hangar sql` analytics path). */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q02: filter + projection — both pushed to the parquet scan. */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+        .as("l_linenumber"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q03: decoded view — fact LEFT JOIN four broadcast dims
+    * (reference's aircraft_decoded, publish.py:156-183). */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val part = T(s, dir, "part")
+    val supp = T(s, dir, "supplier")
+    val nation = T(s, dir, "nation")
+    val region = T(s, dir, "region")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+        .as("l_linenumber"), col("p_name"), col("s_name"), col("n_name"),
+        col("r_name"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q04: normalized exact-key lookup + dim enrichment — hb.search. */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+    val nation = T(s, dir, "nation")
+    val region = T(s, dir, "region")
+    Relational.keyLookup(cust, col("c_name"), "customer#000000042",
+        Seq(
+          nation -> (col("c_nationkey") === col("n_nationkey")),
+          region -> (col("n_regionkey") === col("r_regionkey"))))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_name"), col("r_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** q05: multi-term LIKE OR + equality filter + order + limit —
+    * hb.fleet. */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    Relational.fleetSearch(
+        T(s, dir, "customer"),
+        searchCol = col("c_name"),
+        terms = Seq("00001", "00002"),
+        filters = Seq(col("c_mktsegment") === "MACHINERY"),
+        orderBy = Seq(col("c_custkey")),
+        limit = 50)
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** q06: per-key count + deterministic string_agg + bool_or —
+    * reference's owners_summary. */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    Relational.groupSummary(T(s, dir, "orders"), "o_custkey",
+        col("o_orderstatus"), col("o_totalprice") > 100000)
+      .orderBy("o_custkey")
+
+  /** q07: inline lookup-table decode (broadcast literal dim) —
+    * status_codes decode. */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    Relational.decode(s, T(s, dir, "orders"), "o_orderstatus",
+        Seq("O" -> "Open", "F" -> "Finished", "P" -> "Pending"),
+        "status_descr")
+      .groupBy("status_descr").agg(count(lit(1)).as("n"))
+      .orderBy("status_descr")
+
+  /** q08: group-count top-N (TakeOrderedAndProject, no global sort). */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part").groupBy("p_brand")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p_brand")).limit(10)
+
+  /** q09: latest-record-per-key via window row_number. */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    T(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy("o_custkey")
+  }
+
+  /** q10: distinct counts. */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** q11: EXISTS / NOT EXISTS as left_semi / left_anti joins. */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+    val orders = T(s, dir, "orders")
+    val cond = col("c_custkey") === col("o_custkey")
+    val withO = cust.join(orders, cond, "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("grp"), col("n"))
+    val withoutO = cust.join(orders, cond, "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("grp"), col("n"))
+    withO.unionAll(withoutO).orderBy("grp")
+  }
+
+  /** q12: CASE WHEN inside aggregates (pivot-style conditional agg). */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("long")
+        .as("n_high_disc"),
+      round(sum(when(col("l_tax") > 0.04, col("l_extendedprice"))
+        .otherwise(0.0)), 2).as("taxed_revenue"),
+      count(lit(1)).as("n"))
+    .orderBy("l_returnflag")
+
+  /** q13: time-bucketed aggregation (month roll-up). */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("month")
+
+  /** q14: UNION ALL of normalized branches. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+      .select(col("c_custkey").as("key"), lit("customer").as("kind"))
+    val su = T(s, dir, "supplier")
+      .select(col("s_suppkey").as("key"), lit("supplier").as("kind"))
+    c.unionAll(su).orderBy("kind", "key")
+  }
+
+  /** Shared SQL for q15 — runs verbatim on Spark SQL and DuckDB
+    * (hb.query raw-SQL passthrough, api.py:274). */
+  private val q15Sql: String =
+    """SELECT n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM orders, lineitem, supplier, nation, region
+      |WHERE l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** q15: raw SQL passthrough over registered temp views. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q15Sql)
+  }
+
+  /** q16: catalog metadata / row-count introspection — hb.status +
+    * list_tables. Single job: union of per-table count aggs. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Tables.names.map { n =>
+      T(s, dir, n).agg(count(lit(1)).as("n_rows"))
+        .select(lit(n).as("table_name"), col("n_rows"))
+    }.reduce(_ unionAll _).orderBy("table_name")
+
+  // ---------------------------------------------------------------
+  // Normalization functions (reference's normalize layer)
+  // ---------------------------------------------------------------
+
+  /** n01: clean_text — trim/collapse-whitespace/upper. */
+  private def n01(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(col("c_custkey"),
+        Normalize.cleanText(
+          concat(col("c_name"), lit("  "), col("c_mktsegment")))
+          .as("name_std"))
+      .orderBy("c_custkey")
+
+  /** n02: code-map + zip5 normalization. */
+  private def n02(s: SparkSession, dir: String): DataFrame = {
+    val segMap = Map(
+      "HOUSEHOLD" -> "HH", "MACHINERY" -> "MC", "AUTOMOBILE" -> "AU")
+    T(s, dir, "customer")
+      .select(col("c_custkey"),
+        Normalize.codeNormalize(col("c_mktsegment"), segMap).as("seg_code"),
+        Normalize.zip5(col("c_custkey")).as("zip5"))
+      .orderBy("c_custkey")
+  }
+
+  /** n03: null-safe field combination (combine_address). */
+  private def n03(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .select(col("p_partkey"),
+        Normalize.combineFields(
+          nullif(col("p_brand"), lit("Brand#13")), col("p_type"))
+          .as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** n04: deterministic 64-bit surrogate key (xxhash64) — rows-only
+    * oracle (DuckDB lacks xxhash64); determinism asserted in specs. */
+  private def n04(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(col("c_custkey"),
+        Normalize.stableId64(col("c_name"), col("c_mktsegment"))
+          .as("stable_id"))
+      .orderBy("c_custkey")
+
+  /** n05: yyyyMMdd-int → date with invalid → NULL coercion. */
+  private def n05(s: SparkSession, dir: String): DataFrame = {
+    val ival = date_format(col("o_orderdate"), "yyyyMMdd").cast("int")
+    val mixed = when(col("o_orderkey") % 100 === 0, lit(99999999))
+      .otherwise(ival)
+    T(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(Normalize.parseYyyymmdd(mixed), "yyyy-MM-dd")
+          .as("parsed_date"))
+      .orderBy("o_orderkey")
+  }
+
+  /** n06: schema-enforcing safe cast, invalid → NULL. */
+  private def n06(s: SparkSession, dir: String): DataFrame = {
+    val raw = when(col("c_custkey") % 7 === 0,
+      concat(substring(col("c_name"), 10, 9), lit("X")))
+      .otherwise(substring(col("c_name"), 10, 9))
+    T(s, dir, "customer")
+      .select(col("c_custkey"), raw.cast("long").as("parsed_int"))
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_decoded_view" -> (q03 _),
+    "q04_key_lookup" -> (q04 _),
+    "q05_fleet_search" -> (q05 _),
+    "q06_owner_summary" -> (q06 _),
+    "q07_code_decode" -> (q07 _),
+    "q08_top_makers" -> (q08 _),
+    "q09_dup_rank" -> (q09 _),
+    "q10_distinct_count" -> (q10 _),
+    "q11_semi_anti" -> (q11 _),
+    "q12_conditional_agg" -> (q12 _),
+    "q13_monthly_volume" -> (q13 _),
+    "q14_union_all" -> (q14 _),
+    "q15_sql_passthrough" -> (q15 _),
+    "q16_status_metadata" -> (q16 _),
+    "n01_clean_text" -> (n01 _),
+    "n02_state_zip" -> (n02 _),
+    "n03_combine_address" -> (n03 _),
+    "n04_stable_id" -> (n04 _),
+    "n05_date_parse" -> (n05 _),
+    "n06_typed_cast" -> (n06 _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |  l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_decoded_view" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, p_name,
+        |  s_name, n_name, r_name, l_quantity
+        |FROM lineitem
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |LEFT JOIN nation ON s_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q04_key_lookup" ->
+      """SELECT c_custkey, c_name, c_mktsegment, n_name, r_name
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |WHERE upper(trim(c_name)) = upper(trim('customer#000000042'))
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_fleet_search" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE (lower(c_name) LIKE '%00001%' OR lower(c_name) LIKE '%00002%')
+        |  AND c_mktsegment = 'MACHINERY'
+        |ORDER BY c_custkey
+        |LIMIT 50""".stripMargin,
+    "q06_owner_summary" ->
+      """SELECT o_custkey,
+        |  count(*) AS member_count,
+        |  string_agg(o_orderstatus, ';' ORDER BY o_orderstatus)
+        |    AS members_concat,
+        |  bool_or(o_totalprice > 100000) AS any_flag
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q07_code_decode" ->
+      """SELECT coalesce(descr, 'Unknown') AS status_descr,
+        |  count(*) AS n
+        |FROM orders
+        |LEFT JOIN (VALUES ('O', 'Open'), ('F', 'Finished'),
+        |  ('P', 'Pending')) t(code, descr)
+        |  ON o_orderstatus = code
+        |GROUP BY coalesce(descr, 'Unknown')
+        |ORDER BY status_descr""".stripMargin,
+    "q08_top_makers" ->
+      """SELECT p_brand, count(*) AS n
+        |FROM part GROUP BY p_brand
+        |ORDER BY n DESC, p_brand LIMIT 10""".stripMargin,
+    "q09_dup_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q10_distinct_count" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "q11_semi_anti" ->
+      """SELECT 'with_orders' AS grp, count(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS grp, count(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY grp""".stripMargin,
+    "q12_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_high_disc,
+        |  round(sum(CASE WHEN l_tax > 0.04 THEN l_extendedprice
+        |    ELSE 0.0 END), 2) AS taxed_revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q13_monthly_volume" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY strftime(o_orderdate, '%Y-%m')
+        |ORDER BY month""".stripMargin,
+    "q14_union_all" ->
+      """SELECT c_custkey AS key, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS key, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, key""".stripMargin,
+    "q15_sql_passthrough" -> q15Sql,
+    "q16_status_metadata" ->
+      """SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+        |UNION ALL SELECT 'nation', count(*) FROM nation
+        |UNION ALL SELECT 'customer', count(*) FROM customer
+        |UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |UNION ALL SELECT 'part', count(*) FROM part
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'events', count(*) FROM events
+        |UNION ALL SELECT 'documents', count(*) FROM documents
+        |UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        |ORDER BY table_name""".stripMargin,
+    "n01_clean_text" ->
+      """SELECT c_custkey,
+        |  upper(regexp_replace(trim(c_name || '  ' || c_mktsegment),
+        |    '\s+', ' ', 'g')) AS name_std
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "n02_state_zip" ->
+      """SELECT c_custkey,
+        |  CASE WHEN regexp_matches(upper(trim(c_mktsegment)), '^[A-Z]{2}$')
+        |         THEN upper(trim(c_mktsegment))
+        |       WHEN upper(trim(c_mktsegment)) = 'HOUSEHOLD' THEN 'HH'
+        |       WHEN upper(trim(c_mktsegment)) = 'MACHINERY' THEN 'MC'
+        |       WHEN upper(trim(c_mktsegment)) = 'AUTOMOBILE' THEN 'AU'
+        |       ELSE substr(upper(trim(c_mktsegment)), 1, 2) END AS seg_code,
+        |  CASE WHEN length(regexp_replace(c_custkey::VARCHAR, '\D', '', 'g')) > 0
+        |       THEN lpad(substr(regexp_replace(c_custkey::VARCHAR, '\D', '', 'g'),
+        |         1, 5), 5, '0')
+        |       ELSE '' END AS zip5
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "n03_combine_address" ->
+      """SELECT p_partkey,
+        |  concat_ws(' ',
+        |    nullif(upper(regexp_replace(trim(nullif(p_brand, 'Brand#13')),
+        |      '\s+', ' ', 'g')), ''),
+        |    nullif(upper(regexp_replace(trim(p_type), '\s+', ' ', 'g')), ''))
+        |    AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "n05_date_parse" ->
+      """SELECT o_orderkey,
+        |  strftime(try_strptime(
+        |    (CASE WHEN o_orderkey % 100 = 0 THEN 99999999
+        |          ELSE strftime(o_orderdate, '%Y%m%d')::INT END)::VARCHAR,
+        |    '%Y%m%d'), '%Y-%m-%d') AS parsed_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "n06_typed_cast" ->
+      """SELECT c_custkey,
+        |  try_cast((CASE WHEN c_custkey % 7 = 0
+        |    THEN substr(c_name, 10, 9) || 'X'
+        |    ELSE substr(c_name, 10, 9) END) AS BIGINT) AS parsed_int
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
 }

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level normalization functions.
+  *
+  * Re-expresses the reference's row-at-a-time Python cleaning
+  * (hangarbay/address.py: clean_text, standardize_state,
+  * standardize_zip, combine_address; pipelines/normalize.py:34
+  * generate_owner_id, :123 date parsing) as pure Catalyst column
+  * expressions — every function here compiles to built-in codegen'd
+  * expressions (no UDFs), so they stay inside whole-stage codegen and
+  * scale linearly with input splits.
+  */
+object Normalize {
+
+  /** trim + collapse internal whitespace + uppercase
+    * (address.py:27 clean_text). */
+  def cleanText(c: Column): Column =
+    upper(regexp_replace(trim(c), "\\s+", " "))
+
+  /** USPS state-name → 2-letter code map (address.py:8). */
+  val UsStateMap: Map[String, String] = Map(
+    "ALABAMA" -> "AL", "ALASKA" -> "AK", "ARIZONA" -> "AZ",
+    "ARKANSAS" -> "AR", "CALIFORNIA" -> "CA", "COLORADO" -> "CO",
+    "CONNECTICUT" -> "CT", "DELAWARE" -> "DE", "FLORIDA" -> "FL",
+    "GEORGIA" -> "GA", "HAWAII" -> "HI", "IDAHO" -> "ID",
+    "ILLINOIS" -> "IL", "INDIANA" -> "IN", "IOWA" -> "IA",
+    "KANSAS" -> "KS", "KENTUCKY" -> "KY", "LOUISIANA" -> "LA",
+    "MAINE" -> "ME", "MARYLAND" -> "MD", "MASSACHUSETTS" -> "MA",
+    "MICHIGAN" -> "MI", "MINNESOTA" -> "MN", "MISSISSIPPI" -> "MS",
+    "MISSOURI" -> "MO", "MONTANA" -> "MT", "NEBRASKA" -> "NE",
+    "NEVADA" -> "NV", "NEW HAMPSHIRE" -> "NH", "NEW JERSEY" -> "NJ",
+    "NEW MEXICO" -> "NM", "NEW YORK" -> "NY", "NORTH CAROLINA" -> "NC",
+    "NORTH DAKOTA" -> "ND", "OHIO" -> "OH", "OKLAHOMA" -> "OK",
+    "OREGON" -> "OR", "PENNSYLVANIA" -> "PA", "RHODE ISLAND" -> "RI",
+    "SOUTH CAROLINA" -> "SC", "SOUTH DAKOTA" -> "SD",
+    "TENNESSEE" -> "TN", "TEXAS" -> "TX", "UTAH" -> "UT",
+    "VERMONT" -> "VT", "VIRGINIA" -> "VA", "WASHINGTON" -> "WA",
+    "WEST VIRGINIA" -> "WV", "WISCONSIN" -> "WI", "WYOMING" -> "WY",
+    "DISTRICT OF COLUMBIA" -> "DC", "PUERTO RICO" -> "PR",
+    "GUAM" -> "GU", "VIRGIN ISLANDS" -> "VI", "AMERICAN SAMOA" -> "AS",
+    "NORTHERN MARIANA ISLANDS" -> "MP")
+
+  /** Generic code normalization: already-2-letter codes pass through,
+    * known long forms map via a broadcast literal map, unknowns fall
+    * back to the first two characters (address.py:52
+    * standardize_state generalized to any mapping). */
+  def codeNormalize(c: Column, mapping: Map[String, String]): Column = {
+    val cl = upper(trim(c))
+    val m = typedLit(mapping)
+    when(cl.rlike("^[A-Z]{2}$"), cl)
+      .otherwise(coalesce(element_at(m, cl), substring(cl, 1, 2)))
+  }
+
+  /** State → USPS 2-letter abbreviation. */
+  def usState(c: Column): Column = codeNormalize(c, UsStateMap)
+
+  /** ZIP → 5 digits: strip non-digits, take first 5, left-pad zeros
+    * (address.py:75 standardize_zip). */
+  def zip5(c: Column): Column = {
+    val digits = regexp_replace(c.cast("string"), "\\D", "")
+    when(length(digits) > 0, lpad(substring(digits, 1, 5), 5, "0"))
+      .otherwise(lit(""))
+  }
+
+  /** Null/empty-safe combination of address lines with a single space
+    * (address.py:98 combine_address). concat_ws skips NULLs, so empty
+    * strings are first turned into NULLs. */
+  def combineFields(cols: Column*): Column =
+    concat_ws(" ", cols.map(c => nullif(cleanText(c), lit(""))): _*)
+
+  /** Deterministic 64-bit surrogate key over key fields, pipe-joined —
+    * same shape as the reference's xxhash64 owner_id
+    * (normalize.py:34-55) but computed by Spark's native, codegen'd
+    * XxHash64 expression. Scale note: pure map-side, no shuffle. */
+  def stableId64(cols: Column*): Column =
+    xxhash64(concat_ws("|", cols.map(_.cast("string")): _*))
+
+  /** yyyyMMdd integer/string → DateType, invalid → NULL (ANSI off),
+    * matching pandas to_datetime(errors="coerce") at
+    * normalize.py:123. */
+  def parseYyyymmdd(c: Column): Column =
+    to_date(c.cast("string"), "yyyyMMdd")
+
+  /** Registration-key normalization: uppercase, trim, strip a leading
+    * "N" (api.py:171-174 search()'s n-number handling). */
+  def normalizeKey(c: Column): Column =
+    regexp_replace(upper(trim(c)), "^N", "")
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalize
+
+/** Relational building blocks mirroring the reference's publish/query
+  * layer, expressed as declarative DataFrame transforms so Catalyst
+  * keeps pushdown / join-reorder / AQE freedom.
+  */
+object Relational {
+
+  /** Decode a code column through a small literal lookup table, LEFT
+    * JOIN semantics with a default for unknown codes — the reference's
+    * status_codes / airworthiness_classes / owner_types decode
+    * (pipelines/publish.py:75-149, views at :156-198).
+    *
+    * The lookup side is an explicitly broadcast literal DataFrame:
+    * at 100 TB the fact side never moves, each executor decodes
+    * map-side. */
+  def decode(
+      spark: SparkSession,
+      df: DataFrame,
+      codeCol: String,
+      mapping: Seq[(String, String)],
+      outCol: String,
+      default: String = "Unknown"): DataFrame = {
+    import spark.implicits._
+    val lookup = mapping.toDF("__code", "__descr")
+    df.join(broadcast(lookup), df(codeCol) === col("__code"), "left")
+      .withColumn(outCol, coalesce(col("__descr"), lit(default)))
+      .drop("__code", "__descr")
+  }
+
+  /** Normalized exact-key lookup + enrichment joins — hb.search()
+    * (hangarbay/api.py:153-197). The key filter is applied before the
+    * joins so Catalyst pushes it into the parquet scan; dims are
+    * broadcast. */
+  def keyLookup(
+      df: DataFrame,
+      keyCol: Column,
+      key: String,
+      dims: Seq[(DataFrame, Column)]): DataFrame = {
+    val base = df.filter(Normalize.cleanText(keyCol) ===
+      Normalize.cleanText(lit(key)))
+    dims.foldLeft(base) { case (acc, (dim, cond)) =>
+      acc.join(broadcast(dim), cond, "left")
+    }
+  }
+
+  /** Multi-term case-insensitive substring search with optional
+    * equality filters, ordering and limit — hb.fleet()
+    * (hangarbay/api.py:200-271). Terms are OR'd LIKEs; at scale this
+    * is a single scan with the disjunction evaluated in codegen. */
+  def fleetSearch(
+      df: DataFrame,
+      searchCol: Column,
+      terms: Seq[String],
+      filters: Seq[Column] = Nil,
+      orderBy: Seq[Column] = Nil,
+      limit: Int = 0): DataFrame = {
+    val like = terms
+      .map(t => lower(searchCol).contains(lit(t.toLowerCase)))
+      .reduce(_ || _)
+    val filtered = filters.foldLeft(df.filter(like))(_ filter _)
+    val ordered =
+      if (orderBy.nonEmpty) filtered.orderBy(orderBy: _*) else filtered
+    if (limit > 0) ordered.limit(limit) else ordered
+  }
+
+  /** Per-key roll-up: count + deterministic concatenated members +
+    * any-flag — the reference's owners_summary
+    * (pipelines/publish.py:58-67). STRING_AGG is re-expressed as
+    * sort_array(collect_list(..)) so the result is order-independent
+    * across partitions/retries (DuckDB's STRING_AGG with ORDER BY
+    * equivalent), and the whole agg is a single hash-aggregate with
+    * map-side partials. */
+  def groupSummary(
+      df: DataFrame,
+      key: String,
+      memberCol: Column,
+      flagCol: Column): DataFrame =
+    df.groupBy(col(key)).agg(
+      count(lit(1)).as("member_count"),
+      array_join(sort_array(collect_list(memberCol)), ";")
+        .as("members_concat"),
+      bool_or(flagCol).as("any_flag"))
+}
