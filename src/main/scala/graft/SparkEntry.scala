@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Normalize
-import graft.operators.Relational
+import graft.functions.{Normalize, TextFns}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, Temporal}
+import graft.streaming.Streams
 
 /** Driver contract — queries keyed by SURVEY.md §2, each with a DuckDB
   * oracle twin in [[oracleSql]] (same column names/aliases, same
@@ -267,6 +268,192 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------
+  // Text analysis (documents)
+  // ---------------------------------------------------------------
+
+  /** t01: token statistics — whitespace + BPE-ish tokenization. */
+  private def t01(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        round(length(regexp_replace(col("text"), "\\s", "")) /
+          size(toks), 4).as("avg_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Truncate to 4 decimals via floor — unlike round(), floor is
+    * deterministic across engines on identical doubles (no half-way
+    * tie behavior), which matters for ratio formulas that land on
+    * exact decimal boundaries systematically. */
+  private def trunc4(c: Column): Column = floor(c * 10000) / 10000
+
+  /** t02: quality features + score (length/punct/stopword ratios). */
+  private def t02(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokensLower(col("text"))
+    val charLen = length(col("text"))
+    val punct = charLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val stopHits = TextFns.wordSetHits(toks, Seq("the", "a", "and", "of", "to", "in"))
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        charLen.cast("long").as("char_len"),
+        trunc4(punct / charLen).as("punct_ratio"),
+        trunc4(stopHits / size(toks)).as("stop_ratio"),
+        trunc4(least(lit(1.0), charLen / 500.0) *
+          (lit(0.7) + lit(0.3) * (stopHits / size(toks)))).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** t03: heuristic language ID (stopword-hit argmax). */
+  private def t03(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFns.langId(TextFns.tokensLower(col("text"))).as("pred_lang"))
+      .orderBy("doc_id")
+
+  /** t04: document fingerprint (md5 of normalized text). */
+  private def t04(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** t05: corpus 3-gram frequency, top 20. */
+  private def t05(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(explode(TextFns.wordNgrams(
+        TextFns.tokensLower(col("text")), 3)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram")).limit(20)
+
+  // ---------------------------------------------------------------
+  // Deduplication (documents)
+  // ---------------------------------------------------------------
+
+  /** d01: exact dedup on normalized-text hash, keep smallest id. */
+  private def d01(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(T(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  /** d02: MinHash+LSH near-dup candidate pairs — rows-only oracle
+    * (xxhash64 signatures are Spark-specific); recall covered by
+    * specs + d03 verification. */
+  private def d02(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCandidatePairs(T(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      .orderBy("a_id", "b_id")
+
+  /** d03: n-gram Jaccard verification on a deterministic pair set
+    * (consecutive ids — SQL-expressible, exercises the same
+    * verification operator the LSH pipeline uses). */
+  private def d03(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = docs.select(col("doc_id").as("a_id"))
+      .withColumn("b_id", col("a_id") + 1)
+      .join(docs.select(col("doc_id").as("b_id")), "b_id")
+    Dedup.jaccardOnPairs(pairs, docs, col("doc_id"), col("text"))
+      .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
+      .orderBy("a_id")
+  }
+
+  /** d04: 64-bit SimHash signatures + banding chunks — rows-only
+    * oracle (xxhash64-based). */
+  private def d04(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashSignatures(T(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  /** d05: embedding-cosine near-dup pairs (id-bounded block,
+    * threshold 0.3). */
+  private def d05(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(
+        T(s, dir, "embeddings").filter(col("vec_id") < 200),
+        col("vec_id"), col("embedding"), 0.3)
+      .orderBy("a_id", "b_id")
+
+  // ---------------------------------------------------------------
+  // Similarity search (embeddings)
+  // ---------------------------------------------------------------
+
+  /** s01: brute-force cosine top-5 for queries vec_id < 10. */
+  private def s01(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.knnBrute(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** s02: random-hyperplane LSH ANN (multi-probe) — rows-only oracle;
+    * recall vs s01 asserted in specs. */
+  private def s02(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.lshAnn(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** s03: IVF-style partitioned ANN (label cells, nprobe=3) —
+    * rows-only oracle; recall vs s01 asserted in specs. */
+  private def s03(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.ivfAnn(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", 5, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------
+  // Events / temporal
+  // ---------------------------------------------------------------
+
+  /** e01: gap sessionization (30-minute gap). */
+  private def e01(s: SparkSession, dir: String): DataFrame =
+    Temporal.sessionize(T(s, dir, "events"),
+        "user_id", "ts", "event_id", 1800L)
+      .orderBy("user_id", "session_id")
+
+  /** e02: tumbling hourly aggregation. */
+  private def e02(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** e03: as-of join — latest order at-or-before each event for the
+    * same user (union-and-carry, one shuffle). */
+  private def e03(s: SparkSession, dir: String): DataFrame = {
+    val events = T(s, dir, "events")
+      .select(col("user_id").as("k"), col("ts"), col("event_id"))
+    val orders = T(s, dir, "orders")
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+        col("o_orderkey"))
+    Temporal.asofBackward(events, orders, "k", "ts", "o_orderkey")
+      .select(col("event_id"), col("matched_o_orderkey"))
+      .orderBy("event_id")
+  }
+
+  /** e04: Structured Streaming tumbling counts w/ watermark, run to
+    * completion on a memory sink — oracle is the batch group-by. */
+  private def e04(s: SparkSession, dir: String): DataFrame =
+    Streams.tumblingCounts(s, dir)
+
+  /** e05: stateful sessionization (flatMapGroupsWithState) — oracle
+    * is the window-function session count. */
+  private def e05(s: SparkSession, dir: String): DataFrame =
+    Streams.statefulSessionCounts(s, dir)
+
+  // ---------------------------------------------------------------
+  // Multimodal
+  // ---------------------------------------------------------------
+
+  /** m01: binary media plumbing with stubbed decode — byte lengths
+    * and fake dimensions derived from payload bytes. */
+  private def m01(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(s, T(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
 
@@ -292,7 +479,26 @@ object SparkEntry {
     "n03_combine_address" -> (n03 _),
     "n04_stable_id" -> (n04 _),
     "n05_date_parse" -> (n05 _),
-    "n06_typed_cast" -> (n06 _)
+    "n06_typed_cast" -> (n06 _),
+    "t01_token_stats" -> (t01 _),
+    "t02_quality_score" -> (t02 _),
+    "t03_lang_id" -> (t03 _),
+    "t04_fingerprint" -> (t04 _),
+    "t05_ngram_freq" -> (t05 _),
+    "d01_exact_dedup" -> (d01 _),
+    "d02_minhash_pairs" -> (d02 _),
+    "d03_jaccard_verify" -> (d03 _),
+    "d04_simhash" -> (d04 _),
+    "d05_embedding_neardup" -> (d05 _),
+    "s01_knn_brute" -> (s01 _),
+    "s02_lsh_ann" -> (s02 _),
+    "s03_ivf_ann" -> (s03 _),
+    "e01_sessionize" -> (e01 _),
+    "e02_tumbling_counts" -> (e02 _),
+    "e03_asof_join" -> (e03 _),
+    "e04_streaming_counts" -> (e04 _),
+    "e05_stateful_sessions" -> (e05 _),
+    "m01_binary_meta" -> (m01 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -452,6 +658,139 @@ object SparkEntry {
         |  try_cast((CASE WHEN c_custkey % 7 = 0
         |    THEN substr(c_name, 10, 9) || 'X'
         |    ELSE substr(c_name, 10, 9) END) AS BIGINT) AS parsed_int
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t01_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |  len(list_distinct(string_split_regex(trim(text), '\s+')))::BIGINT
+        |    AS n_uniq,
+        |  round(length(regexp_replace(text, '\s', '', 'g')) /
+        |    len(string_split_regex(trim(text), '\s+')), 4) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t02_quality_score" ->
+      """WITH x AS (SELECT doc_id, length(text) AS char_len,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |      AS punct,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','and','of','to','in'))) AS stop_hits,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks
+        |  FROM documents)
+        |SELECT doc_id, char_len::BIGINT AS char_len,
+        |  floor((punct / char_len) * 10000) / 10000 AS punct_ratio,
+        |  floor((stop_hits / n_toks) * 10000) / 10000 AS stop_ratio,
+        |  floor((least(1.0, char_len / 500.0) *
+        |    (0.7 + 0.3 * (stop_hits / n_toks))) * 10000) / 10000 AS quality
+        |FROM x ORDER BY doc_id""".stripMargin,
+    "t03_lang_id" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','and','of'))) AS h_en,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t IN ('el','la','de','y'))) AS h_es,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t IN ('der','und','die','das'))) AS h_de,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t IN ('le','la','et','les'))) AS h_fr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_de
+        |         AND h_en >= h_fr THEN 'en'
+        |       WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+        |       WHEN h_de > 0 AND h_de >= h_fr THEN 'de'
+        |       WHEN h_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(upper(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_ngram_freq" ->
+      """WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+')
+        |    AS tk FROM documents),
+        |  ng AS (SELECT unnest(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> array_to_string(tk[i:i+2], ' '))) AS ngram FROM toks)
+        |SELECT ngram, count(*) AS n FROM ng GROUP BY ngram
+        |ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "d01_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(upper(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |ORDER BY keep_id""".stripMargin,
+    "d03_jaccard_verify" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS toks FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.toks, b.toks))::BIGINT AS n_inter,
+        |  len(list_distinct(list_concat(a.toks, b.toks)))::BIGINT AS n_union,
+        |  round(len(list_intersect(a.toks, b.toks)) /
+        |    len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a_id""".stripMargin,
+    "d05_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) > 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "s01_knn_brute" ->
+      """SELECT q_id, rank, cand_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+        |      AS rank
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |    WHERE vec_id < 10) q
+        |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c
+        |    ON c.vec_id != q.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "e01_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM events),
+        |  y AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR
+        |      epoch_us(ts) - epoch_us(prev) > 1800000000
+        |      THEN 1 ELSE 0 END AS newf FROM x),
+        |  z AS (SELECT user_id, ts,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id FROM y)
+        |SELECT user_id, session_id::BIGINT AS session_id,
+        |  count(*) AS n_events,
+        |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "e02_tumbling_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "e03_asof_join" ->
+      """SELECT e.event_id,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+        |    AS matched_o_orderkey
+        |FROM events e ORDER BY event_id""".stripMargin,
+    "e04_streaming_counts" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "e05_stateful_sessions" ->
+      """WITH x AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN prev IS NULL OR
+        |    epoch_us(ts) - epoch_us(prev) > 1800000000
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "m01_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        |  (256 + ascii(substr(text, 1, 1)))::BIGINT AS width,
+        |  (256 + ascii(substr(text, 2, 1)))::BIGINT AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

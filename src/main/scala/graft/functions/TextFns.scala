@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-statistics column functions for large-scale corpus pipelines:
+  * token counting, quality features, n-gram heuristic language ID,
+  * document fingerprints, word n-grams.
+  *
+  * All pure built-in compositions (split/filter/transform/aggregate)
+  * so they run inside whole-stage codegen with zero shuffle — each is
+  * a map over the documents scan.
+  */
+object TextFns {
+
+  /** Whitespace tokenization (kept trivially simple: the BPE-ish
+    * variant below handles punctuation). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokensLower(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** BPE-ish subword-boundary tokens: splits on whitespace AND
+    * punctuation boundaries, the usual pre-tokenizer regex shape. */
+  def tokensBpeish(c: Column): Column =
+    split(trim(c), "\\s+|(?=[.,!?;:])|(?<=[.,!?;:])")
+
+  /** Count of tokens that appear in a (small, broadcast-literal)
+    * word set. */
+  def wordSetHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Stopword sets per language for the heuristic language ID.
+    * Order matters: ties resolve to the earlier language. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  /** N-gram-ish heuristic language ID: argmax of per-language
+    * stopword hits, 'und' (undetermined) when no set matches. */
+  def langId(toks: Column): Column = {
+    val hits = LangStopwords.map { case (l, ws) => l -> wordSetHits(toks, ws) }
+    val pred = hits.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, h), i), elseCol) =>
+        val later = hits.drop(i + 1).map(_._2)
+        val isMax = later.foldLeft(h > 0)((acc, o) => acc && h >= o)
+        when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    pred
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized uppercased
+    * text — stable across engines (DuckDB md5 is byte-identical). */
+  def fingerprint(c: Column): Column = md5(Normalize.cleanText(c))
+
+  /** Word n-grams over a token array; shorter docs yield an empty
+    * array (explode then drops them). */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(toks, i + lit(j))): _*)))
+      .otherwise(array())
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Normalize, TextFns}
+
+/** Deduplication operators for large-scale corpus pipelines.
+  *
+  * Four families, in increasing fuzziness: exact (hash groupBy),
+  * MinHash+LSH banding (near-dup candidates), SimHash (bitwise
+  * near-dup), n-gram Jaccard (verification), embedding-cosine
+  * (semantic near-dup).
+  *
+  * Scale posture: every path is explode → hash-shuffle on a bounded
+  * composite key (hash / (band, band-signature) / 16-bit chunk) —
+  * never an all-pairs cross join. Pair enumeration only happens inside
+  * LSH/SimHash buckets whose size is controlled by the banding
+  * parameters; skew in a hot bucket is handled by AQE.
+  */
+object Dedup {
+
+  /** Normalized content hash (exact-dup key). */
+  def contentHash(text: Column): Column = md5(Normalize.cleanText(text))
+
+  /** Exact dedup: group by normalized hash, keep the smallest id —
+    * one hash-shuffle with map-side partial aggregation. */
+  def exactDedup(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(contentHash(textCol).as("text_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc MinHash signature columns s_0..s_{k-1}.
+    *
+    * Shingle → k seeded xxhash64 values → min per seed. The explode
+    * produces (doc, shingle) rows; the k mins are a single
+    * hash-aggregate (k agg expressions, all codegen'd), so the whole
+    * signature costs one shuffle on the doc id.
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      numHashes: Int = 64,
+      shingleSize: Int = 2): DataFrame = {
+    val toks = TextFns.tokensLower(textCol)
+    val shingled = df
+      .select(idCol.as("doc_id"),
+        explode(array_distinct(TextFns.wordNgrams(toks, shingleSize)))
+          .as("shingle"))
+    val minExprs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"s_$i"))
+    shingled.groupBy(col("doc_id")).agg(minExprs.head, minExprs.tail: _*)
+  }
+
+  /** LSH banding over MinHash signatures → candidate near-dup pairs
+    * (a_id < b_id, distinct).
+    *
+    * Signatures are split into `bands` bands of `rowsPerBand`; docs
+    * colliding on any band's hashed sub-signature become candidates.
+    * The band table is exploded (numBands rows per doc), shuffled on
+    * (band, band_hash) — bounded-size buckets, no cross join.
+    */
+  def minHashCandidatePairs(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      numHashes: Int = 64,
+      shingleSize: Int = 2,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"s_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("band_hash"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.band_hash").as("band_hash"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Per-doc 64-bit SimHash: each token votes ±1 on every bit of its
+    * xxhash64; the signature takes the sign. One explode + one
+    * 64-expression hash-aggregate (same single-shuffle shape as
+    * MinHash). Also emits the four 16-bit chunks used for banded
+    * candidate generation. */
+  def simHashSignatures(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column): DataFrame = {
+    val tokened = df.select(idCol.as("doc_id"),
+      explode(TextFns.tokensLower(textCol)).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteExprs = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v_$i"))
+    val votes = tokened.groupBy(col("doc_id"))
+      .agg(voteExprs.head, voteExprs.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), sig.as("simhash"))
+      .withColumn("chunk0", col("simhash").bitwiseAND(lit(0xffffL)))
+      .withColumn("chunk1", shiftright(col("simhash"), 16).bitwiseAND(lit(0xffffL)))
+      .withColumn("chunk2", shiftright(col("simhash"), 32).bitwiseAND(lit(0xffffL)))
+      .withColumn("chunk3", shiftright(col("simhash"), 48).bitwiseAND(lit(0xffffL)))
+  }
+
+  /** SimHash near-dup candidates: pairs sharing any 16-bit chunk
+    * (classic 4-table banding ⇒ guaranteed recall for hamming ≤ 3),
+    * verified by exact hamming distance ≤ maxHamming via bit_count. */
+  def simHashCandidatePairs(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      maxHamming: Int = 16): DataFrame = {
+    val sigs = simHashSignatures(df, idCol, textCol)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"), col(s"chunk$i").as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val a = chunked.alias("a")
+    val b = chunked.alias("b")
+    a.join(b, col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard similarity between candidate pairs: pairs carry
+    * (a_id, b_id); token sets are joined in from the corpus. Used to
+    * verify MinHash/SimHash candidates. */
+  def jaccardOnPairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      ngram: Int = 1): DataFrame = {
+    val toks =
+      if (ngram <= 1) array_distinct(TextFns.tokensLower(textCol))
+      else array_distinct(TextFns.wordNgrams(TextFns.tokensLower(textCol), ngram))
+    val t = docs.select(idCol.as("doc_id"), toks.as("toks"))
+    pairs
+      .join(t.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jaccard", round(col("n_inter") / col("n_union"), 4))
+      .drop("ta", "tb")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold over an
+    * id-bounded block. The full-corpus scale path is
+    * [[Similarity.lshAnn]]-style candidate generation; this operator
+    * does exact verification on a candidate block. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      threshold: Double): DataFrame = {
+    val v = df.select(idCol.as("vec_id"), vecCol.as("v"))
+    val a = v.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = v.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") > threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Three paths:
+  *  - [[knnBrute]]: exact cosine top-k. O(N·Q): the query set is
+  *    broadcast, the corpus streams — correct baseline and the
+  *    recall oracle for the approximate paths.
+  *  - [[lshAnn]]: random-hyperplane LSH. Buckets cut the candidate
+  *    set before any join; multi-probe (1-bit flips) recovers recall.
+  *  - [[ivfAnn]]: IVF-style coarse quantization — centroids from the
+  *    data, queries probe the nearest `nprobe` cells only.
+  *
+  * All vector math is built-in higher-order functions
+  * (zip_with/aggregate) evaluated in double precision — no UDFs, no
+  * collect. A native Catalyst Expression with doGenCode is the
+  * planned round-2 upgrade for the dot-product inner loop.
+  */
+object Similarity {
+
+  /** Elementwise double cast (float parquet vectors → stable math). */
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity, computed in double precision (byte-compatible
+    * with DuckDB's list_cosine_similarity on DOUBLE[]). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    dot(ad, bd) / (l2norm(ad) * l2norm(bd))
+  }
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest
+    * rows of `corpus` (self excluded by id). Queries are broadcast;
+    * the corpus never shuffles until the per-query top-k, which is a
+    * window over (query, sim). */
+  def knnBrute(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    c.join(q, col("cand_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"))
+  }
+
+  /** Deterministic ±1 random hyperplanes (seeded). */
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-bit bucket id from hyperplane projections. */
+  private def bucketCol(vec: Column, ps: Seq[Seq[Double]]): Column =
+    ps.zipWithIndex.map { case (p, j) =>
+      when(dot(asDouble(vec), typedLit(p)) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Random-hyperplane LSH ANN: bucket the corpus once, probe each
+    * query's bucket plus all 1-bit-flip neighbors, exact-rerank the
+    * candidates. The corpus-side join key is the bucket id — the
+    * candidate set per query is |corpus| / 2^planes × (planes+1). */
+  def lshAnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 6,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val ps = planes(numPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      bucketCol(col(vecCol), ps).as("bucket"))
+    val probes = (0 until numPlanes).map(j => col("qb").bitwiseXOR(lit(1 << j)))
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+        bucketCol(col(vecCol), ps).as("qb"))
+      .withColumn("probe", explode(array(col("qb") +: probes: _*))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    c.join(q, col("bucket") === col("probe") && col("cand_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"))
+  }
+
+  /** Per-cell mean centroids (the IVF coarse codebook), computed from
+    * a cell-assignment column: posexplode → per-(cell,dim) avg →
+    * re-assembled arrays. Two small shuffles, output is tiny and
+    * broadcastable. */
+  def centroids(df: DataFrame, cellCol: String, vecCol: String): DataFrame =
+    df.select(col(cellCol).as("cell"), posexplode(col(vecCol)))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /** IVF-style ANN: assign each query to its `nprobe` nearest
+    * centroids, search only those cells, exact-rerank. The corpus is
+    * pre-partitioned by cell (the inverted file); a probe touches
+    * nprobe/|cells| of the data. */
+  def ivfAnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(centroids(corpus, cellCol, vecCol))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cell"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      col(cellCol).as("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    c.join(broadcast(probed),
+        Seq("cell")).filter(col("cand_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"))
+  }
+}

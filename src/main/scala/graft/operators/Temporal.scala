@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators over event streams: gap sessionization and
+  * as-of (backward) joins.
+  *
+  * Both are single-shuffle designs: partition by the entity key, sort
+  * within partition by time — the canonical scalable layout (no
+  * global sort, no driver loops). Window state is bounded per key.
+  */
+object Temporal {
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same key exceeds `gapSeconds`. Returns
+    * one row per session with count and span (epoch-micros bounds).
+    *
+    * `key`/`ts`/`tie` name columns of `events`; `tie` makes the
+    * within-key order total so session ids are deterministic. */
+  def sessionize(
+      events: DataFrame,
+      key: String,
+      ts: String,
+      tie: String,
+      gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev", lag(col(ts), 1).over(byKey))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col(ts)) - unix_micros(col("__prev")) >
+            gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(cum))
+      .groupBy(col(key), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col(ts))).as("start_us"),
+        max(unix_micros(col(ts))).as("end_us"))
+  }
+
+  /** Backward as-of join: for each left row, the latest right row
+    * with right.ts <= left.ts on the same key; ties on ts resolve to
+    * the largest right `value`. `left` must carry columns (key, ts,
+    * …payload); `right` exactly (key, ts, value). Output: left's
+    * payload columns + `matched_<value>`.
+    *
+    * Implemented as the union-and-carry pattern: tag both sides,
+    * union, ONE shuffle on the key, sort by (ts, tag, value) within
+    * partition, carry the last non-null right value forward. Right
+    * rows sort before left rows at equal ts, giving <= semantics.
+    * At 100 TB this is one shuffle of left+right — no per-row range
+    * probe, no broadcast of the big side. */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      value: String): DataFrame = {
+    val payload = left.columns.filterNot(c => c == key || c == ts).toSeq
+    val valueType = right.schema(value).dataType
+    val l = left
+      .withColumn("__tag", lit(1))
+      .withColumn(value, lit(null).cast(valueType))
+    val r = payload.foldLeft(
+        right.withColumn("__tag", lit(0))) { (acc, c) =>
+      acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col).toSeq: _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__tag"), col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(s"matched_$value",
+        last(col(value), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select((payload.map(col) :+ col(s"matched_$value")): _*)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming jobs over the events table.
+  *
+  * The parquet directory drives the stream (file source); for
+  * verification the query runs to completion against a memory sink
+  * (`processAllAvailable`), so the same code path serves both the
+  * batch oracle check and a real continuous deployment (swap the sink
+  * for kafka/delta and drop the processAllAvailable).
+  */
+object Streams {
+
+  /** Load the events stream. The raw file carries TIMESTAMP(NANOS),
+    * so the stream reads the int64 nanos (legacy conf) and truncates
+    * to micros — same convention as [[graft.Tables.load]]. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file source wants a directory; the glob filter selects just the
+    // events table out of the shared testdata dir
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts with a watermark, run to completion on a
+    * memory sink. Late data past the watermark would be dropped in a
+    * live run; on a replay of a bounded directory the result equals
+    * the batch group-by (that equality IS the oracle check). */
+  def tumblingCounts(
+      spark: SparkSession,
+      dir: String,
+      windowDur: String = "1 day",
+      watermark: String = "1 hour"): DataFrame = {
+    val name = "graft_e04_tumbling"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("day", "event_type")
+  }
+
+  // public: encoder codegen needs to reach these from generated code
+  case class Ev(user_id: Long, ts_us: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState: counts
+    * gap-delimited sessions per user. In a live stream the state
+    * carries across triggers (with a timeout); replayed on a bounded
+    * source it degenerates to one invocation per key — which makes
+    * it batch-oracle-checkable against the window-function form
+    * ([[graft.operators.Temporal.sessionize]]). */
+  def statefulSessionCounts(
+      spark: SparkSession,
+      dir: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    val events = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[Ev]
+    val gapUs = gapSeconds * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserSessions](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], _: GroupState[Long]) =>
+          val sorted = it.map(_.ts_us).toArray.sorted
+          var n = 0L
+          var prev = Long.MinValue
+          sorted.foreach { t =>
+            if (prev == Long.MinValue || t - prev > gapUs) n += 1
+            prev = t
+          }
+          Iterator.single(UserSessions(uid, n))
+      }
+      .toDF()
+      .orderBy("user_id")
+  }
+}
