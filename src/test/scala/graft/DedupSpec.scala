@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Planted corpus: 1↔2 near-identical, 3 identical to 1, 4 unrelated.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (4L, "completely different content about spark catalyst optimizer internals and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical normalized text") {
+    val res = Dedup.exactDedup(docs, col("doc_id"), col("text"))
+      .filter(col("n_copies") > 1).collect()
+    assert(res.length == 1)
+    assert(res.head.getAs[Long]("keep_id") == 1L)
+    assert(res.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minHash LSH finds planted near-dup pair, skips unrelated") {
+    val pairs = Dedup.minHashCandidatePairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"missing planted pair in $pairs")
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc 4 paired: $pairs")
+  }
+
+  test("simHash: identical docs collide, near-dups within hamming 16") {
+    val pairs = Dedup.simHashCandidatePairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    val h13 = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(h13.isDefined && h13.get._3 == 0, s"identical docs hamming != 0: $pairs")
+    val h12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(h12.isDefined, s"near-dup 1-2 not a candidate: $pairs")
+  }
+
+  test("jaccard values: near-dup high, unrelated low") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("a_id", "b_id")
+    val rows = Dedup.jaccardOnPairs(pairs, docs, col("doc_id"), col("text"))
+      .collect().map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(rows((1L, 2L)) > 0.8)
+    assert(rows((1L, 4L)) < 0.1)
+  }
+
+  test("embedding near-dup finds only above-threshold pairs") {
+    val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 100)
+    val res = Dedup.embeddingNearDupPairs(emb, col("vec_id"),
+      col("embedding"), 0.3)
+    val sims = res.collect()
+    assert(sims.nonEmpty)
+    assert(sims.forall(_.getAs[Double]("cos_sim") > 0.3))
+  }
+}

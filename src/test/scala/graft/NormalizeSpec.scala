@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Normalize
+
+class NormalizeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c).head.get(0)
+
+  test("cleanText trims, collapses whitespace, uppercases") {
+    assert(one(Normalize.cleanText(lit("  hello   world "))) == "HELLO WORLD")
+    assert(one(Normalize.cleanText(lit(""))) == "")
+  }
+
+  test("usState maps long names, passes codes, falls back to prefix") {
+    assert(one(Normalize.usState(lit("California"))) == "CA")
+    assert(one(Normalize.usState(lit(" tx "))) == "TX")
+    assert(one(Normalize.usState(lit("New York"))) == "NY")
+    assert(one(Normalize.usState(lit("Atlantis"))) == "AT")
+  }
+
+  test("zip5 strips non-digits, pads, truncates") {
+    assert(one(Normalize.zip5(lit("90210-1234"))) == "90210")
+    assert(one(Normalize.zip5(lit("421"))) == "00421")
+    assert(one(Normalize.zip5(lit("no digits"))) == "")
+  }
+
+  test("combineFields skips empty/null parts") {
+    assert(one(Normalize.combineFields(lit("123 Main  St"), lit(" apt 4 ")))
+      == "123 MAIN ST APT 4")
+    assert(one(Normalize.combineFields(lit(""), lit("apt 4"))) == "APT 4")
+    assert(one(Normalize.combineFields(lit(null), lit(null))) == "")
+  }
+
+  test("stableId64 is deterministic and collision-free on testdata") {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val ids = cust.select(
+      Normalize.stableId64(col("c_name"), col("c_mktsegment")).as("id"))
+    val a = ids.collect().map(_.getLong(0))
+    val b = ids.collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    assert(a.distinct.length == a.length)
+  }
+
+  test("parseYyyymmdd coerces invalid to null") {
+    assert(one(date_format(Normalize.parseYyyymmdd(lit(20240131)),
+      "yyyy-MM-dd")) == "2024-01-31")
+    assert(one(Normalize.parseYyyymmdd(lit(99999999))) == null)
+  }
+
+  test("normalizeKey strips leading N and uppercases") {
+    assert(one(Normalize.normalizeKey(lit(" n221la "))) == "221LA")
+    assert(one(Normalize.normalizeKey(lit("221LA"))) == "221LA")
+  }
+}

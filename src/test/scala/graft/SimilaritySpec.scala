@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSuite {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+
+  private lazy val brute =
+    resultSet(Similarity.knnBrute(emb, queries, "vec_id", "embedding", 5))
+
+  test("knnBrute returns exactly k per query, self excluded") {
+    assert(brute.size == 50)
+    assert(!brute.exists(p => p._1 == p._2))
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val v = emb.limit(1).select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .head.getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-9)
+  }
+
+  test("lshAnn recall vs brute force") {
+    val ann = resultSet(
+      Similarity.lshAnn(emb, queries, "vec_id", "embedding", 5))
+    val recall = (ann intersect brute).size.toDouble / brute.size
+    info(s"LSH recall@5 = $recall")
+    assert(recall >= 0.15, s"LSH recall too low: $recall")
+  }
+
+  test("ivfAnn recall vs brute force") {
+    val ann = resultSet(
+      Similarity.ivfAnn(emb, queries, "vec_id", "embedding", "label", 5,
+        nprobe = 3))
+    val recall = (ann intersect brute).size.toDouble / brute.size
+    info(s"IVF recall@5 (nprobe=3/10 cells) = $recall")
+    assert(recall >= 0.15, s"IVF recall too low: $recall")
+  }
+}
