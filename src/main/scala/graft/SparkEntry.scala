@@ -318,11 +318,13 @@ object SparkEntry {
       .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
-  /** t05: corpus 3-gram frequency, top 20. */
+  /** t05: corpus 3-gram frequency, top 20. Tokens are materialized
+    * before the ngram lambda so split() runs once per row, not once
+    * per element_at inside the transform(). */
   private def t05(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
-      .select(explode(TextFns.wordNgrams(
-        TextFns.tokensLower(col("text")), 3)).as("ngram"))
+      .select(TextFns.tokensLower(col("text")).as("toks"))
+      .select(explode(TextFns.wordNgrams(col("toks"), 3)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram")).limit(20)
 

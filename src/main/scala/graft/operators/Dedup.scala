@@ -42,10 +42,13 @@ object Dedup {
       textCol: Column,
       numHashes: Int = 64,
       shingleSize: Int = 2): DataFrame = {
-    val toks = TextFns.tokensLower(textCol)
+    // materialize the token array before the ngram lambda: element_at
+    // inside transform() would otherwise re-run split() per shingle
+    // (no common-subexpression elimination across lambda scopes)
     val shingled = df
-      .select(idCol.as("doc_id"),
-        explode(array_distinct(TextFns.wordNgrams(toks, shingleSize)))
+      .select(idCol.as("doc_id"), TextFns.tokensLower(textCol).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.wordNgrams(col("__toks"), shingleSize)))
           .as("shingle"))
     val minExprs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"s_$i"))
@@ -66,7 +69,7 @@ object Dedup {
       textCol: Column,
       numHashes: Int = 64,
       shingleSize: Int = 2,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 4): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
