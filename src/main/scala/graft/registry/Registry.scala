@@ -1,0 +1,170 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalize
+import graft.operators.Relational
+
+/** The user-facing registry API — Spark re-expression of the
+  * reference's publish stage (pipelines/publish.py) and Python API
+  * (hangarbay/api.py). A hangarbay user maps 1:1:
+  *
+  *   hb.load_data()      -> RegistryNormalize.normalize + new Registry
+  *   aircraft_decoded    -> registry.aircraftDecoded
+  *   owners_clean        -> registry.ownersClean
+  *   owners_summary      -> registry.ownersSummary
+  *   hb.search(n)        -> registry.search(n)
+  *   hb.fleet(o, st, n)  -> registry.fleet(o, st, n)
+  *   hb.query(sql)       -> registry.query(sql)
+  *   FTS owner search    -> registry.searchOwnersFts(terms)
+  *   hb.status()         -> registry.status
+  *   hb.list_tables()    -> registry.listTables
+  *   hb.schema(t)        -> registry.schemaOf(t)
+  *
+  * Instead of materializing DuckDB/SQLite indexes, views are lazy
+  * DataFrames: the decode dims are broadcast literal tables, the FTS
+  * analog is a token inverted index (explode + hash shuffle) — both
+  * forms that scale out, where the reference's single-file databases
+  * cannot.
+  */
+class Registry(spark: SparkSession, dataDir: String) {
+
+  val tableNames: Seq[String] = Seq("aircraft", "registrations", "owners",
+    "aircraft_make_model", "engines")
+
+  def table(name: String): DataFrame =
+    spark.read.parquet(s"$dataDir/$name.parquet")
+
+  /** aircraft_decoded view (publish.py:156-183): fact LEFT JOIN
+    * make/model dim + literal code books, all broadcast. */
+  def aircraftDecoded: DataFrame = {
+    val a = table("aircraft")
+    val m = table("aircraft_make_model")
+    val r = table("registrations")
+    val withDims = a
+      .join(broadcast(m.select(col("mfr_mdl_code"), col("maker"), col("model"))),
+        Seq("mfr_mdl_code"), "left")
+      .join(broadcast(r.select(col("n_number"), col("cert_issue_date"))),
+        Seq("n_number"), "left")
+    val decoded = Relational.decode(spark,
+      Relational.decode(spark, withDims,
+        "reg_status", Schemas.statusCodes, "reg_status_descr"),
+      "airworthiness_class", Schemas.airworthinessClasses,
+      "airworthiness_descr")
+    decoded.select(
+      col("n_number"), col("serial_no"), col("mfr_mdl_code"), col("maker"),
+      col("model"), col("engine_code"), col("year_mfr"),
+      col("airworthiness_class").as("airworthiness_code"),
+      col("airworthiness_descr"), col("seats"), col("engines"),
+      col("reg_status").as("status_code"), col("reg_status_descr"),
+      col("status_date"), col("reg_expiration"), col("cert_issue_date"),
+      col("mode_s_code"), col("mode_s_code_hex"), col("is_deregistered"))
+  }
+
+  /** owners_clean view (publish.py:185-198). */
+  def ownersClean: DataFrame =
+    Relational.decode(spark, table("owners"),
+        "owner_type", Schemas.ownerTypes, "owner_type_descr")
+      .select(col("n_number"),
+        col("owner_type").as("owner_type_code"),
+        col("owner_type_descr").as("owner_type"),
+        col("owner_name_std").as("owner_name"),
+        col("address_all_std").as("address"),
+        col("city_std").as("city"),
+        col("state_std").as("state"),
+        col("zip5").as("zip"))
+
+  /** owners_summary roll-up (publish.py:58-67). */
+  def ownersSummary: DataFrame =
+    Relational.groupSummary(table("owners"), "n_number",
+        col("owner_name_std"),
+        col("owner_type").isin("2", "4", "5"))
+      .withColumnRenamed("member_count", "owner_count")
+      .withColumnRenamed("members_concat", "owner_names_concat")
+      .withColumnRenamed("any_flag", "any_trust_flag")
+
+  /** N-number lookup with owner enrichment (api.py:153-197). */
+  def search(nNumber: String): DataFrame = {
+    val key = nNumber.toUpperCase.replaceAll("^N", "").trim
+    aircraftDecoded
+      .filter(Normalize.normalizeKey(col("n_number")) === key)
+      .join(ownersClean, Seq("n_number"), "left")
+  }
+
+  /** Fleet search: pipe-separated OR terms over owner names, optional
+    * state filter, ordered, limited (api.py:200-271). */
+  def fleet(owner: String, state: Option[String] = None,
+      limit: Int = 0): DataFrame = {
+    val filters = state.map(st =>
+      upper(col("state")) === st.toUpperCase).toSeq
+    val joined = aircraftDecoded
+      .select(col("n_number"), col("maker"), col("model"),
+        col("year_mfr"), col("reg_status_descr"))
+      .join(ownersClean.select(col("n_number"), col("owner_name"),
+        col("city"), col("state")), Seq("n_number"))
+    Relational.fleetSearch(joined, col("owner_name"),
+      owner.split('|').toSeq.map(_.trim), filters,
+      Seq(col("n_number")), limit)
+  }
+
+  /** Ad-hoc SQL over the registered registry views (api.py:274). */
+  def query(sql: String): DataFrame = {
+    registerAll()
+    spark.sql(sql)
+  }
+
+  /** Register tables + decoded views as temp views. */
+  def registerAll(): Unit = {
+    tableNames.foreach(n => table(n).createOrReplaceTempView(n))
+    aircraftDecoded.createOrReplaceTempView("aircraft_decoded")
+    ownersClean.createOrReplaceTempView("owners_clean")
+    ownersSummary.createOrReplaceTempView("owners_summary")
+  }
+
+  /** Token inverted index over owner names/addresses — the scalable
+    * stand-in for the reference's SQLite FTS5 file
+    * (publish.py:235-313): explode tokens, hash-shuffle on token.
+    * At 100 TB this bucket-joins instead of probing one local file. */
+  def ownersFtsIndex: DataFrame =
+    table("owners")
+      .select(col("owner_id"), col("n_number"),
+        explode(split(concat_ws(" ", col("owner_name_std"),
+          col("address_all_std"), col("city_std"), col("state_std")),
+          "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+
+  /** All-terms FTS match (AND semantics like FTS5 default): one
+    * semi-join per term against the inverted index. */
+  def searchOwnersFts(terms: Seq[String]): DataFrame = {
+    val idx = ownersFtsIndex
+    val hits = terms.map(t =>
+        idx.filter(col("token") === t.toUpperCase)
+          .select(col("owner_id")))
+      .reduce(_ intersect _)
+    table("owners").join(hits, Seq("owner_id"), "left_semi")
+  }
+
+  /** Data status / metadata (api.py:338-376). */
+  def status: DataFrame =
+    tableNames.map(n =>
+      table(n).agg(count(lit(1)).as("n_rows"))
+        .select(lit(n).as("table_name"), col("n_rows")))
+      .reduce(_ unionAll _)
+
+  def listTables: Seq[String] =
+    tableNames ++ Seq("aircraft_decoded", "owners_clean", "owners_summary")
+
+  def schemaOf(name: String): DataFrame = {
+    import spark.implicits._
+    val df = name match {
+      case "aircraft_decoded" => aircraftDecoded
+      case "owners_clean" => ownersClean
+      case "owners_summary" => ownersSummary
+      case t => table(t)
+    }
+    df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+      .toDF("column_name", "column_type")
+  }
+}

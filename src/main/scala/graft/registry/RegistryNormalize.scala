@@ -1,0 +1,147 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.Normalize
+
+/** CSV → typed-table normalization, the Spark re-expression of the
+  * reference's normalize stage (pipelines/normalize.py).
+  *
+  * Where the reference iterates pandas rows in Python
+  * (normalize.py:186 `df.iterrows()` for owners), every
+  * transformation here is a column expression over a distributed
+  * scan — the whole stage is map-side (zero shuffles), so it scales
+  * to an arbitrarily large registry dump by adding splits.
+  */
+object RegistryNormalize {
+
+  /** Read a raw FAA-style CSV (header row, comma-delimited, empty
+    * strings as null — normalize.py:72-91). */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("nullValue", "")
+      .csv(path)
+
+  private def c(df: DataFrame, name: String): Column = {
+    // FAA headers carry stray whitespace; match trimmed names
+    val actual = df.columns.find(_.trim == name).getOrElse(name)
+    df.col(actual)
+  }
+
+  private def cleanStr(x: Column): Column = coalesce(trim(x), lit(""))
+
+  /** Enforce a target schema: select columns in order with permissive
+    * casts (invalid → NULL) — the Arrow `cast(schema, safe=False)` +
+    * pandas coerce parity (normalize.py:152-153). */
+  def castTo(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map(f =>
+      (if (df.columns.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)).toSeq: _*)
+
+  /** MASTER.txt → aircraft table (normalize.py:101-155). */
+  def aircraft(master: DataFrame): DataFrame = {
+    val df = master
+    castTo(df.select(
+      cleanStr(c(df, "N-NUMBER")).as("n_number"),
+      cleanStr(c(df, "SERIAL NUMBER")).as("serial_no"),
+      cleanStr(c(df, "MFR MDL CODE")).as("mfr_mdl_code"),
+      cleanStr(c(df, "ENG MFR MDL")).as("engine_code"),
+      c(df, "YEAR MFR").cast("int").as("year_mfr"),
+      cleanStr(c(df, "TYPE AIRCRAFT")).as("airworthiness_class"),
+      lit(null).cast("int").as("seats"),
+      lit(null).cast("int").as("engines"),
+      cleanStr(c(df, "STATUS CODE")).as("reg_status"),
+      Normalize.parseYyyymmdd(c(df, "LAST ACTION DATE")).as("status_date"),
+      Normalize.parseYyyymmdd(c(df, "EXPIRATION DATE")).as("reg_expiration"),
+      cleanStr(c(df, "MODE S CODE")).as("mode_s_code"),
+      cleanStr(c(df, "MODE S CODE HEX")).as("mode_s_code_hex"),
+      lit(false).as("is_deregistered")), Schemas.aircraft)
+  }
+
+  /** MASTER.txt → registrations table (normalize.py:157-180). */
+  def registrations(master: DataFrame): DataFrame = {
+    val df = master
+    castTo(df.select(
+      cleanStr(c(df, "N-NUMBER")).as("n_number"),
+      cleanStr(c(df, "CERTIFICATION")).as("reg_type"),
+      cleanStr(c(df, "STATUS CODE")).as("reg_status"),
+      Normalize.parseYyyymmdd(c(df, "LAST ACTION DATE")).as("status_date"),
+      Normalize.parseYyyymmdd(c(df, "EXPIRATION DATE")).as("reg_expiration"),
+      Normalize.parseYyyymmdd(c(df, "CERT ISSUE DATE")).as("cert_issue_date")),
+      Schemas.registrations)
+  }
+
+  /** MASTER.txt → owners table with address standardization and the
+    * deterministic xxhash64 owner_id (normalize.py:182-240; id scheme
+    * at :34-55 — same pipe-joined key fields, computed by the native
+    * codegen'd XxHash64 expression instead of per-row Python). */
+  def owners(master: DataFrame): DataFrame = {
+    val df = master
+    val nameStd = Normalize.cleanText(c(df, "NAME"))
+    val addrStd = Normalize.combineFields(c(df, "STREET"), c(df, "STREET2"))
+    val cityStd = Normalize.cleanText(c(df, "CITY"))
+    val stateStd = Normalize.usState(c(df, "STATE"))
+    val zip5 = Normalize.zip5(c(df, "ZIP CODE"))
+    val nn = cleanStr(c(df, "N-NUMBER"))
+    castTo(df.select(
+      Normalize.stableId64(nn, nameStd, addrStd, cityStd, stateStd, zip5)
+        .as("owner_id"),
+      nn.as("n_number"),
+      cleanStr(c(df, "TYPE REGISTRANT")).as("owner_type"),
+      cleanStr(c(df, "NAME")).as("owner_name_raw"),
+      cleanStr(c(df, "STREET")).as("address1_raw"),
+      cleanStr(c(df, "STREET2")).as("address2_raw"),
+      cleanStr(c(df, "CITY")).as("city_raw"),
+      cleanStr(c(df, "STATE")).as("state_raw"),
+      cleanStr(c(df, "ZIP CODE")).as("zip_raw"),
+      nameStd.as("owner_name_std"),
+      addrStd.as("address_all_std"),
+      cityStd.as("city_std"),
+      stateStd.as("state_std"),
+      zip5.as("zip5")), Schemas.owners)
+  }
+
+  /** ACFTREF.txt → aircraft_make_model (normalize.py:243-286). */
+  def aircraftMakeModel(acftref: DataFrame): DataFrame = {
+    val df = acftref
+    castTo(df.select(
+      cleanStr(c(df, "CODE")).as("mfr_mdl_code"),
+      cleanStr(c(df, "MFR")).as("maker"),
+      cleanStr(c(df, "MODEL")).as("model"),
+      cleanStr(c(df, "AC-CAT")).as("category"),
+      cleanStr(c(df, "TYPE-ACFT")).as("type"),
+      cleanStr(c(df, "TYPE-ENG")).as("engine_type"),
+      c(df, "NO-SEATS").cast("int").as("seats_default")),
+      Schemas.aircraftMakeModel)
+  }
+
+  /** ENGINE.txt → engines (normalize.py:289-332). */
+  def engines(engine: DataFrame): DataFrame = {
+    val df = engine
+    castTo(df.select(
+      cleanStr(c(df, "CODE")).as("engine_code"),
+      cleanStr(c(df, "MFR")).as("manufacturer"),
+      cleanStr(c(df, "MODEL")).as("model"),
+      cleanStr(c(df, "TYPE")).as("type"),
+      c(df, "HORSEPOWER").cast("int").as("horsepower"),
+      lit(null).cast("int").as("cylinders")), Schemas.engines)
+  }
+
+  /** Full normalize stage: raw snapshot dir (MASTER.txt, ACFTREF.txt,
+    * ENGINE.txt) → typed parquet tables (normalize.py:335-431). */
+  def normalize(spark: SparkSession, rawDir: String, outDir: String): Unit = {
+    val master = readRaw(spark, s"$rawDir/MASTER.txt")
+    val acftref = readRaw(spark, s"$rawDir/ACFTREF.txt")
+    val engine = readRaw(spark, s"$rawDir/ENGINE.txt")
+    aircraft(master).write.mode("overwrite").parquet(s"$outDir/aircraft.parquet")
+    registrations(master).write.mode("overwrite")
+      .parquet(s"$outDir/registrations.parquet")
+    owners(master).write.mode("overwrite").parquet(s"$outDir/owners.parquet")
+    aircraftMakeModel(acftref).write.mode("overwrite")
+      .parquet(s"$outDir/aircraft_make_model.parquet")
+    engines(engine).write.mode("overwrite").parquet(s"$outDir/engines.parquet")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import graft.registry.{Registry, RegistryNormalize}
+
+/** End-to-end registry pipeline: FAA-shaped CSV → typed parquet →
+  * decoded views → search/fleet/FTS — the reference's whole
+  * fetch-normalize-publish-query loop minus the network fetch. */
+class RegistrySpec extends SparkSuite {
+
+  private lazy val dirs = {
+    val raw = Files.createTempDirectory("graft_raw").toString
+    val pub = Files.createTempDirectory("graft_pub").toString
+    Files.writeString(java.nio.file.Paths.get(s"$raw/MASTER.txt"),
+      """N-NUMBER ,SERIAL NUMBER,MFR MDL CODE,ENG MFR MDL,YEAR MFR,TYPE AIRCRAFT,STATUS CODE,LAST ACTION DATE,EXPIRATION DATE,CERT ISSUE DATE,CERTIFICATION,MODE S CODE,MODE S CODE HEX,NAME,STREET,STREET2,CITY,STATE,ZIP CODE,TYPE REGISTRANT
+        |221LA,SN001,C172,ENG1,2015,4,V,20240101,20270101,20150601,1,50000001,A00001,LOS ANGELES POLICE DEPT , 100 W 1ST ST ,SUITE 2,LOS ANGELES,California,90012-1234,5
+        |757AF,SN002,B757,ENG2,1995,1,V,20230315,20260315,19950815,1,50000002,A00002,UNITED AIRLINES INC,233 S WACKER DR,,CHICAGO,IL,60606,3
+        |100XY,SN003,C172,ENG1,bad_year,4,E,20220230,20250101,20100101,1,50000003,A00003,JOHN  DOE,1 MAIN ST,,AUSTIN,TX,787,1
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$raw/ACFTREF.txt"),
+      """CODE,MFR,MODEL,TYPE-ACFT,TYPE-ENG,AC-CAT,BUILD-CERT-IND,NO-ENG,NO-SEATS,AC-WEIGHT,SPEED
+        |C172,CESSNA,172S,4,1,1,0,1,4,CLASS 1,120
+        |B757,BOEING,757-200,5,5,1,0,2,200,CLASS 3,500
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$raw/ENGINE.txt"),
+      """CODE,MFR,MODEL,TYPE,HORSEPOWER,THRUST
+        |ENG1,LYCOMING,IO-360,1,180,0
+        |ENG2,PRATT & WHITNEY,PW2037,5,0,38250
+        |""".stripMargin)
+    RegistryNormalize.normalize(spark, raw, pub)
+    (raw, pub)
+  }
+
+  private lazy val registry = new Registry(spark, dirs._2)
+
+  test("normalize produces typed tables with coerced invalids") {
+    val a = registry.table("aircraft").orderBy("n_number").collect()
+    assert(a.length == 3)
+    val bad = a.find(_.getString(0) == "100XY").get
+    assert(bad.isNullAt(bad.fieldIndex("year_mfr"))) // bad_year -> null
+    assert(bad.isNullAt(bad.fieldIndex("status_date"))) // 20220230 invalid
+  }
+
+  test("owners get standardized fields and stable ids") {
+    val o = registry.table("owners").orderBy("n_number").collect()
+    val lapd = o.find(_.getAs[String]("n_number") == "221LA").get
+    assert(lapd.getAs[String]("owner_name_std") == "LOS ANGELES POLICE DEPT")
+    assert(lapd.getAs[String]("address_all_std") == "100 W 1ST ST SUITE 2")
+    assert(lapd.getAs[String]("state_std") == "CA") // California -> CA
+    assert(lapd.getAs[String]("zip5") == "90012")
+    val doe = o.find(_.getAs[String]("n_number") == "100XY").get
+    assert(doe.getAs[String]("owner_name_std") == "JOHN DOE") // collapsed ws
+    assert(doe.getAs[String]("zip5") == "00787") // padded
+  }
+
+  test("aircraftDecoded joins make/model and decodes codes") {
+    val d = registry.aircraftDecoded.collect()
+    val b757 = d.find(_.getAs[String]("n_number") == "757AF").get
+    assert(b757.getAs[String]("maker") == "BOEING")
+    assert(b757.getAs[String]("reg_status_descr") == "Valid")
+    assert(b757.getAs[String]("airworthiness_descr") == "Standard")
+    val bad = d.find(_.getAs[String]("n_number") == "100XY").get
+    assert(bad.getAs[String]("reg_status_descr") == "Revoked by Enforcement")
+  }
+
+  test("search normalizes the N prefix and enriches with owner") {
+    val hit = registry.search("N221LA").collect()
+    assert(hit.length == 1)
+    assert(hit.head.getAs[String]("owner_name") == "LOS ANGELES POLICE DEPT")
+    assert(registry.search("221la").count() == 1)
+  }
+
+  test("fleet does multi-term OR search with state filter") {
+    val lapd = registry.fleet("LAPD|LOS ANGELES POLICE", Some("CA")).collect()
+    assert(lapd.length == 1 && lapd.head.getAs[String]("n_number") == "221LA")
+    assert(registry.fleet("UNITED").count() == 1)
+    assert(registry.fleet("UNITED", Some("CA")).count() == 0)
+  }
+
+  test("FTS inverted index finds owners by all-terms match") {
+    val hits = registry.searchOwnersFts(Seq("POLICE", "ANGELES")).collect()
+    assert(hits.length == 1)
+    assert(hits.head.getAs[String]("n_number") == "221LA")
+    assert(registry.searchOwnersFts(Seq("POLICE", "CHICAGO")).count() == 0)
+  }
+
+  test("query runs ad-hoc SQL over registered views") {
+    val df = registry.query(
+      "SELECT maker, count(*) AS n FROM aircraft_decoded GROUP BY maker ORDER BY maker")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("BOEING", 1L), ("CESSNA", 2L)))
+  }
+
+  test("ownersSummary rolls up with trust flag") {
+    val s = registry.ownersSummary.collect()
+    assert(s.length == 3)
+    val lapd = s.find(_.getAs[String]("n_number") == "221LA").get
+    assert(lapd.getAs[Boolean]("any_trust_flag")) // type 5 = Government
+  }
+
+  test("status and schema introspection") {
+    assert(registry.status.collect().map(_.getLong(1)).sum == 3 + 3 + 3 + 2 + 2)
+    assert(registry.listTables.contains("aircraft_decoded"))
+    assert(registry.schemaOf("engines").count() == 6)
+  }
+}
