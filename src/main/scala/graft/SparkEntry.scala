@@ -267,6 +267,49 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** q17: semi-structured JSON extraction from the events props
+    * column (the reference's typed-coercion capability applied to
+    * nested payloads). */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    T(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        trunc4(avg(k)).as("avg_k"),
+        max(k).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  /** q18: exact percentiles (median/p90, linear interpolation). */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(trunc4(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
+        trunc4(percentile(col("l_extendedprice"), lit(0.9))).as("p90"))
+      .orderBy("l_returnflag")
+
+  /** q19: ROLLUP hierarchy totals (flag → flag+status → grand). */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  /** a01: approximate sketches — HLL distinct + quantile sketch.
+    * Rows-only oracle (sketch internals are engine-specific);
+    * accuracy vs exact asserted in specs. */
+  private def a01(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_p50"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------
   // Text analysis (documents)
   // ---------------------------------------------------------------
@@ -476,6 +519,10 @@ object SparkEntry {
     "q14_union_all" -> (q14 _),
     "q15_sql_passthrough" -> (q15 _),
     "q16_status_metadata" -> (q16 _),
+    "q17_json_extract" -> (q17 _),
+    "q18_percentiles" -> (q18 _),
+    "q19_rollup" -> (q19 _),
+    "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
     "n02_state_zip" -> (n02 _),
     "n03_combine_address" -> (n03 _),
@@ -610,6 +657,24 @@ object SparkEntry {
         |SELECT s_suppkey AS key, 'supplier' AS kind FROM supplier
         |ORDER BY kind, key""".stripMargin,
     "q15_sql_passthrough" -> q15Sql,
+    "q17_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  floor(avg(json_extract_string(props, '$.k')::BIGINT) * 10000)
+        |    / 10000 AS avg_k,
+        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q18_percentiles" ->
+      """SELECT l_returnflag,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 10000) / 10000 AS p50,
+        |  floor(quantile_cont(l_extendedprice, 0.9) * 10000) / 10000 AS p90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q19_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     "q16_status_metadata" ->
       """SELECT 'region' AS table_name, count(*) AS n_rows FROM region
         |UNION ALL SELECT 'nation', count(*) FROM nation
