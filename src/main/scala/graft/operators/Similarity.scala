@@ -34,9 +34,22 @@ object Similarity {
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity, computed in double precision (byte-compatible
-    * with DuckDB's list_cosine_similarity on DOUBLE[]). */
+  /** Cosine similarity via the native codegen'd
+    * [[graft.plans.CosineSim]] expression: one fused loop, stays in
+    * whole-stage codegen. Double-precision left-to-right
+    * accumulation — numerically identical to [[cosineHof]] and to
+    * DuckDB's list_cosine_similarity on DOUBLE[]. */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.CosineSim(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** The same computation composed from built-in higher-order
+    * functions (zip_with + aggregate): three array traversals through
+    * lambda dispatch. Kept as the portability fallback and the
+    * benchmark baseline for the native expression. */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = asDouble(a)
     val bd = asDouble(b)
     dot(ad, bd) / (l2norm(ad) * l2norm(bd))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the sql-private Column↔Expression converters (Spark 4
+  * moved them behind `private[sql]` in the classic/Connect split).
+  * This is the sanctioned extension-library pattern: a single shim
+  * compiled into the org.apache.spark.sql namespace, everything else
+  * stays in graft.*.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
