@@ -1,0 +1,53 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-lineage utilities — the Spark analog of the reference's fetch
+  * stage bookkeeping (pipelines/fetch.py: SHA256 checksums, dated
+  * snapshot directories, version metadata; api.py:65 data-age checks).
+  * The network download itself is environment-provided; what the
+  * engine owns is verifiable lineage over whatever landed.
+  */
+object Lineage {
+
+  /** Per-file SHA256 + size manifest over a snapshot directory,
+    * computed distributed via the binaryFile source (each file hashed
+    * on an executor — no driver-side IO). */
+  def checksums(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").load(s"$dir/$glob")
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        sha2(col("content"), 256).as("sha256"),
+        col("length").as("bytes"))
+      .orderBy("file")
+
+  /** Write a snapshot manifest (checksums + row counts + snapshot
+    * date) as single-file JSON under `_meta/` — the normalize.json /
+    * publish.json equivalent (pipelines/normalize.py:407-426). */
+  def writeManifest(
+      spark: SparkSession,
+      publishDir: String,
+      tables: Seq[String],
+      snapshotDate: String): Unit = {
+    val counts = tables.map { t =>
+      val n = spark.read.parquet(s"$publishDir/$t.parquet").count()
+      s""""$t": $n"""
+    }.mkString(", ")
+    val files = checksums(spark, publishDir, "*.parquet")
+      .collect()
+      .map(r => s"""{"file": "${r.getString(0)}", "sha256": "${r.getString(1)}", "bytes": ${r.getLong(2)}}""")
+      .mkString("[", ", ", "]")
+    val json =
+      s"""{"snapshot_date": "$snapshotDate", "row_counts": {$counts}, "files": $files}"""
+    val metaDir = new java.io.File(s"$publishDir/_meta")
+    metaDir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$publishDir/_meta/manifest.json"), json)
+  }
+
+  /** Snapshot age in days against a reference date (api.py:65-78). */
+  def ageDays(snapshotDate: String, asOf: java.time.LocalDate): Long =
+    java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(snapshotDate), asOf)
+}

@@ -1,0 +1,32 @@
+package graft
+
+import java.nio.file.Files
+import graft.registry.Lineage
+
+class LineageSpec extends SparkSuite {
+
+  test("checksums manifest is deterministic and complete") {
+    val a = Lineage.checksums(spark, sfDir, "*.parquet").collect()
+    val b = Lineage.checksums(spark, sfDir, "*.parquet").collect()
+    assert(a.length == 10)
+    assert(a.map(_.getString(1)).sameElements(b.map(_.getString(1))))
+    assert(a.forall(_.getString(1).length == 64))
+  }
+
+  test("writeManifest records counts, hashes and snapshot date") {
+    val out = Files.createTempDirectory("graft_lineage").toString
+    Tables.load(spark, sfDir, "region").write.mode("overwrite")
+      .parquet(s"$out/region.parquet")
+    Lineage.writeManifest(spark, out, Seq("region"), "2026-08-12")
+    val json = Files.readString(
+      java.nio.file.Paths.get(s"$out/_meta/manifest.json"))
+    assert(json.contains("\"snapshot_date\": \"2026-08-12\""))
+    assert(json.contains("\"region\": 5"))
+    assert(json.contains("sha256"))
+  }
+
+  test("ageDays computes staleness") {
+    assert(Lineage.ageDays("2026-08-01",
+      java.time.LocalDate.parse("2026-08-12")) == 11)
+  }
+}
