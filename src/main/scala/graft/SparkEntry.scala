@@ -304,6 +304,33 @@ object SparkEntry {
         col("n"), col("sum_qty"))
       .orderBy("flag", "status")
 
+  /** q20: FULL OUTER join with null-side handling (suppliers without
+    * lineitems and vice versa). */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = T(s, dir, "lineitem").groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"))
+    val supp = T(s, dir, "supplier")
+    perSupp.join(supp, col("l_suppkey") === col("s_suppkey"), "full_outer")
+      .select(
+        coalesce(col("s_suppkey"), col("l_suppkey")).as("suppkey"),
+        coalesce(col("s_name"), lit("<no-supplier>")).as("s_name"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"))
+      .orderBy("suppkey")
+  }
+
+  /** q21: pivot (statuses to columns) — dynamic column generation
+    * from data values, fixed here for schema stability. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("O", "n_open")
+      .withColumnRenamed("F", "n_finished")
+      .withColumnRenamed("P", "n_pending")
+      .orderBy("o_orderpriority")
+
   /** a01: approximate sketches — HLL distinct + quantile sketch.
     * Rows-only oracle (sketch internals are engine-specific);
     * accuracy vs exact asserted in specs. */
@@ -527,6 +554,8 @@ object SparkEntry {
     "q17_json_extract" -> (q17 _),
     "q18_percentiles" -> (q18 _),
     "q19_rollup" -> (q19 _),
+    "q20_full_outer" -> (q20 _),
+    "q21_pivot" -> (q21 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
     "n02_state_zip" -> (n02 _),
@@ -731,6 +760,24 @@ object SparkEntry {
         |    THEN substr(c_name, 10, 9) || 'X'
         |    ELSE substr(c_name, 10, 9) END) AS BIGINT) AS parsed_int
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q20_full_outer" ->
+      """SELECT coalesce(s_suppkey, l_suppkey) AS suppkey,
+        |  coalesce(s_name, '<no-supplier>') AS s_name,
+        |  coalesce(n_items, 0) AS n_items
+        |FROM (SELECT l_suppkey, count(*) AS n_items FROM lineitem
+        |      GROUP BY l_suppkey) li
+        |FULL OUTER JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY suppkey""".stripMargin,
+    "q21_pivot" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_open,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_finished,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_pending
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
