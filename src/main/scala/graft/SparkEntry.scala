@@ -527,7 +527,7 @@ object SparkEntry {
   /** m01: binary media plumbing with stubbed decode — byte lengths
     * and fake dimensions derived from payload bytes. */
   private def m01(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeFeatures(s, T(s, dir, "documents"), "doc_id", "text")
+    Multimodal.decodeFeatures(T(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------

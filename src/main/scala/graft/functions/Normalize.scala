@@ -74,9 +74,13 @@ object Normalize {
   /** Deterministic 64-bit surrogate key over key fields, pipe-joined —
     * same shape as the reference's xxhash64 owner_id
     * (normalize.py:34-55) but computed by Spark's native, codegen'd
-    * XxHash64 expression. Scale note: pure map-side, no shuffle. */
+    * XxHash64 expression. NULL fields become empty slots (coalesce)
+    * so field boundaries survive — concat_ws alone would silently
+    * drop NULLs and merge distinct owners ("a|NULL|b" vs "a|b|NULL"
+    * must not collide). Scale note: pure map-side, no shuffle. */
   def stableId64(cols: Column*): Column =
-    xxhash64(concat_ws("|", cols.map(_.cast("string")): _*))
+    xxhash64(concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit(""))): _*))
 
   /** yyyyMMdd integer/string → DateType, invalid → NULL (ANSI off),
     * matching pandas to_datetime(errors="coerce") at

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media payloads ride as opaque `binary`
@@ -33,7 +33,6 @@ object Multimodal {
   /** Attach a binary payload column (here: utf-8 encoded text stands
     * in for media bytes) and run the partition-wise decode. */
   def decodeFeatures(
-      spark: SparkSession,
       df: DataFrame,
       idCol: String,
       payloadCol: String): DataFrame = {

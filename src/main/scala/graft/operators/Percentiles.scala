@@ -23,12 +23,25 @@ object Percentiles {
       groupCol: String,
       valueCol: String,
       ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentile fractions must be in [0,1]: $ps")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     val wAll = Window.partitionBy(col(groupCol))
+    // NULL values are excluded before ranking (quantile_cont ignores
+    // them; ranking them would shift every cut position)
     val ranked = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
-    def tag(p: Double): String = (p * 100).round.toString
+    // integer percents name as p50/p90; fractional ones keep their
+    // decimals with '_' (p12_5) so nearby fractions cannot collide
+    def tag(p: Double): String = {
+      val pct = p * 100
+      if (pct == pct.round.toDouble) pct.round.toString
+      else pct.toString.replace('.', '_')
+    }
+    require(ps.map(tag).distinct.size == ps.size,
+      s"duplicate percentile fractions: $ps")
     val boundaryAggs = ps.flatMap { p =>
       val pos = (col("__n") - 1) * p
       val v = col(valueCol)

@@ -62,7 +62,8 @@ object Relational {
       limit: Int = 0): DataFrame = {
     val like = terms
       .map(t => lower(searchCol).contains(lit(t.toLowerCase)))
-      .reduce(_ || _)
+      .reduceOption(_ || _)
+      .getOrElse(lit(true)) // no terms -> unfiltered
     val filtered = filters.foldLeft(df.filter(like))(_ filter _)
     val ordered =
       if (orderBy.nonEmpty) filtered.orderBy(orderBy: _*) else filtered

@@ -35,6 +35,10 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // can yield NULL even from non-null arrays (null elements), so the
+  // codegen null slot must stay a real variable
+  override def nullable: Boolean = true
+
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -45,6 +49,9 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null element nulls the whole result, matching the
+      // zip_with/aggregate composition's NULL propagation
+      if (va.isNullAt(i) || vb.isNullAt(i)) return null
       val x = if (lf) va.getFloat(i).toDouble else va.getDouble(i)
       val y = if (rf) vb.getFloat(i).toDouble else vb.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -70,11 +77,17 @@ case class CosineSim(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true; break;
+         |  }
          |  double $x = $getL;
          |  double $y = $getR;
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot /
+         |    (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

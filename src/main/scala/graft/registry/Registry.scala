@@ -86,7 +86,9 @@ class Registry(spark: SparkSession, dataDir: String) {
 
   /** N-number lookup with owner enrichment (api.py:153-197). */
   def search(nNumber: String): DataFrame = {
-    val key = nNumber.toUpperCase.replaceAll("^N", "").trim
+    // trim BEFORE stripping the N prefix (api.py:171-174 order):
+    // " N221LA" must normalize to "221LA", not keep its N
+    val key = nNumber.trim.toUpperCase.replaceAll("^N", "")
     aircraftDecoded
       .filter(Normalize.normalizeKey(col("n_number")) === key)
       .join(ownersClean, Seq("n_number"), "left")
@@ -138,6 +140,7 @@ class Registry(spark: SparkSession, dataDir: String) {
   /** All-terms FTS match (AND semantics like FTS5 default): one
     * semi-join per term against the inverted index. */
   def searchOwnersFts(terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "searchOwnersFts needs at least one term")
     val idx = ownersFtsIndex
     val hits = terms.map(t =>
         idx.filter(col("token") === t.toUpperCase)

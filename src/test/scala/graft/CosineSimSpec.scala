@@ -30,6 +30,15 @@ class CosineSimSpec extends SparkSuite {
       s"cosinesim not inside a codegen span:\n$plan")
   }
 
+  test("null array elements null the result (HOF parity)") {
+    import spark.implicits._
+    val df = Seq((Seq[Option[Double]](Some(1.0), None),
+      Seq[Option[Double]](Some(1.0), Some(2.0)))).toDF("a", "b")
+    val native = df.select(Similarity.cosine(col("a"), col("b"))).head
+    val hof = df.select(Similarity.cosineHof(col("a"), col("b"))).head
+    assert(native.isNullAt(0) && hof.isNullAt(0))
+  }
+
   test("cosine_sim is SQL-callable once registered") {
     GraftExtensions.register(spark)
     val v = spark.sql(

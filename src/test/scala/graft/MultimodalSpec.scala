@@ -13,7 +13,7 @@ class MultimodalSpec extends SparkSuite {
 
   test("decodeFeatures preserves rows and byte lengths end-to-end") {
     val docs = Tables.load(spark, sfDir, "documents")
-    val res = Multimodal.decodeFeatures(spark, docs, "doc_id", "text")
+    val res = Multimodal.decodeFeatures(docs, "doc_id", "text")
     assert(res.count() == docs.count())
     import org.apache.spark.sql.functions._
     val mismatch = res.join(docs, "doc_id")

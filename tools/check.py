@@ -42,9 +42,17 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     n_pass = n_fail = n_rowsonly = 0
-    names = sorted(d.name for d in out_dir.iterdir() if d.is_dir())
+    # union of produced outputs and declared oracles: a query that
+    # failed in Verify (its output dir removed) must FAIL here, not
+    # silently vanish from the report
+    names = sorted({d.name for d in out_dir.iterdir() if d.is_dir()} |
+                   set(oracles))
     for name in names:
         if only and name not in only:
+            continue
+        if not (out_dir / name).is_dir():
+            print(f"FAIL  {name}: no Verify output (query failed upstream)")
+            n_fail += 1
             continue
         try:
             spark_df = pd.read_parquet(out_dir / name)
