@@ -441,6 +441,14 @@ object SparkEntry {
         col("doc_id"), col("text"))
       .orderBy("doc_id")
 
+  /** d06: end-to-end near-dedup pipeline — LSH candidates → Jaccard
+    * verification → cluster resolution → keep/drop verdict. Rows-only
+    * oracle (xxhash64 candidates); semantics covered by specs. */
+  private def d06(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDedupPipeline(T(s, dir, "documents"),
+        col("doc_id"), col("text"), jaccardThreshold = 0.5)
+      .orderBy("doc_id")
+
   /** d05: embedding-cosine near-dup pairs (id-bounded block,
     * threshold 0.3). */
   private def d05(s: SparkSession, dir: String): DataFrame =
@@ -573,6 +581,7 @@ object SparkEntry {
     "d03_jaccard_verify" -> (d03 _),
     "d04_simhash" -> (d04 _),
     "d05_embedding_neardup" -> (d05 _),
+    "d06_neardup_pipeline" -> (d06 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),

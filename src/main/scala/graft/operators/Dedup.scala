@@ -164,6 +164,63 @@ object Dedup {
       .drop("ta", "tb")
   }
 
+  /** Resolve near-dup candidate pairs into clusters: every doc maps
+    * to the smallest id reachable through the pair graph (connected
+    * components by iterative min-label propagation — each iteration
+    * is one join+groupBy, converging in O(log diameter) rounds; dedup
+    * chains are short, so `maxIter` small is safe).
+    *
+    * Output: (doc_id, leader_id) for every doc appearing in pairs;
+    * keep rows where doc_id == leader_id, drop the rest. */
+  def clusterLeaders(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    // symmetric edge list, cached: every iteration joins against it
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .cache()
+    var labels = edges
+      .groupBy(col("a_id").as("doc_id"))
+      .agg(min(col("b_id")).as("__mn"))
+      .select(col("doc_id"),
+        least(col("__mn"), col("doc_id")).as("leader_id"))
+    var i = 0
+    while (i < maxIter) {
+      // adopt the neighbor's leader when smaller than ours;
+      // localCheckpoint truncates the growing iteration lineage
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("leader_id", "nb_leader"), Seq("b_id"))
+        .groupBy(col("a_id").as("doc_id"))
+        .agg(min(col("nb_leader")).as("nb_min"))
+      labels = labels.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("leader_id"), coalesce(col("nb_min"), col("leader_id")))
+            .as("leader_id"))
+        .localCheckpoint()
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dedup pipeline: MinHash LSH candidates →
+    * n-gram Jaccard verification ≥ threshold → cluster resolution →
+    * per-doc keep/drop verdict. */
+  def nearDedupPipeline(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    val candidates = minHashCandidatePairs(docs, idCol, textCol)
+    val verified = jaccardOnPairs(candidates, docs, idCol, textCol)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("a_id", "b_id")
+    val leaders = clusterLeaders(verified)
+    docs.select(idCol.as("doc_id"))
+      .join(leaders, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("leader_id"), col("doc_id")).as("leader_id"))
+      .withColumn("keep", col("doc_id") === col("leader_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold over an
     * id-bounded block. The full-corpus scale path is
     * [[Similarity.lshAnn]]-style candidate generation; this operator

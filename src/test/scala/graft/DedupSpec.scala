@@ -49,6 +49,26 @@ class DedupSpec extends SparkSuite {
     assert(rows((1L, 4L)) < 0.1)
   }
 
+  test("clusterLeaders resolves transitive chains to the smallest id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 4L))
+      .toDF("a_id", "b_id")
+    val leaders = Dedup.clusterLeaders(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leaders(1L) == 1L && leaders(2L) == 1L && leaders(3L) == 1L)
+    assert(leaders(5L) == 5L && leaders(6L) == 5L)
+    assert(leaders(9L) == 4L && leaders(4L) == 4L)
+  }
+
+  test("nearDedupPipeline keeps one doc per near-dup cluster") {
+    val res = Dedup.nearDedupPipeline(docs, col("doc_id"), col("text"),
+        jaccardThreshold = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(res(1L) == (1L, true))   // cluster leader
+    assert(res(2L) == (1L, false))  // near-dup of 1
+    assert(res(3L) == (1L, false))  // exact dup of 1
+    assert(res(4L) == (4L, true))   // unrelated survives
+  }
+
   test("embedding near-dup finds only above-threshold pairs") {
     val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 100)
     val res = Dedup.embeddingNearDupPairs(emb, col("vec_id"),
