@@ -528,6 +528,19 @@ object SparkEntry {
   private def e05(s: SparkSession, dir: String): DataFrame =
     Streams.statefulSessionCounts(s, dir)
 
+  /** e06: native session_window sessionization (gap merge). Spark's
+    * session semantics: a new session starts when the gap is >= the
+    * timeout (vs strictly > in e01's manual form) — the oracle
+    * mirrors that. */
+  private def e06(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
   // ---------------------------------------------------------------
   // Multimodal
   // ---------------------------------------------------------------
@@ -590,6 +603,7 @@ object SparkEntry {
     "e03_asof_join" -> (e03 _),
     "e04_streaming_counts" -> (e04 _),
     "e05_stateful_sessions" -> (e05 _),
+    "e06_session_window" -> (e06 _),
     "m01_binary_meta" -> (m01 _)
   )
 
@@ -915,6 +929,21 @@ object SparkEntry {
         |    epoch_us(ts) - epoch_us(prev) > 1800000000
         |    THEN 1 ELSE 0 END)::BIGINT AS n_sessions
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e06_session_window" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM events),
+        |  y AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR
+        |      epoch_us(ts) - epoch_us(prev) >= 1800000000
+        |      THEN 1 ELSE 0 END AS newf FROM x),
+        |  z AS (SELECT user_id, ts,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+        |SELECT user_id, min(epoch_us(ts)) AS start_us,
+        |  count(*) AS n_events
+        |FROM z GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |  (256 + ascii(substr(text, 1, 1)))::BIGINT AS width,
