@@ -721,11 +721,28 @@ object SparkEntry {
         |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q18_percentiles" ->
-      """SELECT l_returnflag,
-        |  floor(quantile_cont(l_extendedprice, 0.5) * 10000) / 10000 AS p50,
-        |  floor(quantile_cont(l_extendedprice, 0.9) * 10000) / 10000 AS p90
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+      // explicit lo/hi/frac interpolation (type-7, same arithmetic as
+      // Percentiles.exactByGroup) rather than quantile_cont: DuckDB's
+      // internal interpolation differs by 1 ulp, which flips
+      // floor-truncation when a percentile lands exactly on a
+      // 4-decimal boundary
+      """WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |a AS (SELECT l_returnflag,
+        |    max(CASE WHEN rn = floor((n-1)*0.5)+1 THEN v END) AS lo50,
+        |    max(CASE WHEN rn = ceil((n-1)*0.5)+1 THEN v END) AS hi50,
+        |    max((n-1)*0.5 - floor((n-1)*0.5)) AS f50,
+        |    max(CASE WHEN rn = floor((n-1)*0.9)+1 THEN v END) AS lo90,
+        |    max(CASE WHEN rn = ceil((n-1)*0.9)+1 THEN v END) AS hi90,
+        |    max((n-1)*0.9 - floor((n-1)*0.9)) AS f90
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  floor((lo50 + (hi50 - lo50) * f50) * 10000) / 10000 AS p50,
+        |  floor((lo90 + (hi90 - lo90) * f90) * 10000) / 10000 AS p90
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "q19_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
