@@ -403,6 +403,15 @@ object SparkEntry {
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram")).limit(20)
 
+  /** t06: stratified deterministic sampling (cap dominant strata) —
+    * rows-only oracle (xxhash64); proportions asserted in specs. */
+  private def t06(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.stratifiedHashSample(
+        T(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 1.0)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------
   // Deduplication (documents)
   // ---------------------------------------------------------------
@@ -484,6 +493,17 @@ object SparkEntry {
     val emb = T(s, dir, "embeddings")
     Similarity.ivfAnn(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", "label", 5, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  /** s04: brute-force top-k via the bounded-heap TypedImperative
+    * aggregate — same results as s01 (shares its oracle), but the
+    * plan is a partial-aggregating hash agg instead of a window
+    * sort. */
+  private def s04(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.knnBruteAgg(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
       .orderBy("q_id", "rank")
   }
 
@@ -589,6 +609,7 @@ object SparkEntry {
     "t03_lang_id" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
     "t05_ngram_freq" -> (t05 _),
+    "t06_sample_stratified" -> (t06 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_pairs" -> (d02 _),
     "d03_jaccard_verify" -> (d03 _),
@@ -598,6 +619,7 @@ object SparkEntry {
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
+    "s04_knn_topk_agg" -> (s04 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_counts" -> (e02 _),
     "e03_asof_join" -> (e03 _),
@@ -895,6 +917,17 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    "s04_knn_topk_agg" ->
+      """SELECT q_id, rank, cand_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+        |      AS rank
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |    WHERE vec_id < 10) q
+        |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c
+        |    ON c.vec_id != q.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "s01_knn_brute" ->
       """SELECT q_id, rank, cand_id FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data curation.
+  *
+  * All deterministic (seeded or hash-based) so pipeline reruns and
+  * task retries produce identical corpora — rand()-based sampling
+  * changes under retry, which silently breaks dataset reproducibility
+  * at scale.
+  */
+object Sampling {
+
+  /** Deterministic per-row Bernoulli sample: keep rows whose
+    * seeded hash of the id falls under the fraction. Stable across
+    * runs, partitionings and retries (unlike df.sample). */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame =
+    df.filter(
+      pmod(xxhash64(lit(seed), col(idCol)), lit(1000000L)) <
+        (fraction * 1000000L).toLong)
+
+  /** Stratified sampling with per-stratum fractions (cap a dominant
+    * language, upweight a rare one). Strata missing from the map fall
+    * back to `defaultFraction`. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (k, f)) => when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(
+      pmod(xxhash64(lit(seed), col(idCol)), lit(1000000L)) <
+        (frac * 1000000L).cast("long"))
+  }
+
+  /** Exact per-stratum top-N by a deterministic hash order — a fixed
+    * BUDGET per stratum rather than a rate (the "take 1M docs per
+    * language" shape). One window per stratum partition. */
+  def stratifiedBudget(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      budget: Int,
+      seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(xxhash64(lit(seed), col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= budget)
+      .drop("__rn")
+  }
+}

@@ -78,6 +78,38 @@ object Similarity {
         col("cand_id"))
   }
 
+  /** Top-k per group via the bounded-heap aggregate
+    * ([[graft.plans.TopKPairs]]): identical output to the window
+    * row_number form, but the plan is a hash aggregate with k-row
+    * state and map-side partials — no per-group sort of the full
+    * candidate set. */
+  def topKAgg(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.TopKPairs(
+        GraftBridge.expression(struct(score.as("score"), id.as("id"))), k)
+        .toAggregateExpression())
+  }
+
+  /** knnBrute with the aggregate-based top-k (same results, scalable
+    * plan: no window sort). */
+  def knnBruteAgg(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    c.join(q, col("cand_id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(topKAgg(cosine(col("qv"), col("cv")), col("cand_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cand_id"))
+  }
+
   /** Deterministic ±1 random hyperplanes (seeded). */
   private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new Random(seed)

@@ -26,6 +26,16 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(v - 1.0) < 1e-9)
   }
 
+  test("aggregate top-k equals the window form exactly") {
+    val agg = Similarity.knnBruteAgg(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"))).toSet
+    val win = Similarity.knnBrute(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"))).toSet
+    assert(agg == win)
+  }
+
   test("lshAnn recall vs brute force") {
     val ann = resultSet(
       Similarity.lshAnn(emb, queries, "vec_id", "embedding", 5))
