@@ -548,6 +548,20 @@ object SparkEntry {
   private def e05(s: SparkSession, dir: String): DataFrame =
     Streams.statefulSessionCounts(s, dir)
 
+  /** e07: as-of join through the custom LogicalPlan/Strategy/
+    * SparkPlan operator (AsOfJoinExec) — same semantics and oracle
+    * shape as e03, natively planned sort-merge. */
+  private def e07(s: SparkSession, dir: String): DataFrame = {
+    val events = T(s, dir, "events")
+      .select(col("user_id").as("k"), col("ts"), col("event_id"))
+    val orders = T(s, dir, "orders")
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+        col("o_orderkey"))
+    Temporal.asofBackwardExec(events, orders, "k", "ts", "o_orderkey")
+      .select(col("event_id"), col("matched_o_orderkey"))
+      .orderBy("event_id")
+  }
+
   /** e06: native session_window sessionization (gap merge). Spark's
     * session semantics: a new session starts when the gap is >= the
     * timeout (vs strictly > in e01's manual form) — the oracle
@@ -626,6 +640,7 @@ object SparkEntry {
     "e04_streaming_counts" -> (e04 _),
     "e05_stateful_sessions" -> (e05 _),
     "e06_session_window" -> (e06 _),
+    "e07_asof_native" -> (e07 _),
     "m01_binary_meta" -> (m01 _)
   )
 
@@ -960,6 +975,13 @@ object SparkEntry {
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "e03_asof_join" ->
+      """SELECT e.event_id,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+        |    AS matched_o_orderkey
+        |FROM events e ORDER BY event_id""".stripMargin,
+    "e07_asof_native" ->
       """SELECT e.event_id,
         |  (SELECT o.o_orderkey FROM orders o
         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
