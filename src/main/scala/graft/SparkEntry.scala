@@ -644,6 +644,16 @@ object SparkEntry {
     "m01_binary_meta" -> (m01 _)
   )
 
+  /** Shared by e03 (composed) and e07 (custom operator): both must
+    * match the same per-event latest-order semantics. */
+  private val asofOracleSql: String =
+    """SELECT e.event_id,
+      |  (SELECT o.o_orderkey FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+      |    AS matched_o_orderkey
+      |FROM events e ORDER BY event_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -974,20 +984,8 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
-    "e03_asof_join" ->
-      """SELECT e.event_id,
-        |  (SELECT o.o_orderkey FROM orders o
-        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
-        |    AS matched_o_orderkey
-        |FROM events e ORDER BY event_id""".stripMargin,
-    "e07_asof_native" ->
-      """SELECT e.event_id,
-        |  (SELECT o.o_orderkey FROM orders o
-        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
-        |    AS matched_o_orderkey
-        |FROM events e ORDER BY event_id""".stripMargin,
+    "e03_asof_join" -> asofOracleSql,
+    "e07_asof_native" -> asofOracleSql, // same semantics as e03
     "e04_streaming_counts" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value

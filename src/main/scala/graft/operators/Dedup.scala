@@ -166,13 +166,18 @@ object Dedup {
 
   /** Resolve near-dup candidate pairs into clusters: every doc maps
     * to the smallest id reachable through the pair graph (connected
-    * components by iterative min-label propagation — each iteration
-    * is one join+groupBy, converging in O(log diameter) rounds; dedup
-    * chains are short, so `maxIter` small is safe).
+    * components). Min-label propagation over the graph edges plus the
+    * current label-star edges (doc↔leader), iterated TO FIXPOINT with
+    * a per-round convergence check (one small count() action — the
+    * standard driver-side loop for iterative graph algorithms). Star
+    * edges collapse already-labeled regions in one hop; the
+    * convergence check bounds pathological chains (worst case
+    * O(diameter) rounds, each one join+groupBy). `maxIter` is a
+    * safety valve only.
     *
     * Output: (doc_id, leader_id) for every doc appearing in pairs;
     * keep rows where doc_id == leader_id, drop the rest. */
-  def clusterLeaders(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+  def clusterLeaders(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // symmetric edge list, cached: every iteration joins against it
     val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -182,22 +187,34 @@ object Dedup {
       .agg(min(col("b_id")).as("__mn"))
       .select(col("doc_id"),
         least(col("__mn"), col("doc_id")).as("leader_id"))
+      .localCheckpoint()
     var i = 0
-    while (i < maxIter) {
-      // adopt the neighbor's leader when smaller than ours;
+    var converged = false
+    while (i < maxIter && !converged) {
+      val starEdges = labels
+        .select(col("doc_id").as("a_id"), col("leader_id").as("b_id"))
+        .union(labels
+          .select(col("leader_id").as("a_id"), col("doc_id").as("b_id")))
+      val allEdges = edges.union(starEdges)
+      // adopt the smallest label among graph+star neighbors;
       // localCheckpoint truncates the growing iteration lineage
-      val viaNeighbor = edges
+      val viaNeighbor = allEdges
         .join(labels.withColumnRenamed("doc_id", "b_id")
           .withColumnRenamed("leader_id", "nb_leader"), Seq("b_id"))
         .groupBy(col("a_id").as("doc_id"))
         .agg(min(col("nb_leader")).as("nb_min"))
-      labels = labels.join(viaNeighbor, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("leader_id"), coalesce(col("nb_min"), col("leader_id")))
+      val next = labels
+        .withColumnRenamed("leader_id", "__prev")
+        .join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__prev"),
+          least(col("__prev"), coalesce(col("nb_min"), col("__prev")))
             .as("leader_id"))
         .localCheckpoint()
+      converged = next.filter(col("leader_id") =!= col("__prev")).isEmpty
+      labels = next.drop("__prev")
       i += 1
     }
+    edges.unpersist(blocking = false)
     labels
   }
 

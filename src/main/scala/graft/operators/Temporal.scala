@@ -52,31 +52,6 @@ object Temporal {
     * rows sort before left rows at equal ts, giving <= semantics.
     * At 100 TB this is one shuffle of left+right — no per-row range
     * probe, no broadcast of the big side. */
-  /** As-of join through the custom physical operator
-    * ([[graft.plans.AsOfJoinExec]]): same semantics as
-    * [[asofBackward]], but planned as a native sort-merge with O(1)
-    * merge state instead of a union + running window. Key/ts/value
-    * must be long-typed (timestamps qualify — micros internally). */
-  def asofBackwardExec(
-      left: DataFrame,
-      right: DataFrame,
-      key: String,
-      ts: String,
-      value: String): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    val spark = left.sparkSession
-    graft.plans.AsOfJoin.install(spark)
-    val node = graft.plans.AsOfJoinNode.create(
-      GraftBridge.logicalPlan(left), GraftBridge.logicalPlan(right),
-      GraftBridge.expression(left.col(key)),
-      GraftBridge.expression(left.col(ts)),
-      GraftBridge.expression(right.col(key)),
-      GraftBridge.expression(right.col(ts)),
-      GraftBridge.expression(right.col(value)),
-      s"matched_$value")
-    GraftBridge.ofRows(spark, node)
-  }
-
   def asofBackward(
       left: DataFrame,
       right: DataFrame,
@@ -100,5 +75,30 @@ object Temporal {
         last(col(value), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
       .select((payload.map(col) :+ col(s"matched_$value")): _*)
+  }
+
+  /** As-of join through the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]]): same semantics as
+    * [[asofBackward]], but planned as a native sort-merge with O(1)
+    * merge state instead of a union + running window. Key/ts/value
+    * must be long-typed (timestamps qualify — micros internally). */
+  def asofBackwardExec(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      value: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val spark = left.sparkSession
+    graft.plans.AsOfJoin.install(spark)
+    val node = graft.plans.AsOfJoinNode.create(
+      GraftBridge.logicalPlan(left), GraftBridge.logicalPlan(right),
+      GraftBridge.expression(left.col(key)),
+      GraftBridge.expression(left.col(ts)),
+      GraftBridge.expression(right.col(key)),
+      GraftBridge.expression(right.col(ts)),
+      GraftBridge.expression(right.col(value)),
+      s"matched_$value")
+    GraftBridge.ofRows(spark, node)
   }
 }

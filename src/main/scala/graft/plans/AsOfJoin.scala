@@ -51,12 +51,28 @@ case class AsOfJoinNode(
 }
 
 object AsOfJoinNode {
+  private def requireLongBacked(e: Expression, role: String): Unit = {
+    val ok = e.dataType match {
+      case LongType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    require(ok, s"as-of $role must be long-backed " +
+      s"(bigint/timestamp), got ${e.dataType.simpleString}")
+  }
+
   def create(left: LogicalPlan, right: LogicalPlan,
       leftKey: Expression, leftTs: Expression, rightKey: Expression,
       rightTs: Expression, rightVal: Expression,
-      matchedName: String): AsOfJoinNode =
+      matchedName: String): AsOfJoinNode = {
+    // fail at construction, not mid-job in an executor: the merge
+    // reads these as primitive longs
+    requireLongBacked(leftKey, "left key"); requireLongBacked(leftTs, "left ts")
+    requireLongBacked(rightKey, "right key"); requireLongBacked(rightTs, "right ts")
+    requireLongBacked(rightVal, "right value")
     AsOfJoinNode(left, right, leftKey, leftTs, rightKey, rightTs,
       rightVal, AttributeReference(matchedName, LongType, nullable = true)())
+  }
 }
 
 object AsOfStrategy extends SparkStrategy {
@@ -112,24 +128,38 @@ case class AsOfJoinExec(
       val matchRow = new GenericInternalRow(1)
       val joined = new JoinedRow()
 
-      // right side consumed as primitives — no row copies retained
+      // right side consumed as primitives — no row copies retained;
+      // rows with NULL key/ts/value are skipped (SQL semantics:
+      // NULL never matches), not coerced to 0
       var rKey = 0L; var rTs = 0L; var rVal = 0L
       var rValid = false
-      def advanceRight(): Unit =
-        if (rIt.hasNext) {
+      def advanceRight(): Unit = {
+        rValid = false
+        while (!rValid && rIt.hasNext) {
           val r = rIt.next()
-          rKey = rKeyB.eval(r).asInstanceOf[Long]
-          rTs = rTsB.eval(r).asInstanceOf[Long]
-          rVal = rValB.eval(r).asInstanceOf[Long]
-          rValid = true
-        } else rValid = false
+          val k = rKeyB.eval(r); val t = rTsB.eval(r); val v = rValB.eval(r)
+          if (k != null && t != null && v != null) {
+            rKey = k.asInstanceOf[Long]
+            rTs = t.asInstanceOf[Long]
+            rVal = v.asInstanceOf[Long]
+            rValid = true
+          }
+        }
+      }
       advanceRight()
 
       var matchKey = 0L; var matchVal = 0L; var hasMatch = false
 
       lIt.map { lRow =>
-        val k = lKeyB.eval(lRow).asInstanceOf[Long]
-        val t = lTsB.eval(lRow).asInstanceOf[Long]
+        val kRaw = lKeyB.eval(lRow)
+        val tRaw = lTsB.eval(lRow)
+        if (kRaw == null || tRaw == null) {
+          // NULL key/ts on the left: no match, emit null
+          matchRow.setNullAt(0)
+          project(joined(lRow, matchRow))
+        } else {
+        val k = kRaw.asInstanceOf[Long]
+        val t = tRaw.asInstanceOf[Long]
         // consume right rows at or before (k, t); rows sorted by
         // (key, ts, val) so the last accepted row per key is the
         // latest ts / max val
@@ -140,6 +170,7 @@ case class AsOfJoinExec(
         if (hasMatch && matchKey == k) matchRow.setLong(0, matchVal)
         else matchRow.setNullAt(0)
         project(joined(lRow, matchRow))
+        }
       }
     }
   }

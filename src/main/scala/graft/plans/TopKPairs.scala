@@ -12,8 +12,8 @@ import org.apache.spark.sql.types._
   * pairs where "worst" = lowest score, ties broken by larger id (so
   * the kept set matches `ORDER BY score DESC, id ASC LIMIT k`). */
 final class TopKBuffer(val k: Int) {
-  // worst element dequeues first
-  private val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+  // worst element dequeues first; also the output sort comparator
+  private[plans] val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
     def compare(a: (Double, Long), b: (Double, Long)): Int = {
       val c = java.lang.Double.compare(b._1, a._1) // lower score = worse
       if (c != 0) c else java.lang.Long.compare(a._2, b._2) // larger id = worse
@@ -31,9 +31,12 @@ final class TopKBuffer(val k: Int) {
   def addAll(other: TopKBuffer): Unit =
     other.heap.foreach(p => add(p._1, p._2))
 
-  /** best → worst */
+  /** best → worst — sorted with the SAME comparator the heap uses,
+    * so NaN scores (e.g. cosine of a zero-norm vector) rank
+    * identically in retention and output (Double.compare total
+    * order: NaN above every value, matching Spark's DESC sort). */
   def sortedDesc: Array[(Double, Long)] =
-    heap.toArray.sortBy(p => (-p._1, p._2))
+    heap.toArray.sorted(worstFirst)
 }
 
 /** Top-k-per-group as a TypedImperativeAggregate: each partition

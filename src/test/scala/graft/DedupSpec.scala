@@ -59,6 +59,18 @@ class DedupSpec extends SparkSuite {
     assert(leaders(9L) == 4L && leaders(4L) == 4L)
   }
 
+  test("clusterLeaders converges on long chains (pointer doubling)") {
+    // path of diameter 20 with the minimum id in the middle: plain
+    // neighbor propagation would need ~20 rounds, default maxIter=5
+    // must still converge via doubling
+    val ids = (100L to 109L) ++ Seq(1L) ++ (110L to 119L)
+    val pairs = ids.zip(ids.tail).toSeq.toDF("a_id", "b_id")
+    val leaders = Dedup.clusterLeaders(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leaders.values.toSet == Set(1L),
+      s"chain not fully resolved: ${leaders.filter(_._2 != 1L)}")
+  }
+
   test("nearDedupPipeline keeps one doc per near-dup cluster") {
     val res = Dedup.nearDedupPipeline(docs, col("doc_id"), col("text"),
         jaccardThreshold = 0.7)
