@@ -227,9 +227,12 @@ object Dedup {
       textCol: Column,
       jaccardThreshold: Double = 0.7): DataFrame = {
     val candidates = minHashCandidatePairs(docs, idCol, textCol)
+    // materialize once: the cluster loop's symmetric-edge union would
+    // otherwise recompute the whole MinHash+Jaccard subtree twice
     val verified = jaccardOnPairs(candidates, docs, idCol, textCol)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("a_id", "b_id")
+      .localCheckpoint()
     val leaders = clusterLeaders(verified)
     docs.select(idCol.as("doc_id"))
       .join(leaders, Seq("doc_id"), "left")
