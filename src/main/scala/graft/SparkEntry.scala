@@ -331,6 +331,35 @@ object SparkEntry {
       .withColumnRenamed("P", "n_pending")
       .orderBy("o_orderpriority")
 
+  /** q22: typed JSON struct parsing with corrupt-record coercion
+    * (from_json PERMISSIVE mode → null on malformed input). */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val maybeCorrupt = when(col("event_id") % 50 === 0,
+      concat(lit("x"), col("props"))).otherwise(col("props"))
+    val parsed = from_json(maybeCorrupt,
+      new org.apache.spark.sql.types.StructType()
+        .add("k", org.apache.spark.sql.types.LongType))
+    T(s, dir, "events")
+      .select(col("event_id"), parsed.getField("k").as("k_parsed"))
+      .orderBy("event_id")
+  }
+
+  /** q23: rolling-window analytics — running totals, moving averages,
+    * lead/lag navigation. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val last3 = w.rowsBetween(-2, Window.currentRow)
+    T(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(cum), 2).as("running_total"),
+        trunc4(avg("o_totalprice").over(last3)).as("moving_avg3"),
+        lag("o_orderkey", 1).over(w).as("prev_order"),
+        lead("o_orderkey", 1).over(w).as("next_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** a01: approximate sketches — HLL distinct + quantile sketch.
     * Rows-only oracle (sketch internals are engine-specific);
     * accuracy vs exact asserted in specs. */
@@ -611,6 +640,8 @@ object SparkEntry {
     "q19_rollup" -> (q19 _),
     "q20_full_outer" -> (q20 _),
     "q21_pivot" -> (q21 _),
+    "q22_json_struct" -> (q22 _),
+    "q23_rolling_window" -> (q23 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
     "n02_state_zip" -> (n02 _),
@@ -865,6 +896,28 @@ object SparkEntry {
         |    AS n_pending
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q22_json_struct" ->
+      """SELECT event_id,
+        |  CASE WHEN json_valid(CASE WHEN event_id % 50 = 0
+        |      THEN 'x' || props ELSE props END)
+        |    THEN json_extract_string(CASE WHEN event_id % 50 = 0
+        |      THEN 'x' || props ELSE props END, '$.k')::BIGINT
+        |    END AS k_parsed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q23_rolling_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+        |  floor(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000) / 10000
+        |    AS moving_avg3,
+        |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_order
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
