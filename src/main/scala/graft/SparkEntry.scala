@@ -270,15 +270,15 @@ object SparkEntry {
   /** q17: semi-structured JSON extraction from the events props
     * column (the reference's typed-coercion capability applied to
     * nested payloads). */
-  private def q17(s: SparkSession, dir: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("long")
+  private def q17(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        trunc4(avg(k)).as("avg_k"),
-        max(k).as("max_k"))
+        trunc4(avg(col("k"))).as("avg_k"),
+        max(col("k")).as("max_k"))
       .orderBy("event_type")
-  }
 
   /** q18: exact percentiles (median/p90, linear interpolation) via
     * the sort-based scalable form (see
@@ -393,27 +393,35 @@ object SparkEntry {
     * exact decimal boundaries systematically. */
   private def trunc4(c: Column): Column = floor(c * 10000) / 10000
 
-  /** t02: quality features + score (length/punct/stopword ratios). */
+  /** t02: quality features + score (length/punct/stopword ratios).
+    * Tokens/hits materialized once per row — the expression tree
+    * would otherwise re-run split() per reference. */
   private def t02(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokensLower(col("text"))
-    val charLen = length(col("text"))
-    val punct = charLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val stopHits = TextFns.wordSetHits(toks, Seq("the", "a", "and", "of", "to", "in"))
-    T(s, dir, "documents")
-      .select(col("doc_id"),
-        charLen.cast("long").as("char_len"),
-        trunc4(punct / charLen).as("punct_ratio"),
-        trunc4(stopHits / size(toks)).as("stop_ratio"),
-        trunc4(least(lit(1.0), charLen / 500.0) *
-          (lit(0.7) + lit(0.3) * (stopHits / size(toks)))).as("quality"))
+    val stage = T(s, dir, "documents").select(col("doc_id"),
+      length(col("text")).as("__len"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("__punct"),
+      TextFns.wordSetHits(TextFns.tokensLower(col("text")),
+        Seq("the", "a", "and", "of", "to", "in")).as("__hits"),
+      size(TextFns.tokensLower(col("text"))).as("__ntok"))
+    stage.select(col("doc_id"),
+        col("__len").cast("long").as("char_len"),
+        trunc4(col("__punct") / col("__len")).as("punct_ratio"),
+        trunc4(col("__hits") / col("__ntok")).as("stop_ratio"),
+        trunc4(least(lit(1.0), col("__len") / 500.0) *
+          (lit(0.7) + lit(0.3) * (col("__hits") / col("__ntok"))))
+          .as("quality"))
       .orderBy("doc_id")
   }
 
-  /** t03: heuristic language ID (stopword-hit argmax). */
+  /** t03: heuristic language ID (stopword-hit argmax); token array
+    * materialized once (langId references it 4×). */
   private def t03(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        TextFns.langId(TextFns.tokensLower(col("text"))).as("pred_lang"))
+        TextFns.tokensLower(col("text")).as("__toks"))
+      .select(col("doc_id"), col("lang"),
+        TextFns.langId(col("__toks")).as("pred_lang"))
       .orderBy("doc_id")
 
   /** t04: document fingerprint (md5 of normalized text). */

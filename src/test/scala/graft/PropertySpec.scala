@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.functions.Normalize
+import graft.operators.Percentiles
+import graft.plans.TopKBuffer
+
+/** Randomized property specs (seeded — reproducible) for the
+  * deterministic cores: normalization idempotence/shape, heap top-k
+  * vs sort, heap merge associativity, percentile parity. */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new Random(4242)
+
+  private def randomString(): String = {
+    val len = rnd.nextInt(30)
+    (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+  }
+
+  test("cleanText is idempotent and zip5 yields 5 digits or empty (500 random inputs)") {
+    val inputs = (0 until 500).map(_ => randomString())
+    val rows = inputs.toDF("x").select(
+      Normalize.cleanText(col("x")).as("c1"),
+      Normalize.cleanText(Normalize.cleanText(col("x"))).as("c2"),
+      Normalize.zip5(col("x")).as("z")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), "cleanText not idempotent")
+      val z = r.getString(2)
+      assert(z == "" || (z.length == 5 && z.forall(_.isDigit)),
+        s"bad zip5: '$z'")
+    }
+  }
+
+  test("TopKBuffer equals sort-take-k on random inputs (200 trials)") {
+    (0 until 200).foreach { _ =>
+      val n = rnd.nextInt(40)
+      val pairs = List.fill(n)(
+        (rnd.nextInt(20).toDouble, rnd.nextInt(30).toLong)) // many ties
+      val k = 1 + rnd.nextInt(6)
+      val buf = new TopKBuffer(k)
+      pairs.foreach { case (s, i) => buf.add(s, i) }
+      val viaSort = pairs
+        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .take(k)
+      assert(buf.sortedDesc.toList == viaSort,
+        s"heap ${buf.sortedDesc.toList} vs sort $viaSort for $pairs k=$k")
+    }
+  }
+
+  test("heap merge equals bulk insert (200 trials)") {
+    (0 until 200).foreach { _ =>
+      val p1 = List.fill(rnd.nextInt(20))(
+        (rnd.nextInt(15).toDouble, rnd.nextInt(20).toLong))
+      val p2 = List.fill(rnd.nextInt(20))(
+        (rnd.nextInt(15).toDouble, rnd.nextInt(20).toLong))
+      val merged = new TopKBuffer(4)
+      p1.foreach { case (s, i) => merged.add(s, i) }
+      val other = new TopKBuffer(4)
+      p2.foreach { case (s, i) => other.add(s, i) }
+      merged.addAll(other)
+      val bulk = new TopKBuffer(4)
+      (p1 ++ p2).foreach { case (s, i) => bulk.add(s, i) }
+      assert(merged.sortedDesc.toList == bulk.sortedDesc.toList)
+    }
+  }
+
+  test("sort-based percentiles match Spark's percentile aggregate (random groups)") {
+    val data = (0 until 12).flatMap { g =>
+      val n = 1 + rnd.nextInt(50)
+      (0 until n).map(_ => (s"g$g", rnd.nextDouble() * 10000))
+    }
+    val df = data.toDF("grp", "v")
+    val mine = Percentiles.exactByGroup(df, "grp", "v", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val ref = df.groupBy("grp").agg(
+        percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.9)).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    ref.foreach { case (g, (p50, p90)) =>
+      assert(math.abs(mine(g)._1 - p50) < 1e-9, s"$g p50")
+      assert(math.abs(mine(g)._2 - p90) < 1e-9, s"$g p90")
+    }
+  }
+}
