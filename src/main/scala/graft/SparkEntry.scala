@@ -375,17 +375,17 @@ object SparkEntry {
   // Text analysis (documents)
   // ---------------------------------------------------------------
 
-  /** t01: token statistics — whitespace + BPE-ish tokenization. */
-  private def t01(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
+  /** t01: token statistics — whitespace + BPE-ish tokenization;
+    * token array materialized once per row. */
+  private def t01(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"),
+        length(regexp_replace(col("text"), "\\s", "")).as("__chars"))
       .select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_uniq"),
-        round(length(regexp_replace(col("text"), "\\s", "")) /
-          size(toks), 4).as("avg_tok_len"))
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__toks"))).cast("long").as("n_uniq"),
+        round(col("__chars") / size(col("__toks")), 4).as("avg_tok_len"))
       .orderBy("doc_id")
-  }
 
   /** Truncate to 4 decimals via floor — unlike round(), floor is
     * deterministic across engines on identical doubles (no half-way
