@@ -384,7 +384,7 @@ object SparkEntry {
       .select(col("doc_id"),
         size(col("__toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("__toks"))).cast("long").as("n_uniq"),
-        round(col("__chars") / size(col("__toks")), 4).as("avg_tok_len"))
+        trunc4(col("__chars") / size(col("__toks"))).as("avg_tok_len"))
       .orderBy("doc_id")
 
   /** Truncate to 4 decimals via floor — unlike round(), floor is
@@ -397,13 +397,16 @@ object SparkEntry {
     * Tokens/hits materialized once per row — the expression tree
     * would otherwise re-run split() per reference. */
   private def t02(s: SparkSession, dir: String): DataFrame = {
-    val stage = T(s, dir, "documents").select(col("doc_id"),
-      length(col("text")).as("__len"),
-      (length(col("text")) -
-        length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("__punct"),
-      TextFns.wordSetHits(TextFns.tokensLower(col("text")),
-        Seq("the", "a", "and", "of", "to", "in")).as("__hits"),
-      size(TextFns.tokensLower(col("text"))).as("__ntok"))
+    val stage = T(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextFns.tokensLower(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        length(col("text")).as("__len"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("__punct"),
+        TextFns.wordSetHits(col("__toks"),
+          Seq("the", "a", "and", "of", "to", "in")).as("__hits"),
+        size(col("__toks")).as("__ntok"))
     stage.select(col("doc_id"),
         col("__len").cast("long").as("char_len"),
         trunc4(col("__punct") / col("__len")).as("punct_ratio"),
@@ -908,8 +911,8 @@ object SparkEntry {
       """SELECT event_id,
         |  CASE WHEN json_valid(CASE WHEN event_id % 50 = 0
         |      THEN 'x' || props ELSE props END)
-        |    THEN json_extract_string(CASE WHEN event_id % 50 = 0
-        |      THEN 'x' || props ELSE props END, '$.k')::BIGINT
+        |    THEN TRY_CAST(json_extract_string(CASE WHEN event_id % 50 = 0
+        |      THEN 'x' || props ELSE props END, '$.k') AS BIGINT)
         |    END AS k_parsed
         |FROM events ORDER BY event_id""".stripMargin,
     "q23_rolling_window" ->
@@ -931,8 +934,9 @@ object SparkEntry {
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
         |  len(list_distinct(string_split_regex(trim(text), '\s+')))::BIGINT
         |    AS n_uniq,
-        |  round(length(regexp_replace(text, '\s', '', 'g')) /
-        |    len(string_split_regex(trim(text), '\s+')), 4) AS avg_tok_len
+        |  floor((length(regexp_replace(text, '\s', '', 'g')) /
+        |    len(string_split_regex(trim(text), '\s+'))) * 10000) / 10000
+        |    AS avg_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t02_quality_score" ->
       """WITH x AS (SELECT doc_id, length(text) AS char_len,

@@ -227,12 +227,14 @@ object Dedup {
       textCol: Column,
       jaccardThreshold: Double = 0.7): DataFrame = {
     val candidates = minHashCandidatePairs(docs, idCol, textCol)
-    // materialize once: the cluster loop's symmetric-edge union would
-    // otherwise recompute the whole MinHash+Jaccard subtree twice
+    // cache (lazy, recomputable) so the cluster loop's symmetric-edge
+    // union reads the MinHash+Jaccard subtree once instead of twice —
+    // unlike localCheckpoint this neither executes at plan-construction
+    // time nor gives up lineage-based fault tolerance
     val verified = jaccardOnPairs(candidates, docs, idCol, textCol)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("a_id", "b_id")
-      .localCheckpoint()
+      .cache()
     val leaders = clusterLeaders(verified)
     docs.select(idCol.as("doc_id"))
       .join(leaders, Seq("doc_id"), "left")
