@@ -106,7 +106,7 @@ object SparkEntry {
   private def q07(s: SparkSession, dir: String): DataFrame =
     Relational.decode(s, T(s, dir, "orders"), "o_orderstatus",
         Seq("O" -> "Open", "F" -> "Finished", "P" -> "Pending"),
-        "status_descr")
+        "status_descr", default = Some("Unknown"))
       .groupBy("status_descr").agg(count(lit(1)).as("n"))
       .orderBy("status_descr")
 
@@ -741,7 +741,7 @@ object SparkEntry {
     "q06_owner_summary" ->
       """SELECT o_custkey,
         |  count(*) AS member_count,
-        |  string_agg(o_orderstatus, ';' ORDER BY o_orderstatus)
+        |  string_agg(o_orderstatus, '; ' ORDER BY o_orderstatus)
         |    AS members_concat,
         |  bool_or(o_totalprice > 100000) AS any_flag
         |FROM orders

@@ -12,9 +12,11 @@ import graft.functions.Normalize
 object Relational {
 
   /** Decode a code column through a small literal lookup table, LEFT
-    * JOIN semantics with a default for unknown codes — the reference's
-    * status_codes / airworthiness_classes / owner_types decode
-    * (pipelines/publish.py:75-149, views at :156-198).
+    * JOIN semantics — the reference's status_codes /
+    * airworthiness_classes / owner_types decode
+    * (pipelines/publish.py:75-149, views at :156-198). Unknown codes
+    * decode to NULL (the reference's LEFT JOIN behavior) unless a
+    * `default` is supplied.
     *
     * The lookup side is an explicitly broadcast literal DataFrame:
     * at 100 TB the fact side never moves, each executor decodes
@@ -25,11 +27,15 @@ object Relational {
       codeCol: String,
       mapping: Seq[(String, String)],
       outCol: String,
-      default: String = "Unknown"): DataFrame = {
+      default: Option[String] = None): DataFrame = {
     import spark.implicits._
     val lookup = mapping.toDF("__code", "__descr")
+    val decoded = default match {
+      case Some(d) => coalesce(col("__descr"), lit(d))
+      case None => col("__descr")
+    }
     df.join(broadcast(lookup), df(codeCol) === col("__code"), "left")
-      .withColumn(outCol, coalesce(col("__descr"), lit(default)))
+      .withColumn(outCol, decoded)
       .drop("__code", "__descr")
   }
 
@@ -72,19 +78,22 @@ object Relational {
 
   /** Per-key roll-up: count + deterministic concatenated members +
     * any-flag — the reference's owners_summary
-    * (pipelines/publish.py:58-67). STRING_AGG is re-expressed as
+    * (pipelines/publish.py:58-67), including its "; " STRING_AGG
+    * separator. STRING_AGG is re-expressed as
     * sort_array(collect_list(..)) so the result is order-independent
-    * across partitions/retries (DuckDB's STRING_AGG with ORDER BY
-    * equivalent), and the whole agg is a single hash-aggregate with
-    * map-side partials. */
+    * across partitions/retries — a deliberate divergence from the
+    * reference's insertion-order concat (unordered STRING_AGG is
+    * nondeterministic under distributed retries), and the whole agg
+    * is a single hash-aggregate with map-side partials. */
   def groupSummary(
       df: DataFrame,
       key: String,
       memberCol: Column,
-      flagCol: Column): DataFrame =
+      flagCol: Column,
+      sep: String = "; "): DataFrame =
     df.groupBy(col(key)).agg(
       count(lit(1)).as("member_count"),
-      array_join(sort_array(collect_list(memberCol)), ";")
+      array_join(sort_array(collect_list(memberCol)), sep)
         .as("members_concat"),
       bool_or(flagCol).as("any_flag"))
 }

@@ -52,12 +52,18 @@ class Registry(spark: SparkSession, dataDir: String) {
         "reg_status", Schemas.statusCodes, "reg_status_descr"),
       "airworthiness_class", Schemas.airworthinessClasses,
       "airworthiness_descr")
+    // column names/order match publish.py's view exactly: the decoded
+    // descriptions surface as reg_status / airworthiness_class (raw
+    // codes keep *_code names), unknown codes decode to NULL — so
+    // reference-style SQL via query() runs unchanged
     decoded.select(
       col("n_number"), col("serial_no"), col("mfr_mdl_code"), col("maker"),
       col("model"), col("engine_code"), col("year_mfr"),
       col("airworthiness_class").as("airworthiness_code"),
-      col("airworthiness_descr"), col("seats"), col("engines"),
-      col("reg_status").as("status_code"), col("reg_status_descr"),
+      col("airworthiness_descr").as("airworthiness_class"),
+      col("seats"), col("engines"),
+      col("reg_status").as("status_code"),
+      col("reg_status_descr").as("reg_status"),
       col("status_date"), col("reg_expiration"), col("cert_issue_date"),
       col("mode_s_code"), col("mode_s_code_hex"), col("is_deregistered"))
   }
@@ -102,7 +108,7 @@ class Registry(spark: SparkSession, dataDir: String) {
       upper(col("state")) === st.toUpperCase).toSeq
     val joined = aircraftDecoded
       .select(col("n_number"), col("maker"), col("model"),
-        col("year_mfr"), col("reg_status_descr"))
+        col("year_mfr"), col("reg_status"))
       .join(ownersClean.select(col("n_number"), col("owner_name"),
         col("city"), col("state")), Seq("n_number"))
     Relational.fleetSearch(joined, col("owner_name"),

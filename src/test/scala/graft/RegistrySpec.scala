@@ -57,10 +57,22 @@ class RegistrySpec extends SparkSuite {
     val d = registry.aircraftDecoded.collect()
     val b757 = d.find(_.getAs[String]("n_number") == "757AF").get
     assert(b757.getAs[String]("maker") == "BOEING")
-    assert(b757.getAs[String]("reg_status_descr") == "Valid")
-    assert(b757.getAs[String]("airworthiness_descr") == "Standard")
+    // decoded descriptions carry the reference view's column names
+    // (publish.py:166-171): reg_status / airworthiness_class
+    assert(b757.getAs[String]("reg_status") == "Valid")
+    assert(b757.getAs[String]("airworthiness_class") == "Standard")
+    assert(b757.getAs[String]("status_code") == "V")
     val bad = d.find(_.getAs[String]("n_number") == "100XY").get
-    assert(bad.getAs[String]("reg_status_descr") == "Revoked by Enforcement")
+    assert(bad.getAs[String]("reg_status") == "Revoked by Enforcement")
+  }
+
+  test("unknown codes decode to NULL like the reference LEFT JOIN") {
+    import org.apache.spark.sql.functions.col
+    val d = operators.Relational.decode(spark,
+      registry.table("aircraft"), "reg_status",
+      Seq("V" -> "Valid"), "reg_status_descr")
+    assert(d.filter(col("reg_status") === "E")
+      .collect().forall(_.isNullAt(d.columns.indexOf("reg_status_descr"))))
   }
 
   test("search normalizes the N prefix and enriches with owner") {
