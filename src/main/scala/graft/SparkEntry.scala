@@ -510,10 +510,14 @@ object SparkEntry {
   // Similarity search (embeddings)
   // ---------------------------------------------------------------
 
-  /** s01: brute-force cosine top-5 for queries vec_id < 10. */
+  /** s01: brute-force cosine top-5 for queries vec_id < 10, through
+    * the bounded-heap aggregate ([[Similarity.knnBruteAgg]]) — the
+    * window-sort form ([[Similarity.knnBrute]]) buffers the whole
+    * corpus per query in one task and survives only as the test-side
+    * oracle (SimilaritySpec asserts exact equality of the two). */
   private def s01(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    Similarity.knnBrute(emb, emb.filter(col("vec_id") < 10),
+    Similarity.knnBruteAgg(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5)
       .orderBy("q_id", "rank")
   }

@@ -57,8 +57,10 @@ object Similarity {
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest
     * rows of `corpus` (self excluded by id). Queries are broadcast;
-    * the corpus never shuffles until the per-query top-k, which is a
-    * window over (query, sim). */
+    * the per-query top-k is a window over (query, sim) — which sorts
+    * the WHOLE corpus per query in a single task. Test-oracle only:
+    * [[knnBruteAgg]] is the identical-output scale path (map-side
+    * k-row heaps, no per-query sort) and is what SparkEntry wires. */
   def knnBrute(
       corpus: DataFrame,
       queries: DataFrame,

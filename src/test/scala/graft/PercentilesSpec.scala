@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Percentiles
+
+class PercentilesSpec extends SparkSuite {
+  import spark.implicits._
+
+  // deterministic pseudo-random values, 3 groups of different sizes
+  private lazy val data = (1 to 3).flatMap { grp =>
+    val rnd = new scala.util.Random(1000 + grp)
+    (0 until grp * 137).map(_ => (s"g$grp", rnd.nextDouble() * 1000))
+  }.toDF("grp", "v")
+
+  /** Type-7 reference computed on the driver. */
+  private def expected(vals: Array[Double], p: Double): Double = {
+    val s = vals.sorted
+    val pos = (s.length - 1) * p
+    val lo = s(math.floor(pos).toInt)
+    val hi = s(math.ceil(pos).toInt)
+    lo + (hi - lo) * (pos - math.floor(pos))
+  }
+
+  test("exactByGroup matches driver-side type-7 quantiles") {
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = Percentiles.exactByGroup(data, "grp", "v", ps)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val byGroup = data.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    for (grp <- byGroup.keys; (p, i) <- ps.zipWithIndex) {
+      val want = expected(byGroup(grp), p)
+      val have = got(grp).getDouble(1 + i)
+      assert(math.abs(have - want) < 1e-9,
+        s"$grp p=$p: got $have want $want")
+    }
+  }
+
+  test("exactByGroup ignores NULL values") {
+    val withNulls = data.select(col("grp"),
+      when(col("v") < 100, lit(null)).otherwise(col("v")).as("v"))
+    val got = Percentiles.exactByGroup(withNulls, "grp", "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val byGroup = withNulls.collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.filterNot(_.isNullAt(1)).map(_.getDouble(1))).toMap
+    for (grp <- byGroup.keys)
+      assert(math.abs(got(grp) - expected(byGroup(grp), 0.5)) < 1e-9)
+  }
+
+  test("ranking window partitions on (group, bucket), never group alone") {
+    val plan = Percentiles.exactByGroup(data, "grp", "v", Seq(0.5, 0.9))
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val rankWindows = windows.filter(
+      _.windowExpressions.exists(_.toString.contains("row_number")))
+    assert(rankWindows.nonEmpty, "expected a row_number ranking window")
+    rankWindows.foreach { w =>
+      assert(w.partitionSpec.length >= 2 &&
+        w.partitionSpec.exists(_.toString.contains("__bkt")),
+        s"ranking window must partition on (group, __bkt), " +
+          s"got ${w.partitionSpec.mkString(", ")} — a group-only partition " +
+          "sorts the whole group in one task")
+    }
+  }
+}
