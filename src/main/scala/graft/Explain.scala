@@ -24,12 +24,16 @@ object Explain {
     // warmup
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"\n========== $name ==========")
-      if (!timeOnly) df.explain("formatted")
+      if (!timeOnly)
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // rebuild the DataFrame per run, as Bench does: operators with a
+      // driver-side loop (d06) or streaming run (e04/e05) do real work
+      // at construction time
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         println(f"[$name run $i] ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }

@@ -1,55 +1,95 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+import org.apache.spark.sql.GraftBridge
+import graft.plans.LowerBound
 
 /** Exact interpolated percentiles per group (quantile_cont / type-7
   * semantics: pos = (n-1)·p, result = lower + (upper-lower)·frac) via
   * distributed order statistics — no per-group single-task sort.
   *
-  * Plan shape (three passes over the data, all shuffles bounded):
+  * Plan shape — four bounded passes, each a single Spark job; all
+  * driver-side state is capped by fixed budgets:
   *
+  *  0. '''Sizing''': max group size and group count from one
+  *     column-pruned scan, reduced to ONE driver row. The bucket
+  *     count derives from these: enough buckets to bound the
+  *     per-bucket sort (~64k rows), never more than a global boundary
+  *     budget spread across the observed groups — so production
+  *     shuffle-partition counts no longer inflate the cut list (the
+  *     round-3 mistake this rewrite fixes).
   *  1. '''Boundaries''': per-group approximate quantiles
-  *     (`percentile_approx`) split each group's value range into
-  *     `numBuckets` buckets. The boundary table (|groups| rows) is
-  *     collected and re-created as a driver-backed broadcast so the
-  *     bucket assignment is byte-identical across the later passes
-  *     (re-evaluating an approx aggregate could legally produce
-  *     different — equally valid — boundaries).
-  *  2. '''Counts''': one hash-aggregate over (group, bucket) yields
-  *     per-bucket counts, cumulative offsets and the group total n.
-  *     From n the target global ranks floor((n-1)p)+1 / ceil((n-1)p)+1
-  *     are known, so the (few) buckets containing a target rank are
-  *     identified on this tiny table.
+  *     (`percentile_approx`, LOW accuracy — boundaries only balance
+  *     load, they never affect values) split each group's range into
+  *     `buckets` buckets. The boundary table (|groups| ×
+  *     (buckets−1) doubles, ≤ the 2^20 global budget ≈ 8 MB) is
+  *     collected and re-created as a driver-backed broadcast so
+  *     bucket assignment is byte-identical across later passes.
+  *  2. '''Counts''': per-(group, bucket) counts — ≤ |groups|·buckets
+  *     rows, same budget — collected; cumulative offsets, group
+  *     totals n and the ≤ 2·|ps| buckets per group containing a
+  *     target rank floor((n-1)p)+1 / ceil((n-1)p)+1 are computed on
+  *     the driver and re-broadcast. (Driver compute replaces a
+  *     window-over-tiny-table + self-join subtree: one fewer
+  *     broadcast-exchange job, measurably faster.)
   *  3. '''Boundary rows''': the data is re-scanned, filtered to the
-  *     needed buckets (≤ 2·|ps| per group, each ~n/numBuckets rows),
+  *     needed buckets via the broadcast (each ~n/buckets rows),
   *     ranked locally within (group, bucket) — a hash-partitioned
-  *     window over bounded partitions — and offset-shifted to global
-  *     ranks. Only the two boundary rows per (group, percentile) reach
-  *     the final aggregate.
+  *     window over bounded partitions — and offset-shifted to exact
+  *     global ranks. Only the two boundary rows per
+  *     (group, percentile) reach the final one-row-per-group
+  *     aggregate.
   *
   * Spark's built-in `percentile` aggregate buffers a value→count map
-  * per group (memory-bound for high-cardinality doubles) and a single
-  * `Window.partitionBy(group).orderBy(value)` sorts each whole group
-  * in one task; both collapse at corpus scale. Here the largest sort
-  * is one bucket (~n/numBuckets rows), and skew in a hot bucket is
-  * bounded by the boundary resolution of pass 1.
+  * per group and a single `Window.partitionBy(group).orderBy(value)`
+  * sorts each whole group in one task; both collapse at corpus scale.
+  * Here the largest sort is one bucket, bucket assignment is an
+  * O(log buckets) codegen'd binary search ([[graft.plans.LowerBound]]),
+  * and skew in a hot bucket is bounded by the boundary resolution of
+  * pass 1.
   *
   * Bucketing changes only load balance, never values: any boundary
   * placement yields the same exact ranks, so results are bit-identical
-  * to the single-sort form. Driver memory holds |groups|·numBuckets
-  * doubles — bounded by the same cardinality as the operator's own
-  * one-row-per-group output.
+  * to the single-sort form.
+  *
+  * Determinism requirement: passes 2 and 3 re-evaluate the input, so
+  * `df` must be deterministic (boundaries and offsets are pinned on
+  * the driver, but the pass-3 rows must be the rows pass 2 counted).
+  * For a non-deterministic source (rand()/sample/changing files),
+  * persist or checkpoint it first — deliberately the caller's choice:
+  * at corpus scale a column-pruned re-scan is usually cheaper than
+  * caching a projected copy of the data.
+  *
+  * NULL handling: NULL values are excluded (quantile_cont semantics);
+  * a NULL group key is a group like any other — both distributed
+  * joins against driver-pinned tables are null-safe (`<=>`).
   */
 object Percentiles {
+
+  /** Per-bucket row target: buckets scale with the largest group so a
+    * pass-3 bucket sort stays ~64k rows until the cap is hit. */
+  private val TargetRowsPerBucket = 1L << 16
+
+  /** Global boundary/count budget: |groups|·buckets never exceeds
+    * this, so driver collects and broadcasts stay ≤ ~8 MB no matter
+    * how many groups the data has. */
+  private val MaxTotalBoundaries = 1L << 20
+
+  /** Per-group bucket ceiling (keeps pass 1's quantile cut list and
+    * the per-row binary search shallow even for one colossal group:
+    * 4096 buckets ⇒ a 256M-row group still sorts ≤ 64k per task). */
+  private val MaxBucketsPerGroup = 4096L
 
   /** One output row per group: a column per requested percentile,
     * named p50/p90/... from the fraction.
     *
-    * @param numBuckets range buckets per group; -1 (default) derives
-    *   16 × spark.sql.shuffle.partitions so bucket size tracks the
-    *   configured parallelism at any data scale. */
+    * @param numBuckets range buckets per group; -1 (default) sizes
+    *   from the data: ceil(maxGroupRows / 64k), clamped to [2, 4096]
+    *   and to the global boundary budget divided by the group count. */
   def exactByGroup(
       df: DataFrame,
       groupCol: String,
@@ -59,55 +99,86 @@ object Percentiles {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"percentile fractions must be in [0,1]: $ps")
     val spark = df.sparkSession
-    val buckets =
-      if (numBuckets > 1) numBuckets
-      else 16 * spark.sessionState.conf.numShufflePartitions
     val g = col(groupCol)
     val v = col(valueCol)
     // NULL values are excluded before ranking (quantile_cont ignores
     // them; ranking them would shift every cut position)
     val vals = df.select(g, v).filter(v.isNotNull)
 
+    // Pass 0: sizing — one row on the driver (max group size, #groups)
+    val buckets =
+      if (numBuckets > 1) numBuckets
+      else {
+        val stats = vals.groupBy(g).agg(count(lit(1)).as("__n"))
+          .agg(max(col("__n")).as("mx"), count(lit(1)).as("ng")).head()
+        val maxN = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+        val nGroups = math.max(1L, stats.getLong(1))
+        val cap = math.max(2L,
+          math.min(MaxBucketsPerGroup, MaxTotalBoundaries / nGroups))
+        val want = (maxN + TargetRowsPerBucket - 1) / TargetRowsPerBucket
+        math.max(2L, math.min(cap, want)).toInt
+      }
+
     // Pass 1: per-group bucket boundaries, pinned on the driver so the
-    // bucket function is identical in passes 2 and 3.
+    // bucket function is identical in passes 2 and 3. Low accuracy is
+    // deliberate: boundaries only balance load, so a rank error of
+    // ~n/(8·buckets) merely skews bucket sizes a little.
+    val accuracy = math.max(100, 8 * buckets)
     val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
-    val bndsAgg = vals.groupBy(g)
-      .agg(percentile_approx(v.cast("double"), array(qs: _*), lit(10000))
+    val bndsAgg = vals.groupBy(g.as("__g"))
+      .agg(percentile_approx(v.cast("double"), array(qs: _*), lit(accuracy))
         .as("__bnds"))
     val bnds = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(bndsAgg.collect().toSeq, 1),
       bndsAgg.schema))
 
-    // bucket = #boundaries strictly below the value: monotone in the
-    // value, so bucket order == value order within every group
-    val bucketed = vals.join(bnds, Seq(groupCol))
-      .withColumn("__bkt", size(filter(col("__bnds"), b => v > b)))
-      .drop("__bnds")
+    // bucket = #boundaries strictly below the value (binary search —
+    // O(log buckets) per row, codegen'd): monotone in the value, so
+    // bucket order == value order within every group. The group join
+    // is null-safe: a NULL group keeps its boundary row.
+    val lowerBound = GraftBridge.column(LowerBound(
+      GraftBridge.expression(col("__bnds")),
+      GraftBridge.expression(v.cast("double"))))
+    def bucketed = vals.join(bnds, g <=> col("__g"))
+      .withColumn("__bkt", lowerBound)
+      .select(g, v, col("__bkt"))
 
-    // Pass 2: tiny (group, bucket) count table → offsets, totals, and
-    // the set of buckets that contain a target rank. The windows here
-    // run over ≤ `buckets` rows per group.
-    val wOff = Window.partitionBy(g).orderBy(col("__bkt"))
-    val offs = bucketed.groupBy(g, col("__bkt"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(
-        sum("__cnt").over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("__n", sum("__cnt").over(Window.partitionBy(g)))
-    val targetRanks = array(ps.flatMap { p =>
-      val pos = (col("__n") - 1) * p
-      Seq((floor(pos) + 1).cast("long"), (ceil(pos) + 1).cast("long"))
-    }: _*)
-    val needed = offs.filter(exists(targetRanks,
-      t => t > col("__off") && t <= col("__off") + col("__cnt")))
+    // Pass 2: per-(group, bucket) counts — tiny, budget-bounded —
+    // collected; offsets, totals and the needed-bucket set are driver
+    // arithmetic on ≤ |groups|·buckets rows.
+    val cnts = bucketed.groupBy(g, col("__bkt"))
+      .agg(count(lit(1)).as("__cnt")).collect()
+    val neededRows = cnts.groupBy(_.get(0)).iterator.flatMap {
+      case (grp, rows) =>
+        val sorted = rows.sortBy(_.getInt(1))
+        val n = sorted.iterator.map(_.getLong(2)).sum
+        val targets = ps.flatMap { p =>
+          val pos = (n - 1) * p
+          Seq(math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
+        }.distinct
+        var off = 0L
+        sorted.flatMap { r =>
+          val o = off
+          off += r.getLong(2)
+          if (targets.exists(t => t > o && t <= o + r.getLong(2)))
+            Some(Row(grp, r.getInt(1), o, n))
+          else None
+        }
+    }.toSeq
+    val ndSchema = StructType(Seq(
+      StructField("__g", vals.schema(groupCol).dataType),
+      StructField("__bkt2", IntegerType),
+      StructField("__off", LongType),
+      StructField("__n", LongType)))
+    val nd = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(neededRows, 1), ndSchema))
 
     // Pass 3: rank only the needed buckets. The window partitions on
     // (group, bucket) — bounded ~n/buckets rows each — and the local
     // rank is shifted by the bucket offset to the exact global rank.
     val wLoc = Window.partitionBy(g, col("__bkt")).orderBy(v)
     val ranked = bucketed
-      .join(broadcast(needed.select(g, col("__bkt"), col("__off"), col("__n"))),
-        Seq(groupCol, "__bkt"))
+      .join(nd, g <=> col("__g") && col("__bkt") === col("__bkt2"))
       .withColumn("__rn", col("__off") + row_number().over(wLoc))
 
     // integer percents name as p50/p90; fractional ones keep their

@@ -47,6 +47,31 @@ class PercentilesSpec extends SparkSuite {
       assert(math.abs(got(grp) - expected(byGroup(grp), 0.5)) < 1e-9)
   }
 
+  test("a NULL group key is a group like any other") {
+    val withNullGrp = data.select(
+      when(col("grp") === "g2", lit(null)).otherwise(col("grp")).as("grp"),
+      col("v"))
+    val got = Percentiles.exactByGroup(withNullGrp, "grp", "v", Seq(0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(Some("g1"), Some("g3"), None),
+      s"expected a row for the NULL group, got ${got.keySet}")
+    val byGroup = data.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    assert(math.abs(got(None) - expected(byGroup("g2"), 0.5)) < 1e-9)
+    assert(math.abs(got(Some("g1")) - expected(byGroup("g1"), 0.5)) < 1e-9)
+  }
+
+  test("explicit numBuckets exercises the multi-bucket path on small groups") {
+    val got = Percentiles.exactByGroup(data, "grp", "v", Seq(0.25, 0.75),
+        numBuckets = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val byGroup = data.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    for (grp <- byGroup.keys; (p, i) <- Seq(0.25, 0.75).zipWithIndex)
+      assert(math.abs(got(grp).getDouble(1 + i) - expected(byGroup(grp), p))
+        < 1e-9, s"$grp p=$p")
+  }
+
   test("ranking window partitions on (group, bucket), never group alone") {
     val plan = Percentiles.exactByGroup(data, "grp", "v", Seq(0.5, 0.9))
       .queryExecution.optimizedPlan
