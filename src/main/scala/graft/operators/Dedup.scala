@@ -166,52 +166,70 @@ object Dedup {
 
   /** Resolve near-dup candidate pairs into clusters: every doc maps
     * to the smallest id reachable through the pair graph (connected
-    * components). Min-label propagation over the graph edges plus the
-    * current label-star edges (doc↔leader), iterated TO FIXPOINT with
-    * a per-round convergence check (one small count() action — the
-    * standard driver-side loop for iterative graph algorithms). Star
-    * edges collapse already-labeled regions in one hop; the
-    * convergence check bounds pathological chains (worst case
-    * O(diameter) rounds, each one join+groupBy). `maxIter` is a
-    * safety valve only.
+    * components). Min-label message passing with pointer doubling,
+    * iterated TO FIXPOINT — the standard driver-side loop for
+    * iterative graph algorithms; `maxIter` is a safety valve only.
+    *
+    * Per round, each node's next label is the min of
+    *  (a) its own label (self message — labels are monotone
+    *      non-increasing, the correctness invariant below),
+    *  (b) every graph neighbor's label (one join against the edge
+    *      list), and
+    *  (c) its label's label (pointer doubling — labels ⋈ labels —
+    *      which collapses already-labeled regions in one hop and
+    *      bounds pathological chains to O(log diameter) rounds).
+    *
+    * Scale posture: the symmetric edge list — the one table that is
+    * large — is hash-partitioned by sender and cached ONCE; the
+    * per-round join re-uses that partitioning, so each round shuffles
+    * only label-sized data (2 small exchanges), never the edges.
+    * `localCheckpoint` truncates the growing lineage each round.
+    * Convergence is one tiny aggregate on the checkpointed labels:
+    * labels only ever decrease, so an unchanged label sum (exact
+    * decimal — no overflow) ⟺ fixpoint.
     *
     * Output: (doc_id, leader_id) for every doc appearing in pairs;
     * keep rows where doc_id == leader_id, drop the rest. */
   def clusterLeaders(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    // symmetric edge list, cached: every iteration joins against it
-    val edges = pairs.select(col("a_id"), col("b_id"))
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // symmetric (receiver, sender) edges: recv adopts labels[send]
+    val edges = pairs
+      .select(col("a_id").as("recv"), col("b_id").as("send"))
+      .union(pairs.select(col("b_id").as("recv"), col("a_id").as("send")))
+      .repartition(col("send"))
       .cache()
     var labels = edges
-      .groupBy(col("a_id").as("doc_id"))
-      .agg(min(col("b_id")).as("__mn"))
+      .groupBy(col("recv").as("doc_id"))
+      .agg(min(col("send")).as("__mn"))
       .select(col("doc_id"),
         least(col("__mn"), col("doc_id")).as("leader_id"))
       .localCheckpoint()
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val d = l.agg(sum(col("leader_id").cast("decimal(38,0)"))).head()
+      if (d.isNullAt(0)) java.math.BigDecimal.ZERO else d.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val starEdges = labels
-        .select(col("doc_id").as("a_id"), col("leader_id").as("b_id"))
-        .union(labels
-          .select(col("leader_id").as("a_id"), col("doc_id").as("b_id")))
-      val allEdges = edges.union(starEdges)
-      // adopt the smallest label among graph+star neighbors;
-      // localCheckpoint truncates the growing iteration lineage
-      val viaNeighbor = allEdges
-        .join(labels.withColumnRenamed("doc_id", "b_id")
-          .withColumnRenamed("leader_id", "nb_leader"), Seq("b_id"))
-        .groupBy(col("a_id").as("doc_id"))
-        .agg(min(col("nb_leader")).as("nb_min"))
-      val next = labels
-        .withColumnRenamed("leader_id", "__prev")
-        .join(viaNeighbor, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("__prev"),
-          least(col("__prev"), coalesce(col("nb_min"), col("__prev")))
-            .as("leader_id"))
+      val bySender = labels
+        .select(col("doc_id").as("send"), col("leader_id").as("lbl"))
+      // (b) neighbor labels — the only join that touches the edges,
+      // and it reuses their cached sender-partitioning
+      val nbr = edges.join(bySender, Seq("send"))
+        .select(col("recv").as("doc_id"), col("lbl"))
+      // (c) pointer doubling: doc adopts labels[labels[doc]]
+      val dbl = labels
+        .join(bySender, labels("leader_id") === bySender("send"))
+        .select(labels("doc_id"), col("lbl"))
+      // (a) self message keeps monotonicity (and isolated rows alive)
+      val self = labels.select(col("doc_id"), col("leader_id").as("lbl"))
+      val next = nbr.union(dbl).union(self)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("leader_id"))
         .localCheckpoint()
-      converged = next.filter(col("leader_id") =!= col("__prev")).isEmpty
-      labels = next.drop("__prev")
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
       i += 1
     }
     edges.unpersist(blocking = false)
