@@ -506,6 +506,16 @@ object SparkEntry {
         col("vec_id"), col("embedding"), 0.3)
       .orderBy("a_id", "b_id")
 
+  /** d07: corpus-scale embedding near-dup — hyperplane LSH buckets →
+    * within-bucket pairs → exact cosine verify, over the FULL
+    * embeddings table (no id block). Rows-only oracle (bucket
+    * membership is hyperplane-dependent); recall vs the exact d05
+    * block asserted in DedupSpec. */
+  private def d07(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairsBucketed(
+        T(s, dir, "embeddings"), col("vec_id"), col("embedding"), 0.3)
+      .orderBy("a_id", "b_id")
+
   // ---------------------------------------------------------------
   // Similarity search (embeddings)
   // ---------------------------------------------------------------
@@ -676,6 +686,7 @@ object SparkEntry {
     "d04_simhash" -> (d04 _),
     "d05_embedding_neardup" -> (d05 _),
     "d06_neardup_pipeline" -> (d06 _),
+    "d07_embedding_neardup_lsh" -> (d07 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),

@@ -261,10 +261,63 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("leader_id"))
   }
 
+  /** Corpus-scale embedding near-duplicate pairs: random-hyperplane
+    * LSH buckets → within-bucket candidate pairs → exact cosine
+    * verification above the threshold. The scale path that replaces
+    * [[embeddingNearDupPairs]]'s all-pairs block form.
+    *
+    * Plan shape mirrors the text MinHash pipeline
+    * ([[minHashCandidatePairs]]): each vector explodes into
+    * `numTables` (table, bucket) rows, pairs are enumerated only
+    * inside a (table, bucket) shuffle bucket (≈ |corpus| / 2^planes
+    * vectors each — never an all-pairs cross join), the exact cosine
+    * ([[Similarity.cosine]], codegen) filters on the map side of the
+    * join output, and only surviving pairs reach the distinct.
+    *
+    * Recall is tunable: a pair at angle θ collides in one table with
+    * p₁ = (1 − θ/π)^planesPerTable and overall 1 − (1 − p₁)^numTables.
+    * The defaults (4 planes × 12 tables) give ≈ 0.9 recall at
+    * cos ≥ 0.3 and ≈ 1 at cos ≥ 0.7; for a true near-dup threshold
+    * (≥ 0.9) raise planesPerTable to 8–16 for much smaller buckets at
+    * the same recall. False positives are impossible — every emitted
+    * pair passed the exact verification. */
+  def embeddingNearDupPairsBucketed(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      threshold: Double,
+      numTables: Int = 12,
+      planesPerTable: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val v = df.select(idCol.as("vec_id"), vecCol.as("v"))
+    val tableBuckets = (0 until numTables).map { t =>
+      struct(lit(t).as("tbl"),
+        Similarity.hyperplaneBucket(col("v"), planesPerTable, dim,
+          seed + 7919L * t).as("bkt"))
+    }
+    val banded = v
+      .select(col("vec_id"), col("v"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("v"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("sim") > threshold)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(col("sim"), 4).as("cos_sim"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold over an
     * id-bounded block. The full-corpus scale path is
-    * [[Similarity.lshAnn]]-style candidate generation; this operator
-    * does exact verification on a candidate block. */
+    * [[embeddingNearDupPairsBucketed]]; this operator does exact
+    * verification on a candidate block and serves as its recall
+    * oracle. */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: Column,

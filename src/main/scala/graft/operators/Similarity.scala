@@ -118,6 +118,15 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** Sign-bit bucket id from `numPlanes` seeded random hyperplanes —
+    * shared by the ANN index ([[lshAnn]]) and the corpus-scale
+    * embedding near-dup path ([[Dedup.embeddingNearDupPairsBucketed]]).
+    * Two vectors collide with probability (1 − θ/π)^numPlanes for
+    * angle θ, so fewer planes = bigger buckets = higher recall. */
+  private[operators] def hyperplaneBucket(
+      vec: Column, numPlanes: Int, dim: Int, seed: Long): Column =
+    bucketCol(vec, planes(numPlanes, dim, seed))
+
   /** Sign-bit bucket id from hyperplane projections. */
   private def bucketCol(vec: Column, ps: Seq[Seq[Double]]): Column =
     ps.zipWithIndex.map { case (p, j) =>

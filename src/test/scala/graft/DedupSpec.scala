@@ -89,4 +89,20 @@ class DedupSpec extends SparkSuite {
     assert(sims.nonEmpty)
     assert(sims.forall(_.getAs[Double]("cos_sim") > 0.3))
   }
+
+  test("bucketed embedding near-dup: no false positives, recall vs exact") {
+    val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 100)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val exact = pairSet(Dedup.embeddingNearDupPairs(
+      emb, col("vec_id"), col("embedding"), 0.3))
+    val bucketed = pairSet(Dedup.embeddingNearDupPairsBucketed(
+      emb, col("vec_id"), col("embedding"), 0.3))
+    assert((bucketed -- exact).isEmpty,
+      "exact verification must rule out every false positive")
+    val recall = (bucketed intersect exact).size.toDouble / exact.size
+    info(s"bucketed embedding near-dup recall = $recall (|exact|=${exact.size})")
+    assert(recall >= 0.6, s"recall too low: $recall")
+  }
 }
