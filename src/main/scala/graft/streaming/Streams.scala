@@ -61,25 +61,48 @@ object Streams {
     * carries across triggers (with a timeout); replayed on a bounded
     * source it degenerates to one invocation per key — which makes
     * it batch-oracle-checkable against the window-function form
-    * ([[graft.operators.Temporal.sessionize]]). */
+    * ([[graft.operators.Temporal.sessionize]]).
+    *
+    * State is O(1) per key: the input is secondary-sorted
+    * (repartition by user, sortWithinPartitions by (user, ts)) and
+    * the group iterator is STREAMED — no per-key buffering, so a hot
+    * key with millions of events costs two longs of state instead of
+    * an executor-OOM-sized array. The relational `groupBy(col).as[]`
+    * keying (not `groupByKey(lambda)`) is what lets the planner
+    * recognize the existing partitioning+ordering and elide its own
+    * exchange and key-only re-sort, which would destroy the secondary
+    * order; the sort contract is guarded loudly per element. */
   def statefulSessionCounts(
       spark: SparkSession,
       dir: String,
-      gapSeconds: Long = 1800L): DataFrame = {
+      gapSeconds: Long = 1800L): DataFrame =
+    sessionCountsOf(
+      graft.Tables.load(spark, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_us")),
+      gapSeconds)
+
+  /** Core of [[statefulSessionCounts]] over any (user_id: long,
+    * ts_us: long) frame — separated so specs can drive it with
+    * synthetic skewed keys. */
+  def sessionCountsOf(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    val events = graft.Tables.load(spark, dir, "events")
-      .select(col("user_id").cast("long").as("user_id"),
-        unix_micros(col("ts")).as("ts_us"))
+    val sorted = events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"))
       .as[Ev]
     val gapUs = gapSeconds * 1000000L
-    events.groupByKey(_.user_id)
+    sorted.groupBy(col("user_id")).as[Long, Ev]
       .flatMapGroupsWithState[Long, UserSessions](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, it: Iterator[Ev], _: GroupState[Long]) =>
-          val sorted = it.map(_.ts_us).toArray.sorted
           var n = 0L
           var prev = Long.MinValue
-          sorted.foreach { t =>
+          it.foreach { e =>
+            val t = e.ts_us
+            require(prev == Long.MinValue || t >= prev,
+              s"secondary sort violated for user $uid: $t after $prev")
             if (prev == Long.MinValue || t - prev > gapUs) n += 1
             prev = t
           }

@@ -17,6 +17,44 @@ class StreamsSpec extends SparkSuite {
     assert(stateful == windowed)
   }
 
+  test("stateful sessions: planner keeps the secondary sort (no key-only re-sort)") {
+    val plan = Streams.statefulSessionCounts(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val mapGroups = plan.collect {
+      case p if p.getClass.getSimpleName.contains("MapGroups") => p
+    }
+    assert(mapGroups.nonEmpty, s"expected a MapGroups-style exec in:\n$plan")
+    // the first sort below the stateful operator must be the
+    // (user_id, ts_us) secondary sort; a planner-inserted key-only
+    // sort would destroy the streamed-iterator ordering contract
+    val firstSort = mapGroups.head.collectFirst {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(firstSort.isDefined, "expected the secondary SortExec")
+    assert(firstSort.get.sortOrder.exists(_.child.toString.contains("ts_us")),
+      s"first sort under MapGroups lost the ts_us secondary key: " +
+        s"${firstSort.get.sortOrder.mkString(", ")}")
+  }
+
+  test("stateful sessions handle a skewed hot key with streamed O(1) state") {
+    import spark.implicits._
+    // one hot user with 200k events (gaps every 1000th), two cold users
+    val hot = (0 until 200000).map { i =>
+      (7L, i.toLong * 1000000L + (i / 1000).toLong * 3600L * 1000000L)
+    }
+    val cold = Seq((1L, 0L), (1L, 10L * 1000000L), (2L, 0L))
+    val df = (hot ++ cold).toDF("user_id", "ts_us")
+    val got = Streams.sessionCountsOf(df, gapSeconds = 1800L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hot user: a >30min gap opens every 1000 events (3600s jumps)
+    assert(got(7L) == 200L, s"hot key sessions: ${got(7L)}")
+    assert(got(1L) == 1L && got(2L) == 1L)
+  }
+
   test("streaming tumbling counts equal batch group-by") {
     val streamed = Streams.tumblingCounts(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
