@@ -134,9 +134,13 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Random-hyperplane LSH ANN: bucket the corpus once, probe each
-    * query's bucket plus all 1-bit-flip neighbors, exact-rerank the
-    * candidates. The corpus-side join key is the bucket id — the
-    * candidate set per query is |corpus| / 2^planes × (planes+1). */
+    * query's bucket plus all neighbors within `probeBits` bit flips,
+    * exact-rerank the candidates. The corpus-side join key is the
+    * bucket id — the candidate set per query is
+    * |corpus| / 2^planes × (1 + planes + [planes·(planes−1)/2]).
+    * Multi-probe trades candidate volume for recall without
+    * rebuilding the index; deeper probes visit buckets in increasing
+    * hamming distance, which tracks increasing angle. */
   def lshAnn(
       corpus: DataFrame,
       queries: DataFrame,
@@ -145,15 +149,25 @@ object Similarity {
       k: Int,
       numPlanes: Int = 6,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      probeBits: Int = 1): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 2, s"probeBits 0..2: $probeBits")
     val ps = planes(numPlanes, dim, seed)
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       bucketCol(col(vecCol), ps).as("bucket"))
-    val probes = (0 until numPlanes).map(j => col("qb").bitwiseXOR(lit(1 << j)))
+    val oneBit =
+      if (probeBits < 1) Seq.empty
+      else (0 until numPlanes).map(j => col("qb").bitwiseXOR(lit(1 << j)))
+    val twoBit =
+      if (probeBits < 2) Seq.empty
+      else for {
+        i <- 0 until numPlanes; j <- (i + 1) until numPlanes
+      } yield col("qb").bitwiseXOR(lit((1 << i) | (1 << j)))
     val q = broadcast(queries
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
         bucketCol(col(vecCol), ps).as("qb"))
-      .withColumn("probe", explode(array(col("qb") +: probes: _*))))
+      .withColumn("probe",
+        explode(array((col("qb") +: oneBit) ++ twoBit: _*))))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     c.join(q, col("bucket") === col("probe") && col("cand_id") =!= col("q_id"))
