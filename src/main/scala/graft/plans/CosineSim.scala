@@ -14,8 +14,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Math parity: accumulates left-to-right in doubles and returns
   * dot / (sqrt(na) * sqrt(nb)) — bit-identical to the
-  * [[graft.operators.Similarity.cosine]] composition it replaces, so
-  * oracle-checked rankings are unchanged.
+  * zip_with/aggregate composition it replaces
+  * ([[graft.operators.Similarity.cosineHof]]), so oracle-checked
+  * rankings are unchanged. Parity includes the edge cases: a NULL
+  * element nulls the result, and arrays of UNEQUAL length return NULL
+  * (zip_with pads the shorter side with NULLs, which nulls the HOF
+  * sum).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,7 +48,10 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (va, vb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(va.numElements(), vb.numElements())
+    // unequal lengths → NULL (zip_with parity: the padded side's
+    // nulls would null the whole sum)
+    if (va.numElements() != vb.numElements()) return null
+    val n = va.numElements()
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -74,19 +81,23 @@ case class CosineSim(left: Expression, right: Expression)
       val getR = if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
         else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |    ${ev.isNull} = true; break;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    double $x = $getL;
+         |    double $y = $getR;
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  double $x = $getL;
-         |  double $y = $getR;
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
-         |}
-         |if (!${ev.isNull}) {
-         |  ${ev.value} = $dot /
-         |    (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot /
+         |      (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -22,9 +22,42 @@ object Lineage {
         col("length").as("bytes"))
       .orderBy("file")
 
-  /** Write a snapshot manifest (checksums + row counts + snapshot
-    * date) as single-file JSON under `_meta/` — the normalize.json /
-    * publish.json equivalent (pipelines/normalize.py:407-426). */
+  /** ONE aggregated checksum per table — the reference manifest's
+    * per-dataset checksum (fetch.py), not a part-file listing: a
+    * table written as N part files and the same table written as one
+    * file with identical content order hash differently only if the
+    * bytes differ. Computed distributed: per-file sha256 on the
+    * executors, then sha256 over the file hashes sorted by file name
+    * (deterministic regardless of listing order). Columns:
+    * (table, sha256, n_files, bytes).
+    *
+    * Note binaryFile caps a single file at 2 GB — fine for Spark
+    * part-files (sized by maxPartitionBytes), not for one giant
+    * hand-rolled file; split such inputs before manifesting. */
+  def tableChecksums(
+      spark: SparkSession,
+      dir: String,
+      tables: Seq[String]): DataFrame =
+    tables.map { t =>
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(s"$dir/$t.parquet")
+        .select(col("path"), sha2(col("content"), 256).as("h"),
+          col("length"))
+        .agg(
+          sha2(concat_ws("", transform(
+            array_sort(collect_list(struct(col("path"), col("h")))),
+            s => s.getField("h"))), 256).as("sha256"),
+          count(lit(1)).as("n_files"),
+          sum(col("length")).as("bytes"))
+        .select(lit(t).as("table_name"), col("sha256"), col("n_files"),
+          col("bytes"))
+    }.reduce(_ unionAll _)
+
+  /** Write a snapshot manifest (per-table aggregated checksums + row
+    * counts + per-file checksums + snapshot date) as single-file JSON
+    * under `_meta/` — the normalize.json / publish.json equivalent
+    * (pipelines/normalize.py:407-426). */
   def writeManifest(
       spark: SparkSession,
       publishDir: String,
@@ -34,12 +67,16 @@ object Lineage {
       val n = spark.read.parquet(s"$publishDir/$t.parquet").count()
       s""""$t": $n"""
     }.mkString(", ")
+    val perTable = tableChecksums(spark, publishDir, tables)
+      .collect()
+      .map(r => s""""${r.getString(0)}": {"sha256": "${r.getString(1)}", "n_files": ${r.getLong(2)}, "bytes": ${r.getLong(3)}}""")
+      .mkString("{", ", ", "}")
     val files = checksums(spark, publishDir, "*.parquet")
       .collect()
       .map(r => s"""{"file": "${r.getString(0)}", "sha256": "${r.getString(1)}", "bytes": ${r.getLong(2)}}""")
       .mkString("[", ", ", "]")
     val json =
-      s"""{"snapshot_date": "$snapshotDate", "row_counts": {$counts}, "files": $files}"""
+      s"""{"snapshot_date": "$snapshotDate", "row_counts": {$counts}, "tables": $perTable, "files": $files}"""
     val metaDir = new java.io.File(s"$publishDir/_meta")
     metaDir.mkdirs()
     java.nio.file.Files.writeString(

@@ -39,6 +39,15 @@ class CosineSimSpec extends SparkSuite {
     assert(native.isNullAt(0) && hof.isNullAt(0))
   }
 
+  test("unequal array lengths return NULL (HOF parity)") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val native = df.select(Similarity.cosine(col("a"), col("b"))).head
+    val hof = df.select(Similarity.cosineHof(col("a"), col("b"))).head
+    assert(hof.isNullAt(0), "zip_with pads with nulls, so HOF must be NULL")
+    assert(native.isNullAt(0), "native must match: NULL on length mismatch")
+  }
+
   test("cosine_sim is SQL-callable once registered") {
     GraftExtensions.register(spark)
     val v = spark.sql(

@@ -25,6 +25,30 @@ class LineageSpec extends SparkSuite {
     assert(json.contains("sha256"))
   }
 
+  test("per-table checksum aggregates part files deterministically") {
+    val out = Files.createTempDirectory("graft_lineage_tbl").toString
+    Tables.load(spark, sfDir, "region").repartition(3).write
+      .mode("overwrite").parquet(s"$out/region.parquet")
+    val a = Lineage.tableChecksums(spark, out, Seq("region")).collect()
+    val b = Lineage.tableChecksums(spark, out, Seq("region")).collect()
+    assert(a.length == 1 && a.head.getString(0) == "region")
+    assert(a.head.getString(1).length == 64)
+    assert(a.head.getLong(2) == 3, s"expected 3 part files: ${a.head}")
+    // deterministic across listings
+    assert(a.head.getString(1) == b.head.getString(1))
+  }
+
+  test("manifest carries the per-table aggregated checksum section") {
+    val out = Files.createTempDirectory("graft_lineage_m2").toString
+    Tables.load(spark, sfDir, "region").write.mode("overwrite")
+      .parquet(s"$out/region.parquet")
+    Lineage.writeManifest(spark, out, Seq("region"), "2026-08-12")
+    val json = Files.readString(
+      java.nio.file.Paths.get(s"$out/_meta/manifest.json"))
+    assert(json.contains("\"tables\": {\"region\": {\"sha256\": \""),
+      s"missing per-table checksum section in $json")
+  }
+
   test("ageDays computes staleness") {
     assert(Lineage.ageDays("2026-08-01",
       java.time.LocalDate.parse("2026-08-12")) == 11)
