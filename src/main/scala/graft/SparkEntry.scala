@@ -616,6 +616,19 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** e08: production streaming sink — Append mode + watermark to a
+    * parquet file sink with checkpoint (exactly-once), read back from
+    * the committed files. Oracle applies Append's watermark cutoff:
+    * only windows whose end precedes max(ts) − 1h are emitted. */
+  private def e08(s: SparkSession, dir: String): DataFrame =
+    Streams.tumblingCountsToFiles(s, dir)
+
+  /** e09: stream-stream inner join with time-range condition and
+    * watermarked state on both sides — purchase→click attribution.
+    * Oracle is the equivalent batch interval join. */
+  private def e09(s: SparkSession, dir: String): DataFrame =
+    Streams.purchaseAttribution(s, dir)
+
   /** e06: native session_window sessionization (gap merge). Spark's
     * session semantics: a new session starts when the gap is >= the
     * timeout (vs strictly > in e01's manual form) — the oracle
@@ -698,6 +711,8 @@ object SparkEntry {
     "e05_stateful_sessions" -> (e05 _),
     "e06_session_window" -> (e06 _),
     "e07_asof_native" -> (e07 _),
+    "e08_streaming_file_sink" -> (e08 _),
+    "e09_stream_stream_join" -> (e09 _),
     "m01_binary_meta" -> (m01 _)
   )
 
@@ -1079,6 +1094,20 @@ object SparkEntry {
         |    epoch_us(ts) - epoch_us(prev) > 1800000000
         |    THEN 1 ELSE 0 END)::BIGINT AS n_sessions
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e08_streaming_file_sink" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+        |      <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "e09_stream_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
+        |ORDER BY p_id, c_id""".stripMargin,
     "e06_session_window" ->
       """WITH x AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

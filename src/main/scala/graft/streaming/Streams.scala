@@ -52,6 +52,85 @@ object Streams {
       .orderBy("day", "event_type")
   }
 
+  /** PRODUCTION sink shape: tumbling counts in Append mode + watermark
+    * written to a parquet FILE SINK with a checkpoint — the
+    * exactly-once deployment path (the sink's _spark_metadata commit
+    * log makes partial batch output invisible to readers; the
+    * checkpoint makes restarts resume, not recompute). Run to
+    * completion on the bounded directory, then the committed files are
+    * read back as the result.
+    *
+    * Append semantics are the REAL difference from [[tumblingCounts]]'
+    * Complete-mode memory sink: a window is emitted only once the
+    * watermark passes its end, so the final (still-open) window is
+    * withheld — the oracle applies the same cutoff
+    * (window end ≤ max(ts) − watermark). */
+  def tumblingCountsToFiles(
+      spark: SparkSession,
+      dir: String,
+      windowDur: String = "1 day",
+      watermark: String = "1 hour"): DataFrame = {
+    val name = "graft_e08_filesink"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_e08").toString
+    // clean slate per invocation: each run is a fresh exactly-once log
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete()
+    }
+    rm(new java.io.File(base))
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(s"$base/sink").orderBy("day", "event_type")
+  }
+
+  /** Stream-stream INNER join with a time-range condition: each
+    * purchase joined to the same user's clicks in the preceding
+    * `windowMinutes`. Both sides carry watermarks, which bound the
+    * join state Spark must retain (clicks older than the range +
+    * watermark are evicted) — the production-shape attribution join.
+    * On a bounded replay an inner join emits exactly the batch-join
+    * matches, which is the oracle. */
+  def purchaseAttribution(
+      spark: SparkSession,
+      dir: String,
+      windowMinutes: Int = 60): DataFrame = {
+    val name = "graft_e09_join"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val ev = eventsStream(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+    val q = joined.select(col("p_id"), col("c_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy("p_id", "c_id")
+  }
+
   // public: encoder codegen needs to reach these from generated code
   case class Ev(user_id: Long, ts_us: Long)
   case class UserSessions(user_id: Long, n_sessions: Long)
