@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.registry.{Ingest, Registry}
+
+/** Runnable registry CLI — the reference's primary user surface
+  * (`hangar` subcommands, hangarbay/cli.py:66-671) re-expressed over
+  * the Spark registry:
+  *
+  *   hangar update        -> update <zip> [snapshotDate]  (fetch.py
+  *                           unzip → normalize → manifest, one call)
+  *   hangar status        -> status   (snapshot date / age / rows)
+  *   hangar sql "..."     -> sql <query>
+  *   hangar search N123   -> search <n-number>
+  *   hangar fleet OWNER   -> fleet <owner> [--state ST] [--limit N]
+  *   hangar (list tables) -> tables | schema <table>
+  *
+  * Layout matches the reference: `<dataRoot>/raw/<date>/` holds
+  * unpacked snapshots, `<dataRoot>/publish/` the typed parquet the
+  * Registry reads. Query commands surface the staleness warning
+  * (30-day threshold from the publish manifest) exactly where the
+  * reference does (cli.py show_age_warning / api.py _warn_if_stale).
+  *
+  * `run` is the testable core; `main` only builds the session and
+  * prints.
+  */
+object Cli {
+
+  val usage: String =
+    """usage: graft.Cli <dataRoot> <command> [args]
+      |  update <zip> [snapshotDate]   unzip + normalize + manifest
+      |  status                        snapshot date, age, row counts
+      |  sql <query>                   ad-hoc SQL over registry views
+      |  search <n-number>             N-number lookup w/ owner
+      |  fleet <owner> [--state ST] [--limit N]
+      |  tables                        list queryable tables/views
+      |  schema <table>                column names/types
+      |""".stripMargin
+
+  /** Dispatch one subcommand. Returns the result frame, or None for
+    * commands with no tabular result. Throws IllegalArgumentException
+    * on bad usage. */
+  def run(
+      spark: SparkSession,
+      dataRoot: String,
+      args: Seq[String],
+      warningSink: String => Unit = Console.err.println(_)): Option[DataFrame] = {
+    import spark.implicits._
+    lazy val reg = new Registry(spark, s"$dataRoot/publish", warningSink)
+    args.toList match {
+      case "update" :: zip :: rest =>
+        val date = rest.headOption.getOrElse(
+          java.time.LocalDate.now.toString)
+        val pub = Ingest.fromZip(spark, zip, dataRoot, date)
+        warningSink(s"update complete: $pub (snapshot $date)")
+        None
+
+      case "status" :: Nil =>
+        val age = reg.dataAgeDays
+        val ageRows = Seq(
+          "snapshot_age_days" -> age.map(_.toString).getOrElse("no manifest"),
+          "staleness" -> age.map(d => if (d >= 30) "STALE (30+ days)"
+            else "current").getOrElse("unknown"))
+        val counts = reg.status.collect()
+          .map(r => s"rows.${r.getString(0)}" -> r.getLong(1).toString)
+        Some((ageRows ++ counts).toDF("field", "value"))
+
+      case "sql" :: q :: Nil => Some(reg.query(q))
+
+      case "search" :: n :: Nil => Some(reg.search(n))
+
+      case "fleet" :: owner :: rest =>
+        def opt(flag: String): Option[String] =
+          rest.sliding(2).collectFirst {
+            case Seq(`flag`, v) => v
+          }
+        Some(reg.fleet(owner, opt("--state"),
+          opt("--limit").map(_.toInt).getOrElse(0)))
+
+      case "tables" :: Nil =>
+        Some(reg.listTables.toDF("table_name"))
+
+      case "schema" :: t :: Nil => Some(reg.schemaOf(t))
+
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown command: ${other.mkString(" ")}\n$usage")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { System.err.println(usage); sys.exit(2) }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.head, args.tail.toSeq)
+      .foreach(_.show(100, truncate = false))
+    finally spark.stop()
+  }
+}

@@ -28,10 +28,35 @@ import graft.operators.Relational
   * forms that scale out, where the reference's single-file databases
   * cannot.
   */
-class Registry(spark: SparkSession, dataDir: String) {
+class Registry(
+    spark: SparkSession,
+    dataDir: String,
+    warningSink: String => Unit = Console.err.println(_)) {
 
   val tableNames: Seq[String] = Seq("aircraft", "registrations", "owners",
     "aircraft_make_model", "engines")
+
+  /** Snapshot age in days from the `_meta/manifest.json` snapshot
+    * date (api.py:66-78 `_get_data_age_days`); None when no manifest
+    * has been written for this data dir. */
+  def dataAgeDays: Option[Long] = {
+    val p = java.nio.file.Paths.get(s"$dataDir/_meta/manifest.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else
+      "\"snapshot_date\":\\s*\"(\\d{4}-\\d{2}-\\d{2})\"".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p))
+        .map(m => Lineage.ageDays(m.group(1), java.time.LocalDate.now))
+  }
+
+  /** Staleness check wired into every query entry point, the
+    * api.py:81-94 `_warn_if_stale` parity (threshold 30 days); the
+    * sink is injectable so callers (and specs) can route the warning
+    * instead of losing it to stderr. */
+  private def warnIfStale(): Unit =
+    dataAgeDays.filter(_ >= 30).foreach { d =>
+      warningSink(s"WARNING: registry data is $d days old. " +
+        "Run the update pipeline (Ingest.fromZip / normalize) to refresh.")
+    }
 
   def table(name: String): DataFrame =
     spark.read.parquet(s"$dataDir/$name.parquet")
@@ -92,6 +117,7 @@ class Registry(spark: SparkSession, dataDir: String) {
 
   /** N-number lookup with owner enrichment (api.py:153-197). */
   def search(nNumber: String): DataFrame = {
+    warnIfStale()
     // trim BEFORE stripping the N prefix (api.py:171-174 order):
     // " N221LA" must normalize to "221LA", not keep its N
     val key = nNumber.trim.toUpperCase.replaceAll("^N", "")
@@ -104,6 +130,7 @@ class Registry(spark: SparkSession, dataDir: String) {
     * state filter, ordered, limited (api.py:200-271). */
   def fleet(owner: String, state: Option[String] = None,
       limit: Int = 0): DataFrame = {
+    warnIfStale()
     val filters = state.map(st =>
       upper(col("state")) === st.toUpperCase).toSeq
     val joined = aircraftDecoded
@@ -118,6 +145,7 @@ class Registry(spark: SparkSession, dataDir: String) {
 
   /** Ad-hoc SQL over the registered registry views (api.py:274). */
   def query(sql: String): DataFrame = {
+    warnIfStale()
     registerAll()
     spark.sql(sql)
   }

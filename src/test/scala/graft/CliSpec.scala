@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** End-to-end CLI + ingest: a zipped FAA-shaped snapshot goes through
+  * `update` (unzip → normalize → manifest), then every query
+  * subcommand runs against the published tables, with the staleness
+  * warning surfacing through the injectable sink. */
+class CliSpec extends SparkSuite {
+
+  private def writeZip(dest: String, files: Map[String, String]): Unit = {
+    val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(dest)))
+    try files.foreach { case (name, content) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+  }
+
+  private val master =
+    """N-NUMBER ,SERIAL NUMBER,MFR MDL CODE,ENG MFR MDL,YEAR MFR,TYPE AIRCRAFT,STATUS CODE,LAST ACTION DATE,EXPIRATION DATE,CERT ISSUE DATE,CERTIFICATION,MODE S CODE,MODE S CODE HEX,NAME,STREET,STREET2,CITY,STATE,ZIP CODE,TYPE REGISTRANT
+      |221LA,SN001,C172,ENG1,2015,4,V,20240101,20270101,20150601,1,50000001,A00001,LOS ANGELES POLICE DEPT ,100 W 1ST ST,,LOS ANGELES,CA,90012,5
+      |757AF,SN002,B757,ENG2,1995,1,V,20230315,20260315,19950815,1,50000002,A00002,UNITED AIRLINES INC,233 S WACKER DR,,CHICAGO,IL,60606,3
+      |""".stripMargin
+  private val acftref =
+    """CODE,MFR,MODEL,TYPE-ACFT,TYPE-ENG,AC-CAT,BUILD-CERT-IND,NO-ENG,NO-SEATS,AC-WEIGHT,SPEED
+      |C172,CESSNA,172S,4,1,1,0,1,4,CLASS 1,120
+      |B757,BOEING,757-200,5,5,1,0,2,200,CLASS 3,500
+      |""".stripMargin
+  private val engine =
+    """CODE,MFR,MODEL,TYPE,HORSEPOWER,THRUST
+      |ENG1,LYCOMING,IO-360,1,180,0
+      |""".stripMargin
+
+  private lazy val dataRoot = {
+    val root = Files.createTempDirectory("graft_cli").toString
+    val zip = s"$root/snapshot.zip"
+    writeZip(zip, Map(
+      "MASTER.txt" -> master, "ACFTREF.txt" -> acftref,
+      "ENGINE.txt" -> engine))
+    // old snapshot date on purpose: staleness must trip
+    val out = Cli.run(spark, root, Seq("update", zip, "2020-01-01"),
+      _ => ())
+    assert(out.isEmpty)
+    root
+  }
+
+  test("update unpacks the zip, normalizes, and writes the manifest") {
+    val pub = s"$dataRoot/publish"
+    assert(Files.exists(Paths.get(s"$dataRoot/raw/2020-01-01/MASTER.txt")))
+    assert(Files.exists(Paths.get(s"$pub/aircraft.parquet")))
+    val manifest = Files.readString(Paths.get(s"$pub/_meta/manifest.json"))
+    assert(manifest.contains("\"snapshot_date\": \"2020-01-01\""))
+    assert(manifest.contains("\"tables\": {\"aircraft\": {\"sha256\""))
+    assert(manifest.contains("\"aircraft\": 2"))
+  }
+
+  test("zip-slip entries are rejected") {
+    val zip = s"${Files.createTempDirectory("graft_slip")}/evil.zip"
+    writeZip(zip, Map("../escape.txt" -> "nope"))
+    val err = intercept[IllegalArgumentException] {
+      graft.registry.Ingest.unzip(zip,
+        Files.createTempDirectory("graft_slip_out").toString)
+    }
+    assert(err.getMessage.contains("escapes"))
+  }
+
+  test("search finds the aircraft through the CLI") {
+    val rows = Cli.run(spark, dataRoot, Seq("search", "N221LA"), _ => ())
+      .get.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("owner_name") == "LOS ANGELES POLICE DEPT")
+  }
+
+  test("fleet honors --state and --limit flags") {
+    val ca = Cli.run(spark, dataRoot,
+      Seq("fleet", "POLICE|UNITED", "--state", "CA"), _ => ()).get.collect()
+    assert(ca.length == 1 && ca.head.getAs[String]("n_number") == "221LA")
+    val lim = Cli.run(spark, dataRoot,
+      Seq("fleet", "POLICE|UNITED", "--limit", "1"), _ => ()).get
+    assert(lim.count() == 1)
+  }
+
+  test("sql runs over registered views") {
+    val df = Cli.run(spark, dataRoot, Seq("sql",
+      "SELECT count(*) AS n FROM aircraft_decoded"), _ => ()).get
+    assert(df.head.getLong(0) == 2)
+  }
+
+  test("status reports age, staleness and row counts") {
+    val rows = Cli.run(spark, dataRoot, Seq("status"), _ => ())
+      .get.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("staleness").startsWith("STALE"))
+    assert(rows("snapshot_age_days").toLong > 30)
+    assert(rows("rows.aircraft") == "2")
+  }
+
+  test("query commands surface the staleness warning (api parity)") {
+    var warned = List.empty[String]
+    Cli.run(spark, dataRoot, Seq("search", "N221LA"), w => warned ::= w)
+      .get.collect()
+    assert(warned.exists(_.contains("days old")), s"warnings: $warned")
+    // tables/schema are metadata, not data queries: no warning
+    warned = Nil
+    Cli.run(spark, dataRoot, Seq("tables"), w => warned ::= w).get.collect()
+    assert(warned.isEmpty)
+  }
+
+  test("unknown commands fail with usage") {
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, dataRoot, Seq("frobnicate"), _ => ())
+    }
+    assert(e.getMessage.contains("usage"))
+  }
+}
