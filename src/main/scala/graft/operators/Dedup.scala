@@ -29,12 +29,16 @@ object Dedup {
     df.groupBy(contentHash(textCol).as("text_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc MinHash signature columns s_0..s_{k-1}.
+  /** Per-doc MinHash signature as ONE `array<bigint>` column `sig`
+    * (element i = min over shingles of xxhash64(i, shingle)).
     *
-    * Shingle → k seeded xxhash64 values → min per seed. The explode
-    * produces (doc, shingle) rows; the k mins are a single
-    * hash-aggregate (k agg expressions, all codegen'd), so the whole
-    * signature costs one shuffle on the doc id.
+    * Shingle → explode → a single array-buffered
+    * [[graft.plans.MinHashSig]] aggregate (ObjectHashAggregate with
+    * map-side partials): one buffer object and one traversal of the
+    * shingle bytes per row instead of `numHashes` separate
+    * min(xxhash64(i, s)) expressions, and still one shuffle on the
+    * doc id. Values are byte-identical to the expression form
+    * (spec-asserted in DedupSpec).
     */
   def minHashSignatures(
       df: DataFrame,
@@ -42,6 +46,7 @@ object Dedup {
       textCol: Column,
       numHashes: Int = 64,
       shingleSize: Int = 2): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
     // materialize the token array before the ngram lambda: element_at
     // inside transform() would otherwise re-run split() per shingle
     // (no common-subexpression elimination across lambda scopes)
@@ -50,9 +55,10 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(TextFns.wordNgrams(col("__toks"), shingleSize)))
           .as("shingle"))
-    val minExprs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"s_$i"))
-    shingled.groupBy(col("doc_id")).agg(minExprs.head, minExprs.tail: _*)
+    val sigAgg = GraftBridge.column(
+      graft.plans.MinHashSig(GraftBridge.expression(col("shingle")), numHashes)
+        .toAggregateExpression())
+    shingled.groupBy(col("doc_id")).agg(sigAgg.as("sig"))
   }
 
   /** LSH banding over MinHash signatures → candidate near-dup pairs
@@ -73,7 +79,10 @@ object Dedup {
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"s_${b * rowsPerBand + r}"))
+      // element_at is 1-based; sig elements are LongType like the old
+      // s_i columns, so band hashes are unchanged
+      val cols = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("band_hash"))
     }
     val banded = sigs

@@ -90,6 +90,30 @@ class DedupSpec extends SparkSuite {
     assert(sims.forall(_.getAs[Double]("cos_sim") > 0.3))
   }
 
+  test("array-aggregate MinHash signature is byte-identical to the expression form") {
+    import graft.functions.TextFns
+    val docs = Tables.load(spark, sfDir, "documents").limit(100)
+    val sigs = Dedup.minHashSignatures(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the old form: 64 independent min(xxhash64(i, shingle)) aggregates
+    val shingled = docs
+      .select(col("doc_id"), TextFns.tokensLower(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.wordNgrams(col("__toks"), 2)))
+          .as("shingle"))
+    val minExprs = (0 until 64).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"s_$i"))
+    val old = shingled.groupBy(col("doc_id"))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 64).map(r.getLong(_)))
+      .toMap
+    assert(sigs.keySet == old.keySet)
+    sigs.foreach { case (id, sig) =>
+      assert(sig == old(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("bucketed embedding near-dup: no false positives, recall vs exact") {
     val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 100)
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
