@@ -506,6 +506,15 @@ object SparkEntry {
         col("vec_id"), col("embedding"), 0.3)
       .orderBy("a_id", "b_id")
 
+  /** d08: SimHash banded candidate pairs with exact hamming verify —
+    * the 4-table-banding near-dup path over the full documents table.
+    * Rows-only oracle (xxhash64-based signatures); banding recall and
+    * hamming guarantees covered in DedupSpec. */
+  private def d08(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashCandidatePairs(T(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      .orderBy("a_id", "b_id")
+
   /** d07: corpus-scale embedding near-dup — hyperplane LSH buckets →
     * within-bucket pairs → exact cosine verify, over the FULL
     * embeddings table (no id block). Rows-only oracle (bucket
@@ -700,6 +709,7 @@ object SparkEntry {
     "d05_embedding_neardup" -> (d05 _),
     "d06_neardup_pipeline" -> (d06 _),
     "d07_embedding_neardup_lsh" -> (d07 _),
+    "d08_simhash_pairs" -> (d08 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),

@@ -14,6 +14,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set
+    * for a STREAMING query, restoring the session value after. A
+    * streaming query pins its state-store partition count from this
+    * conf at first start and every micro-batch then opens/commits one
+    * state file per partition per stateful operator — a batch-tuned
+    * 32+ costs dozens of tiny state commits per trigger for
+    * verification-sized streams. Deployments sizing state for real
+    * volume would set this themselves; the pinned count lives in the
+    * query's own checkpoint either way. */
+  private def withStreamPartitions[A](
+      spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Load the events stream. The raw file carries TIMESTAMP(NANOS),
     * so the stream reads the int64 nanos (legacy conf) and truncates
     * to micros — same convention as [[graft.Tables.load]]. */
@@ -38,14 +55,17 @@ object Streams {
       watermark: String = "1 hour"): DataFrame = {
     val name = "graft_e04_tumbling"
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val agg = eventsStream(spark, dir)
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamPartitions(spark, 8) {
+      val agg = eventsStream(spark, dir)
+        .withWatermark("ts", watermark)
+        .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name)
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
@@ -80,20 +100,22 @@ object Streams {
       p.delete()
     }
     rm(new java.io.File(base))
-    val agg = eventsStream(spark, dir)
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("total_value"))
-      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
-        col("event_type"), col("n"), col("total_value"))
-    val q = agg.writeStream.outputMode(OutputMode.Append())
-      .format("parquet")
-      .option("path", s"$base/sink")
-      .option("checkpointLocation", s"$base/ckpt")
-      .queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamPartitions(spark, 8) {
+      val agg = eventsStream(spark, dir)
+        .withWatermark("ts", watermark)
+        .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("total_value"))
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.read.parquet(s"$base/sink").orderBy("day", "event_type")
   }
 
@@ -123,11 +145,13 @@ object Streams {
       col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
         col("c_ts") <= col("p_ts"))
-    val q = joined.select(col("p_id"), col("c_id"))
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = joined.select(col("p_id"), col("c_id"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name).orderBy("p_id", "c_id")
   }
 
