@@ -661,6 +661,16 @@ object SparkEntry {
     Multimodal.decodeFeatures(T(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** m02: frame sampling — each payload explodes into 4 evenly spaced
+    * frame records through the partition-wise batch transform (the
+    * video keyframe-sampling pipeline shape); per-frame mean byte
+    * stands in for a decoded feature. */
+  private def m02(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(T(s, dir, "documents"), "doc_id", "text", 4)
+      .select(col("doc_id"), col("frame_idx"), col("n_frame_bytes"),
+        trunc4(col("mean_byte")).as("mean_byte"))
+      .orderBy("doc_id", "frame_idx")
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -723,7 +733,8 @@ object SparkEntry {
     "e07_asof_native" -> (e07 _),
     "e08_streaming_file_sink" -> (e08 _),
     "e09_stream_stream_join" -> (e09 _),
-    "m01_binary_meta" -> (m01 _)
+    "m01_binary_meta" -> (m01 _),
+    "m02_frame_sample" -> (m02 _)
   )
 
   /** Shared by e03 (composed) and e07 (custom operator): both must
@@ -1137,6 +1148,22 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |  (256 + ascii(substr(text, 1, 1)))::BIGINT AS width,
         |  (256 + ascii(substr(text, 2, 1)))::BIGINT AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the synthetic documents are pure ASCII (verified octet_length ==
+    // length), so per-byte access via substr matches the Spark side's
+    // UTF-8 payload bytes exactly
+    "m02_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text, length(text) AS n,
+        |    unnest(generate_series(0, 3)) AS frame_idx FROM documents),
+        |  s AS (SELECT doc_id, frame_idx,
+        |    (frame_idx * n) // 4 AS st, ((frame_idx + 1) * n) // 4 AS en,
+        |    text FROM f)
+        |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+        |  (en - st)::BIGINT AS n_frame_bytes,
+        |  CASE WHEN en - st = 0 THEN 0.0
+        |    ELSE floor((list_sum(list_transform(generate_series(st + 1, en),
+        |      i -> ascii(substr(text, i, 1)))) / (en - st)) * 10000) / 10000
+        |    END AS mean_byte
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -45,4 +45,51 @@ object Multimodal {
       it.map { case (id, blob) => decodeStub(id, blob) }
     }(Encoders.product[MediaFeatures]).toDF()
   }
+
+  /** One sampled frame: index within the payload, the frame's byte
+    * slice (what a real decoder would hand to the model), and a
+    * per-frame scalar feature (here: mean byte, standing in for e.g.
+    * mean luminance). */
+  case class Frame(
+      doc_id: Long, frame_idx: Long, n_frame_bytes: Long, mean_byte: Double)
+
+  /** Frame sampling — the video-pipeline row-EXPANDING shape: each
+    * binary payload yields `frames` evenly spaced frame records via
+    * the same partition-wise batch transform (mapPartitions with a
+    * flatMap iterator: streaming, one row in → k rows out, no
+    * collect, no memory spike beyond one payload).
+    *
+    * A real implementation would seek to keyframes via the container
+    * index; the STUB slices the payload into `frames` even chunks and
+    * derives a deterministic per-frame feature from the bytes, so the
+    * expansion plumbing (schema, ordering, partition batching) is
+    * exercised and oracle-checkable in SQL. */
+  def sampleFrames(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      frames: Int): DataFrame = {
+    require(frames > 0, s"frames must be positive: $frames")
+    val withBlob = df.select(col(idCol).cast("long").as("id"),
+      encode(col(payloadCol), "UTF-8").as("blob"))
+    val ds: Dataset[(Long, Array[Byte])] =
+      withBlob.as[(Long, Array[Byte])](
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { it: Iterator[(Long, Array[Byte])] =>
+      it.flatMap { case (id, blob) =>
+        val n = blob.length
+        (0 until frames).iterator.map { f =>
+          // frame f covers bytes [f*n/frames, (f+1)*n/frames)
+          val start = (f.toLong * n / frames).toInt
+          val end = ((f + 1).toLong * n / frames).toInt
+          val len = end - start
+          var sum = 0L
+          var i = start
+          while (i < end) { sum += (blob(i) & 0xff); i += 1 }
+          Frame(id, f.toLong, len.toLong,
+            if (len == 0) 0.0 else sum.toDouble / len)
+        }
+      }
+    }(Encoders.product[Frame]).toDF()
+  }
 }

@@ -20,4 +20,24 @@ class MultimodalSpec extends SparkSuite {
       .filter(col("n_bytes") =!= length(col("text"))).count()
     assert(mismatch == 0)
   }
+
+  test("sampleFrames explodes each payload into k frames covering all bytes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val frames = Multimodal.sampleFrames(docs, "doc_id", "text", 4)
+    // exactly k frames per doc, indices 0..k-1
+    val perDoc = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum("n_frame_bytes").as("covered"),
+        min("frame_idx").as("lo"), max("frame_idx").as("hi"))
+    assert(perDoc.filter(col("n") =!= 4 || col("lo") =!= 0 ||
+      col("hi") =!= 3).count() == 0)
+    // frame slices tile the payload exactly: lengths sum to n_bytes
+    val meta = Multimodal.decodeFeatures(docs, "doc_id", "text")
+    assert(perDoc.join(meta, "doc_id")
+      .filter(col("covered") =!= col("n_bytes")).count() == 0)
+    // mean byte of printable ASCII text must land in [32, 127)
+    assert(frames.filter(col("n_frame_bytes") > 0 &&
+      (col("mean_byte") < 32 || col("mean_byte") >= 127)).count() == 0)
+  }
 }
