@@ -30,12 +30,15 @@ object Cli {
   val usage: String =
     """usage: graft.Cli <dataRoot> <command> [args]
       |  update <zip> [snapshotDate]   unzip + normalize + manifest
+      |  normalize <rawDir> [snapshotDate]   normalize an unpacked
+      |                                snapshot dir + manifest
       |  status                        snapshot date, age, row counts
       |  sql <query>                   ad-hoc SQL over registry views
       |  search <n-number>             N-number lookup w/ owner
       |  fleet <owner> [--state ST] [--limit N]
       |  tables                        list queryable tables/views
       |  schema <table>                column names/types
+      |  version                       library version
       |""".stripMargin
 
   /** Dispatch one subcommand. Returns the result frame, or None for
@@ -55,6 +58,20 @@ object Cli {
         val pub = Ingest.fromZip(spark, zip, dataRoot, date)
         warningSink(s"update complete: $pub (snapshot $date)")
         None
+
+      case "normalize" :: raw :: rest =>
+        val date = rest.headOption.getOrElse(
+          java.time.LocalDate.now.toString)
+        val pub = s"$dataRoot/publish"
+        graft.registry.RegistryNormalize.normalize(spark, raw, pub)
+        graft.registry.Lineage.writeManifest(spark, pub,
+          new Registry(spark, pub).tableNames, date)
+        warningSink(s"normalize complete: $pub (snapshot $date)")
+        None
+
+      case "version" :: Nil =>
+        Some(Seq(("graft", "0.4.0"),
+          ("spark", spark.version)).toDF("component", "version"))
 
       case "status" :: Nil =>
         val age = reg.dataAgeDays

@@ -84,6 +84,18 @@ object Percentiles {
     * 4096 buckets ⇒ a 256M-row group still sorts ≤ 64k per task). */
   private val MaxBucketsPerGroup = 4096L
 
+  /** Whole-table exact percentiles (no grouping): one output row with
+    * a column per requested percentile. Same distributed order
+    * statistics as [[exactByGroup]] over a single constant group. */
+  def exact(
+      df: DataFrame,
+      valueCol: String,
+      ps: Seq[Double],
+      numBuckets: Int = -1): DataFrame =
+    exactByGroup(
+      df.select(lit(0).as("__all"), col(valueCol)),
+      "__all", valueCol, ps, numBuckets).drop("__all")
+
   /** One output row per group: a column per requested percentile,
     * named p50/p90/... from the fraction.
     *

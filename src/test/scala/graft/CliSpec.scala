@@ -107,6 +107,27 @@ class CliSpec extends SparkSuite {
     assert(warned.isEmpty)
   }
 
+  test("normalize works on an already-unpacked raw dir") {
+    val root = Files.createTempDirectory("graft_cli_norm").toString
+    val raw = s"$root/rawdir"
+    Files.createDirectories(Paths.get(raw))
+    Files.writeString(Paths.get(s"$raw/MASTER.txt"), master)
+    Files.writeString(Paths.get(s"$raw/ACFTREF.txt"), acftref)
+    Files.writeString(Paths.get(s"$raw/ENGINE.txt"), engine)
+    Cli.run(spark, root, Seq("normalize", raw, "2026-08-01"), _ => ())
+    val manifest = Files.readString(
+      Paths.get(s"$root/publish/_meta/manifest.json"))
+    assert(manifest.contains("\"snapshot_date\": \"2026-08-01\""))
+    assert(Cli.run(spark, root, Seq("sql",
+      "SELECT count(*) FROM aircraft"), _ => ()).get.head.getLong(0) == 2)
+  }
+
+  test("version reports components") {
+    val rows = Cli.run(spark, dataRoot, Seq("version"), _ => ())
+      .get.collect().map(_.getString(0)).toSet
+    assert(rows == Set("graft", "spark"))
+  }
+
   test("unknown commands fail with usage") {
     val e = intercept[IllegalArgumentException] {
       Cli.run(spark, dataRoot, Seq("frobnicate"), _ => ())

@@ -72,6 +72,34 @@ class PercentilesSpec extends SparkSuite {
         < 1e-9, s"$grp p=$p")
   }
 
+  test("heavy ties: duplicate values collapse boundaries without losing ranks") {
+    // 80% of values are one of 3 ties -> approx boundaries repeat and
+    // many buckets are empty; exact ranks must be unaffected
+    val tied = (1 to 2).flatMap { grp =>
+      val rnd = new scala.util.Random(77 + grp)
+      (0 until 500).map { i =>
+        val v = if (i % 5 != 0) Seq(10.0, 20.0, 30.0)(i % 3)
+                else rnd.nextDouble() * 100
+        (s"g$grp", v)
+      }
+    }.toDF("grp", "v")
+    val ps = Seq(0.1, 0.5, 0.9)
+    val got = Percentiles.exactByGroup(tied, "grp", "v", ps, numBuckets = 16)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val byGroup = tied.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    for (grp <- byGroup.keys; (p, i) <- ps.zipWithIndex)
+      assert(math.abs(got(grp).getDouble(1 + i) - expected(byGroup(grp), p))
+        < 1e-9, s"$grp p=$p")
+  }
+
+  test("whole-table exact() matches the grouped form on one group") {
+    val got = Percentiles.exact(data, "v", Seq(0.5, 0.95)).head
+    val all = data.collect().map(_.getDouble(1))
+    assert(math.abs(got.getDouble(0) - expected(all, 0.5)) < 1e-9)
+    assert(math.abs(got.getDouble(1) - expected(all, 0.95)) < 1e-9)
+  }
+
   test("ranking window partitions on (group, bucket), never group alone") {
     val plan = Percentiles.exactByGroup(data, "grp", "v", Seq(0.5, 0.9))
       .queryExecution.optimizedPlan
