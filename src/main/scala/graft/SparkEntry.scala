@@ -559,6 +559,21 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** s05: IVF ANN over a TRAINED coarse quantizer — k-means cells
+    * (broadcast-centroid Lloyd iterations, [[Similarity.kmeansCells]])
+    * instead of the pre-existing label column s03 uses. Rows-only
+    * oracle (cells are quantizer-dependent); determinism + recall in
+    * SimilaritySpec. */
+  private def s05(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
+      k = 10, maxIter = 5)
+    Similarity.ivfAnn(emb.join(cells, "vec_id"),
+        emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "cell", 5, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
   /** s04: brute-force top-k via the bounded-heap TypedImperative
     * aggregate — same results as s01 (shares its oracle), but the
     * plan is a partial-aggregating hash agg instead of a window
@@ -724,6 +739,7 @@ object SparkEntry {
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
     "s04_knn_topk_agg" -> (s04 _),
+    "s05_ivf_kmeans" -> (s05 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_counts" -> (e02 _),
     "e03_asof_join" -> (e03 _),

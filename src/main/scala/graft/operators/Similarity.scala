@@ -178,6 +178,73 @@ object Similarity {
         col("cand_id"))
   }
 
+  /** K-means cell assignment — trains the IVF coarse codebook when no
+    * natural partition column exists (a real IVF index quantizes; it
+    * doesn't assume labels).
+    *
+    * Lloyd's iterations in the shape that scales: centroids are TINY
+    * (k·dim doubles) and live on the driver between iterations; each
+    * round is one map-side argmax-cosine assignment over broadcast
+    * literal centroids (k fused-codegen [[cosine]] evaluations per
+    * row — no join, no shuffle) plus one posexplode/avg aggregation to
+    * re-estimate means (two bounded shuffles). The data is never
+    * cached or re-partitioned; iteration state never grows lineage
+    * (each round's plan is built fresh from the driver-held
+    * centroids).
+    *
+    * Deterministic: initial centroids are the k rows with the
+    * smallest xxhash64(id, seed) (a seeded hash-ordered sample —
+    * stable across runs and partitionings), ties in assignment break
+    * toward the lower cell id. Stops early when no assignment can
+    * change (max centroid movement < 1e-12).
+    *
+    * @return (id, cell) — feed as `cellCol` to [[ivfAnn]]. */
+  def kmeansCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIter: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // seeded deterministic init: k hash-ordered rows
+    var centroids: Array[Seq[Double]] = v
+      .orderBy(xxhash64(col("__id"), lit(seed)), col("__id")).limit(k)
+      .select(transform(col("__v"), _.cast("double")).as("c"))
+      .collect().map(_.getSeq[Double](0))
+    def assignCol: Column = {
+      // argmax cosine via struct max: (sim, -cell) orders ties toward
+      // the smaller cell id
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine(col("__v"), typedLit(c)).as("sim"),
+          lit(-i).as("negCell"))
+      }
+      (-array_max(array(scored: _*)).getField("negCell")).as("cell")
+    }
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val means = v.select(col("__v"), assignCol)
+        .select(col("cell"), posexplode(col("__v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      val next = centroids.zipWithIndex.map { case (old, i) =>
+        means.getOrElse(i, old) // empty cell keeps its centroid
+      }
+      moved = centroids.zip(next).exists { case (a, b) =>
+        a.zip(b).exists { case (x, y) => math.abs(x - y) > 1e-12 }
+      }
+      centroids = next
+      iter += 1
+    }
+    v.select(col("__id").as(idCol), assignCol)
+  }
+
   /** Per-cell mean centroids (the IVF coarse codebook), computed from
     * a cell-assignment column: posexplode → per-(cell,dim) avg →
     * re-assembled arrays. Two small shuffles, output is tiny and

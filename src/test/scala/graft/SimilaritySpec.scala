@@ -59,6 +59,27 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.15, s"LSH recall too low: $recall")
   }
 
+  test("kmeansCells: deterministic, covers every row, at most k cells") {
+    val a = Similarity.kmeansCells(emb, "vec_id", "embedding", 8, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Similarity.kmeansCells(emb, "vec_id", "embedding", 8, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "k-means must be deterministic (seeded init, tie rules)")
+    assert(a.size == emb.count())
+    val cells = a.values.toSet
+    assert(cells.size <= 8 && cells.forall(c => c >= 0 && c < 8))
+  }
+
+  test("ivfAnn over trained k-means cells keeps usable recall") {
+    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding", 10,
+      maxIter = 5)
+    val ann = resultSet(Similarity.ivfAnn(emb.join(cells, "vec_id"),
+      queries, "vec_id", "embedding", "cell", 5, nprobe = 6))
+    val recall = (ann intersect brute).size.toDouble / brute.size
+    info(s"IVF(kmeans) recall@5 (nprobe=6/10) = $recall")
+    assert(recall >= 0.5, s"IVF over trained cells recall too low: $recall")
+  }
+
   test("ivfAnn recall vs brute force (tuned nprobe)") {
     val ann = resultSet(
       Similarity.ivfAnn(emb, queries, "vec_id", "embedding", "label", 5,
