@@ -443,6 +443,45 @@ object SparkEntry {
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram")).limit(20)
 
+  /** t07: repetition quality signals (Gopher/C4-style filters):
+    * duplicate-token fraction and the fraction of tokens covered by
+    * the most frequent bigram — both within-row HOF expressions, zero
+    * shuffle. */
+  private def t07(s: SparkSession, dir: String): DataFrame = {
+    val stage = T(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokensLower(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).as("__n"),
+        size(array_distinct(col("__toks"))).as("__uniq"),
+        TextFns.topElementCount(TextFns.wordNgrams(col("__toks"), 2))
+          .as("__top2"))
+    stage.select(col("doc_id"),
+        col("__n").cast("long").as("n_tokens"),
+        trunc4(lit(1.0) - col("__uniq") / col("__n")).as("dup_tok_ratio"),
+        trunc4(col("__top2") * 2.0 / col("__n")).as("top_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** n07: PII redaction — synthetic emails/phones injected into every
+    * 10th doc (the corpus has none), then scrubbed with the shared
+    * cross-engine patterns; emits the redacted text and the match
+    * count actually removed. */
+  private def n07(s: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 10 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-123-4567")))
+      .otherwise(col("text"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), injected.as("__t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("__t"), lit(TextFns.EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("__t"), lit(TextFns.PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        TextFns.redactPii(col("__t")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** t06: stratified deterministic sampling (cap dominant strata) —
     * rows-only oracle (xxhash64); proportions asserted in specs. */
   private def t06(s: SparkSession, dir: String): DataFrame =
@@ -727,6 +766,8 @@ object SparkEntry {
     "t04_fingerprint" -> (t04 _),
     "t05_ngram_freq" -> (t05 _),
     "t06_sample_stratified" -> (t06 _),
+    "t07_repetition_signals" -> (t07 _),
+    "n07_pii_redact" -> (n07 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_pairs" -> (d02 _),
     "d03_jaccard_verify" -> (d03 _),
@@ -1050,6 +1091,36 @@ object SparkEntry {
         |    i -> array_to_string(tk[i:i+2], ' '))) AS ngram FROM toks)
         |SELECT ngram, count(*) AS n FROM ng GROUP BY ngram
         |ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "t07_repetition_signals" ->
+      """WITH x AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |  y AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS uniq,
+        |    list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+        |      i -> array_to_string(tk[i:i+1], ' ')) AS ng
+        |  FROM x)
+        |SELECT doc_id, n::BIGINT AS n_tokens,
+        |  floor((1.0 - uniq / n) * 10000) / 10000 AS dup_tok_ratio,
+        |  floor((coalesce(list_max(list_transform(list_distinct(ng),
+        |      g -> len(list_filter(ng, e -> e = g)))), 0) * 2.0 / n)
+        |    * 10000) / 10000 AS top_bigram_ratio
+        |FROM y ORDER BY doc_id""".stripMargin,
+    "n07_pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' ||
+        |      doc_id || '@example.com or 555-123-4567'
+        |    ELSE text END AS tt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(tt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+        |    AS n_emails,
+        |  len(regexp_extract_all(tt, '\d{3}-\d{3}-\d{4}'))::BIGINT
+        |    AS n_phones,
+        |  regexp_replace(regexp_replace(tt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g'), '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents

@@ -62,4 +62,25 @@ object TextFns {
         i => concat_ws(" ", (0 until n).map(j =>
           element_at(toks, i + lit(j))): _*)))
       .otherwise(array())
+
+  /** Count of occurrences of the single most frequent element of an
+    * array — within-row (O(distinct·n) lambda work, zero shuffle),
+    * the building block of the repetition quality signals. */
+  def topElementCount(arr: Column): Column =
+    coalesce(
+      array_max(transform(array_distinct(arr),
+        g => size(filter(arr, x => x === g)))),
+      lit(0))
+
+  /** Email/phone PII patterns — deliberately simple and identical
+    * under Java regex and RE2 so the redaction operator is
+    * oracle-checkable across engines. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII redaction: replace every email and phone occurrence with
+    * typed placeholder tags. Pure map-side regexp_replace. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
 }

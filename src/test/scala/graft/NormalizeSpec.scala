@@ -9,6 +9,21 @@ class NormalizeSpec extends SparkSuite {
   private def one(c: org.apache.spark.sql.Column): Any =
     Seq(1).toDF("x").select(c).head.get(0)
 
+  test("redactPii scrubs emails and phones, leaves the rest") {
+    import graft.functions.TextFns
+    val got = one(TextFns.redactPii(
+      lit("mail a.b+c@x-y.co or 555-123-4567 x 12-34 keep@ nope")))
+    assert(got == "mail <EMAIL> or <PHONE> x 12-34 keep@ nope")
+  }
+
+  test("topElementCount finds the modal element count") {
+    import graft.functions.TextFns
+    assert(one(TextFns.topElementCount(
+      array(lit("a"), lit("b"), lit("a"), lit("a")))) == 3)
+    assert(one(TextFns.topElementCount(
+      array().cast("array<string>"))) == 0)
+  }
+
   test("cleanText trims, collapses whitespace, uppercases") {
     assert(one(Normalize.cleanText(lit("  hello   world "))) == "HELLO WORLD")
     assert(one(Normalize.cleanText(lit(""))) == "")
