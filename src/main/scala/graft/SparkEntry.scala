@@ -692,6 +692,11 @@ object SparkEntry {
   private def e09(s: SparkSession, dir: String): DataFrame =
     Streams.purchaseAttribution(s, dir)
 
+  /** e10: streaming deduplication — dropDuplicatesWithinWatermark
+    * per-key state, key-only output; oracle is batch DISTINCT. */
+  private def e10(s: SparkSession, dir: String): DataFrame =
+    Streams.streamingDedup(s, dir)
+
   /** e06: native session_window sessionization (gap merge). Spark's
     * session semantics: a new session starts when the gap is >= the
     * timeout (vs strictly > in e01's manual form) — the oracle
@@ -790,6 +795,7 @@ object SparkEntry {
     "e07_asof_native" -> (e07 _),
     "e08_streaming_file_sink" -> (e08 _),
     "e09_stream_stream_join" -> (e09 _),
+    "e10_streaming_dedup" -> (e10 _),
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _)
   )
@@ -1216,6 +1222,9 @@ object SparkEntry {
         | AND p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
         |ORDER BY p_id, c_id""".stripMargin,
+    "e10_streaming_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "e06_session_window" ->
       """WITH x AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -155,6 +155,34 @@ object Streams {
     spark.table(name).orderBy("p_id", "c_id")
   }
 
+  /** Streaming deduplication — `dropDuplicatesWithinWatermark` over a
+    * key: the production event-dedup shape whose per-key state the
+    * watermark can actually expire (plain dropDuplicates without the
+    * event-time key grows state forever). Output is the KEY COLUMNS
+    * ONLY so the result
+    * is a deterministic set (which non-key columns survive a
+    * first-wins dedup depends on partition arrival order); the oracle
+    * is batch SELECT DISTINCT. */
+  def streamingDedup(
+      spark: SparkSession,
+      dir: String,
+      keys: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
+    val name = "graft_e10_dedup"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    withStreamPartitions(spark, 8) {
+      val distinctKeys = eventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .select(col("ts") +: keys.map(col): _*)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+        .select(keys.map(col): _*)
+      val q = distinctKeys.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(name).orderBy(keys.map(col): _*)
+  }
+
   // public: encoder codegen needs to reach these from generated code
   case class Ev(user_id: Long, ts_us: Long)
   case class UserSessions(user_id: Long, n_sessions: Long)
