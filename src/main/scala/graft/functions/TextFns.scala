@@ -64,13 +64,24 @@ object TextFns {
       .otherwise(array())
 
   /** Count of occurrences of the single most frequent element of an
-    * array — within-row (O(distinct·n) lambda work, zero shuffle),
-    * the building block of the repetition quality signals. */
-  def topElementCount(arr: Column): Column =
-    coalesce(
-      array_max(transform(array_distinct(arr),
-        g => size(filter(arr, x => x === g)))),
-      lit(0))
+    * array — within-row, zero shuffle: sort, then one aggregate()
+    * pass tracking the longest run of equal neighbors (O(n log n),
+    * and the input array expression is referenced exactly ONCE — an
+    * `array_distinct(arr)` × `filter(arr, ...)` composition would
+    * re-evaluate `arr` inside the lambda for every outer element,
+    * since lambda scopes get no common-subexpression elimination). */
+  def topElementCount(arr: Column): Column = {
+    val init = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+    val scanned = aggregate(array_sort(arr), init,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    coalesce(scanned, lit(0))
+  }
 
   /** Email/phone PII patterns — deliberately simple and identical
     * under Java regex and RE2 so the redaction operator is
