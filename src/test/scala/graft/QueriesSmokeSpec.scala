@@ -18,4 +18,27 @@ class QueriesSmokeSpec extends SparkSuite {
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no accidental cartesian or nested-loop joins in any query plan") {
+    // intentional full scans: the exact-verification block (d05) and
+    // the brute-force KNN baselines join on pure inequality by design;
+    // IVF probes cross-join a broadcast ~k-row centroid table
+    val intentional = Set("d05_embedding_neardup", "s01_knn_brute",
+      "s04_knn_topk_agg", "s03_ivf_ann", "s05_ivf_kmeans")
+    // these run a streaming query to completion at construction time —
+    // their result frames are materialized sinks, nothing to audit
+    val streamingRunners = Set("e04_streaming_counts",
+      "e08_streaming_file_sink", "e09_stream_stream_join",
+      "e10_streaming_dedup")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if streamingRunners(name) => None
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoop") && !intentional(name)
+        if (cartesian || bnlj) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unplanned cartesian/nested-loop joins in: $offenders")
+  }
 }
