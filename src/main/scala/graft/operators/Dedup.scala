@@ -277,11 +277,16 @@ object Dedup {
     *
     * Plan shape mirrors the text MinHash pipeline
     * ([[minHashCandidatePairs]]): each vector explodes into
-    * `numTables` (table, bucket) rows, pairs are enumerated only
-    * inside a (table, bucket) shuffle bucket (≈ |corpus| / 2^planes
-    * vectors each — never an all-pairs cross join), the exact cosine
-    * ([[Similarity.cosine]], codegen) filters on the map side of the
-    * join output, and only surviving pairs reach the distinct.
+    * `numTables` compact (id, table, bucket) rows — the embeddings
+    * themselves are NOT carried through the candidate join (a matched
+    * pair would materialize two vectors; at 1.5M candidates that is
+    * hundreds of MB of array copying, and at corpus scale the
+    * dominant shuffle). Pairs are enumerated only inside a
+    * (table, bucket) shuffle bucket (never an all-pairs cross join),
+    * de-duplicated as bare id pairs, and only then re-joined to the
+    * corpus for the exact cosine ([[Similarity.cosine]], codegen)
+    * verification — the same pairs-carry-ids shape as
+    * [[jaccardOnPairs]].
     *
     * Recall is tunable: a pair at angle θ collides in one table with
     * p₁ = (1 − θ/π)^planesPerTable and overall 1 − (1 − p₁)^numTables.
@@ -306,20 +311,21 @@ object Dedup {
           seed + 7919L * t).as("bkt"))
     }
     val banded = v
-      .select(col("vec_id"), col("v"),
-        explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("v"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val a = banded.alias("a")
     val b = banded.alias("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", Similarity.cosine(col("a.v"), col("b.v")))
-      .filter(col("sim") > threshold)
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        round(col("sim"), 4).as("cos_sim"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
+    pairs
+      .join(v.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") > threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("cos_sim"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold over an

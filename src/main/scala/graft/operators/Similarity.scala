@@ -28,8 +28,18 @@ object Similarity {
   /** Elementwise double cast (float parquet vectors → stable math). */
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** HOF dot product (zip_with/aggregate) — portability fallback;
+    * [[dotNative]] is the codegen path used in hot loops. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Fused-codegen dot product ([[graft.plans.DotProduct]]): one JIT
+    * loop instead of an interpreted lambda per element. */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
 
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
@@ -127,10 +137,12 @@ object Similarity {
       vec: Column, numPlanes: Int, dim: Int, seed: Long): Column =
     bucketCol(vec, planes(numPlanes, dim, seed))
 
-  /** Sign-bit bucket id from hyperplane projections. */
+  /** Sign-bit bucket id from hyperplane projections — planes × dims
+    * fused multiply-adds per row through the codegen dot product (the
+    * HOF form made bucketing the dominant cost of the LSH paths). */
   private def bucketCol(vec: Column, ps: Seq[Seq[Double]]): Column =
     ps.zipWithIndex.map { case (p, j) =>
-      when(dot(asDouble(vec), typedLit(p)) >= 0, lit(1 << j)).otherwise(lit(0))
+      when(dotNative(vec, typedLit(p)) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Random-hyperplane LSH ANN: bucket the corpus once, probe each

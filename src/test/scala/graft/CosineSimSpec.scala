@@ -48,6 +48,21 @@ class CosineSimSpec extends SparkSuite {
     assert(native.isNullAt(0), "native must match: NULL on length mismatch")
   }
 
+  test("native dot product is bit-identical to the HOF composition") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("a_id") < col("b_id")).limit(2000)
+    val asD = (c: org.apache.spark.sql.Column) =>
+      transform(c, _.cast("double"))
+    val diff = pairs.select(
+        Similarity.dotNative(col("va"), col("vb")).as("native"),
+        Similarity.dot(asD(col("va")), asD(col("vb"))).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0, s"$diff pairs differ between native and HOF dot")
+  }
+
   test("cosine_sim is SQL-callable once registered") {
     GraftExtensions.register(spark)
     val v = spark.sql(
