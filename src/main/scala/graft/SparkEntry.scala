@@ -360,6 +360,21 @@ object SparkEntry {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q24: skew-salted join — the explicit hot-key recipe
+    * ([[operators.Scale.saltedJoin]]: deterministic salt on the big
+    * side, small side replicated numSalts×, join on (key, salt)).
+    * Results are provably identical to the plain inner join, which IS
+    * the oracle — the salting must be invisible in the output. */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    operators.Scale.saltedJoin(
+        T(s, dir, "orders"),
+        T(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_name"), col("c_mktsegment")),
+        key = "o_custkey", saltSource = col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_mktsegment"))
+      .orderBy("o_orderkey")
+
   /** a01: approximate sketches — HLL distinct + quantile sketch.
     * Rows-only oracle (sketch internals are engine-specific);
     * accuracy vs exact asserted in specs. */
@@ -758,6 +773,7 @@ object SparkEntry {
     "q21_pivot" -> (q21 _),
     "q22_json_struct" -> (q22 _),
     "q23_rolling_window" -> (q23 _),
+    "q24_salted_join" -> (q24 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
     "n02_state_zip" -> (n02 _),
@@ -1043,6 +1059,10 @@ object SparkEntry {
         |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) AS next_order
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q24_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
