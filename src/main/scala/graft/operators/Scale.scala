@@ -34,6 +34,37 @@ object Scale {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Compact a parquet directory to ~`targetFileBytes` output files —
+    * the small-file remedy every long-lived 100 TB layout needs (a
+    * streaming sink or over-parallel writer leaves thousands of tiny
+    * files; each costs a task, a footer read, and an open per scan).
+    * File count is sized from the ACTUAL on-disk bytes; coalesce (no
+    * shuffle) when reducing, repartition when the directory has fewer
+    * files than needed. Writes to `destPath` (compact-then-swap is
+    * the caller's atomicity contract — never rewrite in place). */
+  def compact(
+      df: DataFrame,
+      srcPath: String,
+      destPath: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val spark = df.sparkSession
+    val bytes = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .load(srcPath)
+      .agg(sum(col("length"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val current = df.rdd.getNumPartitions
+    val sized =
+      if (nFiles < current) df.coalesce(nFiles)
+      else if (nFiles > current) df.repartition(nFiles)
+      else df
+    sized.write.mode("overwrite").parquet(destPath)
+  }
+
   /** Write a table partitioned by low-cardinality columns and sorted
     * within files — the layout that turns full scans into pruned
     * scans (PartitionFilters) and enables row-group skipping on the

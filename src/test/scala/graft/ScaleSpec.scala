@@ -20,6 +20,22 @@ class ScaleSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("compact merges a many-small-file layout, preserving rows") {
+    val src = Files.createTempDirectory("graft_compact_src").toString
+    val dest = Files.createTempDirectory("graft_compact_dst").toString + "/out"
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.repartition(40).write.mode("overwrite").parquet(src)
+    val smallFiles = new java.io.File(src).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 40)
+    Scale.compact(spark.read.parquet(src), src, dest,
+      targetFileBytes = 1L << 30)
+    val compacted = new java.io.File(dest).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(compacted == 1, s"expected 1 compacted file, got $compacted")
+    assert(spark.read.parquet(dest).count() == orders.count())
+  }
+
   test("partitionedWrite produces a layout that prunes partitions") {
     val out = Files.createTempDirectory("graft_layout").toString + "/docs"
     val docs = Tables.load(spark, sfDir, "documents")
