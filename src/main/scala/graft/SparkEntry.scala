@@ -375,6 +375,66 @@ object SparkEntry {
         col("c_mktsegment"))
       .orderBy("o_orderkey")
 
+  /** Shared by Spark and DuckDB verbatim — q25 exercises correlated
+    * scalar subquery DECORRELATION (Catalyst rewrites the per-row
+    * subquery into an aggregate + join; a naive engine re-executes it
+    * per row). */
+  private val q25Sql: String =
+    """SELECT o.o_orderkey FROM orders o
+      |WHERE o.o_totalprice > (SELECT avg(o2.o_totalprice)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q25: correlated scalar subquery via SQL passthrough. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q25Sql)
+  }
+
+  /** q26: CUBE with grouping_id — all four grouping combinations in
+    * one pass, the bitmask distinguishing which NULLs mean "ALL". */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("total"))
+      .orderBy("gid", "prio", "status")
+
+  /** q27: RANGE interval window — per-customer rolling 30-day revenue
+    * keyed on event time (a range frame over epoch micros), the
+    * time-decay aggregation rows-frames can't express. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ; the session TZ is pinned UTC, so
+    // the cast is an identity relabel and epoch micros match DuckDB's
+    // epoch_us on the naive timestamp
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+      .rangeBetween(-2592000000000L, 0)
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(sum("o_totalprice").over(w), 2).as("sum_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  /** a02: mergeable HLL sketch rollup — per-day sketches unioned to
+    * per-type totals WITHOUT rescanning raw data: the pre-aggregation
+    * pattern that makes distinct-count rollups feasible at 100 TB
+    * (sketches are tiny, union is associative, estimates come from
+    * the merged state). Rows-only oracle; accuracy + union-vs-direct
+    * consistency in SketchSpec. */
+  private def a02(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_users"))
+      .orderBy("event_type")
+
   /** a01: approximate sketches — HLL distinct + quantile sketch.
     * Rows-only oracle (sketch internals are engine-specific);
     * accuracy vs exact asserted in specs. */
@@ -774,6 +834,10 @@ object SparkEntry {
     "q22_json_struct" -> (q22 _),
     "q23_rolling_window" -> (q23 _),
     "q24_salted_join" -> (q24 _),
+    "q25_correlated_subquery" -> (q25 _),
+    "q26_cube_grouping" -> (q26 _),
+    "q27_range_window" -> (q27 _),
+    "a02_sketch_rollup" -> (a02 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
     "n02_state_zip" -> (n02 _),
@@ -1063,6 +1127,21 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q25_correlated_subquery" -> q25Sql,
+    "q26_cube_grouping" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  grouping_id(o_orderpriority, o_orderstatus)::BIGINT AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, prio, status""".stripMargin,
+    "q27_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY epoch_us(o_orderdate)
+        |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 2)
+        |    AS sum_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,

@@ -4,6 +4,30 @@ import org.apache.spark.sql.functions._
 
 class SketchSpec extends SparkSuite {
 
+  test("HLL sketch rollup: daily-union estimate matches direct and exact") {
+    val ev = Tables.load(spark, sfDir, "events")
+    // two-level: per-day sketches unioned per type (the a02 path)
+    val unioned = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one-level: sketch the raw data directly
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, ex) =>
+      assert(unioned(t) == direct(t),
+        s"$t: union-of-daily must equal direct sketch (mergeability)")
+      assert(math.abs(unioned(t) - ex).toDouble / ex < 0.05,
+        s"$t: HLL rollup error > 5%: ${unioned(t)} vs $ex")
+    }
+  }
+
   test("approx sketches land near exact values") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val rows = li.groupBy("l_returnflag").agg(
