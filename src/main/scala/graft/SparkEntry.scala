@@ -785,6 +785,52 @@ object SparkEntry {
         col("n_events"))
       .orderBy("user_id", "start_us")
 
+  /** e11: conversion funnel — per-user first signup, first purchase
+    * at-or-after it, staged joins + one aggregate (the multi-step
+    * event-sequence pattern sessionization alone can't express). */
+  private def e11(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val converted = ev.filter(col("event_type") === "purchase")
+      .join(signup, Seq("user_id"))
+      .filter(col("ts") >= col("t0"))
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    signup.join(converted, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_signup"),
+        count(col("t1")).as("n_converted"),
+        trunc4(count(col("t1")) / count(lit(1))).as("conversion"))
+  }
+
+  /** p01: the corpus pipeline COMPOSED end to end — exact dedup
+    * keep-list → quality scoring → threshold filter → per-language
+    * rollup. Every stage is an operator with its own oracle-checked
+    * entry (d01, t02, t03); this entry proves they compose, with a
+    * full DuckDB oracle re-deriving the whole chain. */
+  private def p01(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val keep = Dedup.exactDedup(docs, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    val scored = docs.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"),
+        TextFns.tokensLower(col("text")).as("__toks"),
+        length(col("text")).as("__len"))
+      .select(col("doc_id"), col("lang"), col("__len"),
+        size(col("__toks")).as("__ntok"),
+        TextFns.wordSetHits(col("__toks"),
+          Seq("the", "a", "and", "of", "to", "in")).as("__hits"))
+      .select(col("doc_id"), col("lang"), col("__ntok"),
+        (least(lit(1.0), col("__len") / 500.0) *
+          (lit(0.7) + lit(0.3) * (col("__hits") / col("__ntok"))))
+          .as("__q"))
+    scored.filter(col("__q") >= 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).cast("long").as("total_tokens"),
+        trunc4(avg(col("__q"))).as("avg_quality"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------
   // Multimodal
   // ---------------------------------------------------------------
@@ -876,6 +922,8 @@ object SparkEntry {
     "e08_streaming_file_sink" -> (e08 _),
     "e09_stream_stream_join" -> (e09 _),
     "e10_streaming_dedup" -> (e10 _),
+    "e11_conversion_funnel" -> (e11 _),
+    "p01_corpus_pipeline" -> (p01 _),
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _)
   )
@@ -1339,6 +1387,30 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM z GROUP BY user_id, sid
         |ORDER BY user_id, start_us""".stripMargin,
+    "e11_conversion_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+        |    WHERE event_type = 'signup' GROUP BY user_id),
+        |  p AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |    JOIN s ON e.user_id = s.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+        |    GROUP BY e.user_id)
+        |SELECT count(*) AS n_signup, count(p.t1) AS n_converted,
+        |  floor((count(p.t1) / count(*)) * 10000) / 10000 AS conversion
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id""".stripMargin,
+    "p01_corpus_pipeline" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+        |    GROUP BY md5(upper(regexp_replace(trim(text), '\s+', ' ', 'g')))),
+        |  q AS (SELECT d.doc_id, d.lang,
+        |    len(string_split_regex(lower(trim(d.text)), '\s+')) AS ntok,
+        |    least(1.0, length(d.text) / 500.0) * (0.7 + 0.3 *
+        |      (len(list_filter(string_split_regex(lower(trim(d.text)), '\s+'),
+        |        t -> t IN ('the','a','and','of','to','in'))) /
+        |       len(string_split_regex(lower(trim(d.text)), '\s+')))) AS qv
+        |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id)
+        |SELECT lang, count(*) AS n_docs, sum(ntok)::BIGINT AS total_tokens,
+        |  floor(avg(qv) * 10000) / 10000 AS avg_quality
+        |FROM q WHERE qv >= 0.5
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |  (256 + ascii(substr(text, 1, 1)))::BIGINT AS width,
