@@ -65,7 +65,7 @@ object Cli {
         val pub = s"$dataRoot/publish"
         graft.registry.RegistryNormalize.normalize(spark, raw, pub)
         graft.registry.Lineage.writeManifest(spark, pub,
-          new Registry(spark, pub).tableNames, date)
+          Registry.tableNames, date)
         warningSink(s"normalize complete: $pub (snapshot $date)")
         None
 
@@ -88,12 +88,21 @@ object Cli {
       case "search" :: n :: Nil => Some(reg.search(n))
 
       case "fleet" :: owner :: rest =>
-        def opt(flag: String): Option[String] =
-          rest.sliding(2).collectFirst {
-            case Seq(`flag`, v) => v
-          }
-        Some(reg.fleet(owner, opt("--state"),
-          opt("--limit").map(_.toInt).getOrElse(0)))
+        // strict flag parse: a flag without a value, a non-numeric
+        // --limit, or an unknown token is a usage error (the sliding
+        // collectFirst form silently dropped all three)
+        def parse(xs: List[String], state: Option[String],
+            limit: Option[Int]): (Option[String], Option[Int]) = xs match {
+          case Nil => (state, limit)
+          case "--state" :: v :: t if !v.startsWith("--") =>
+            parse(t, Some(v), limit)
+          case "--limit" :: v :: t if v.nonEmpty && v.forall(_.isDigit) =>
+            parse(t, state, Some(v.toInt))
+          case bad => throw new IllegalArgumentException(
+            s"bad fleet arguments: ${bad.mkString(" ")}\n$usage")
+        }
+        val (state, limit) = parse(rest, None, None)
+        Some(reg.fleet(owner, state, limit.getOrElse(0)))
 
       case "tables" :: Nil =>
         Some(reg.listTables.toDF("table_name"))

@@ -30,6 +30,11 @@ case class LowerBound(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
+  // Comparisons MUST match Spark SQL's double ordering (NaN largest,
+  // -0.0 == 0.0) — the same ordering the downstream rank window's
+  // orderBy uses — or rows containing NaN land in bucket 0 but rank
+  // last within it, corrupting the interpolated percentile. A raw
+  // Java `<` has exactly that bug (boundary < NaN is false).
   override def nullSafeEval(arr: Any, v: Any): Any = {
     val a = arr.asInstanceOf[ArrayData]
     val x = v.asInstanceOf[Double]
@@ -37,7 +42,9 @@ case class LowerBound(left: Expression, right: Expression)
     var hi = a.numElements()
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (a.getDouble(mid) < x) lo = mid + 1 else hi = mid
+      if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+            .compareDoubles(a.getDouble(mid), x) < 0) lo = mid + 1
+      else hi = mid
     }
     lo
   }
@@ -47,12 +54,13 @@ case class LowerBound(left: Expression, right: Expression)
       val lo = ctx.freshName("lo")
       val hi = ctx.freshName("hi")
       val mid = ctx.freshName("mid")
+      val cmp = "org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles"
       s"""
          |int $lo = 0;
          |int $hi = $a.numElements();
          |while ($lo < $hi) {
          |  int $mid = ($lo + $hi) >>> 1;
-         |  if ($a.getDouble($mid) < $v) { $lo = $mid + 1; } else { $hi = $mid; }
+         |  if ($cmp($a.getDouble($mid), $v) < 0) { $lo = $mid + 1; } else { $hi = $mid; }
          |}
          |${ev.value} = $lo;
        """.stripMargin

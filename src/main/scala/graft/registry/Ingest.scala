@@ -55,9 +55,7 @@ object Ingest {
     unzip(zipPath, rawDir)
     val publishDir = s"$dataRoot/publish"
     RegistryNormalize.normalize(spark, rawDir, publishDir)
-    Lineage.writeManifest(spark, publishDir,
-      Seq("aircraft", "registrations", "owners", "aircraft_make_model",
-        "engines"),
+    Lineage.writeManifest(spark, publishDir, Registry.tableNames,
       snapshotDate)
     publishDir
   }

@@ -67,13 +67,32 @@ object Lineage {
       val n = spark.read.parquet(s"$publishDir/$t.parquet").count()
       s""""$t": $n"""
     }.mkString(", ")
-    val perTable = tableChecksums(spark, publishDir, tables)
-      .collect()
-      .map(r => s""""${r.getString(0)}": {"sha256": "${r.getString(1)}", "n_files": ${r.getLong(2)}, "bytes": ${r.getLong(3)}}""")
-      .mkString("{", ", ", "}")
-    val files = checksums(spark, publishDir, "*.parquet")
-      .collect()
-      .map(r => s"""{"file": "${r.getString(0)}", "sha256": "${r.getString(1)}", "bytes": ${r.getLong(2)}}""")
+    // ONE distributed hash pass over the published files; both the
+    // per-file listing and the per-table rollup derive from it (a
+    // separate tableChecksums + checksums call would read and sha256
+    // every byte twice). The rollup stays byte-identical to
+    // [[tableChecksums]]: sha256 over the per-file hex hashes sorted
+    // by path (LineageSpec asserts the parity).
+    val perFile = tables.map { t =>
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(s"$publishDir/$t.parquet")
+        .select(lit(t).as("t"), col("path"),
+          sha2(col("content"), 256).as("h"), col("length"))
+    }.reduce(_ unionAll _).collect()
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    val perTable = tables.map { t =>
+      val rows = perFile.filter(_.getString(0) == t).sortBy(_.getString(1))
+      val agg = hex(java.security.MessageDigest.getInstance("SHA-256")
+        .digest(rows.map(_.getString(2)).mkString.getBytes("UTF-8")))
+      s""""$t": {"sha256": "$agg", "n_files": ${rows.length}, "bytes": ${rows.map(_.getLong(3)).sum}}"""
+    }.mkString("{", ", ", "}")
+    val files = perFile
+      .map(r => (r.getString(1).replaceAll(".*/", ""), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_._1)
+      .map { case (f, h, b) =>
+        s"""{"file": "$f", "sha256": "$h", "bytes": $b}""" }
       .mkString("[", ", ", "]")
     val json =
       s"""{"snapshot_date": "$snapshotDate", "row_counts": {$counts}, "tables": $perTable, "files": $files}"""

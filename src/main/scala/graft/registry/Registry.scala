@@ -33,8 +33,7 @@ class Registry(
     dataDir: String,
     warningSink: String => Unit = Console.err.println(_)) {
 
-  val tableNames: Seq[String] = Seq("aircraft", "registrations", "owners",
-    "aircraft_make_model", "engines")
+  val tableNames: Seq[String] = Registry.tableNames
 
   /** Snapshot age in days from the `_meta/manifest.json` snapshot
     * date (api.py:66-78 `_get_data_age_days`); None when no manifest
@@ -204,4 +203,13 @@ class Registry(
     df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
       .toDF("column_name", "column_type")
   }
+}
+
+object Registry {
+  /** The registry's base tables — single source of truth shared by
+    * the query layer, [[Ingest.fromZip]] manifesting and the Cli
+    * normalize path (a second literal list silently diverges the
+    * moment a table is added). */
+  val tableNames: Seq[String] = Seq("aircraft", "registrations", "owners",
+    "aircraft_make_model", "engines")
 }

@@ -92,14 +92,11 @@ object Streams {
       watermark: String = "1 hour"): DataFrame = {
     val name = "graft_e08_filesink"
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_e08").toString
-    // clean slate per invocation: each run is a fresh exactly-once log
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rm)
-      p.delete()
-    }
-    rm(new java.io.File(base))
+    // per-invocation unique sink/checkpoint: a fixed shared path would
+    // let two concurrent JVMs (Verify + sbt test on one box) delete
+    // each other's live _spark_metadata commit log mid-stream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_e08").toString
     withStreamPartitions(spark, 8) {
       val agg = eventsStream(spark, dir)
         .withWatermark("ts", watermark)

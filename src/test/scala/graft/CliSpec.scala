@@ -82,6 +82,17 @@ class CliSpec extends SparkSuite {
     assert(lim.count() == 1)
   }
 
+  test("malformed fleet flags are usage errors, not silent drops") {
+    for (bad <- Seq(
+        Seq("fleet", "POLICE", "--limit", "abc"),   // non-numeric
+        Seq("fleet", "POLICE", "--state"),          // value missing
+        Seq("fleet", "POLICE", "--state", "--limit", "5"), // flag as value
+        Seq("fleet", "POLICE", "--bogus", "x")))    // unknown flag
+      assert(intercept[IllegalArgumentException] {
+        Cli.run(spark, dataRoot, bad, _ => ())
+      }.getMessage.contains("usage"), s"expected usage error for $bad")
+  }
+
   test("sql runs over registered views") {
     val df = Cli.run(spark, dataRoot, Seq("sql",
       "SELECT count(*) AS n FROM aircraft_decoded"), _ => ()).get

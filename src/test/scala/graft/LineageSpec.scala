@@ -49,6 +49,21 @@ class LineageSpec extends SparkSuite {
       s"missing per-table checksum section in $json")
   }
 
+  test("manifest per-table checksum is byte-identical to tableChecksums") {
+    // writeManifest derives the rollup from its single hash pass on
+    // the driver; it must agree with the distributed tableChecksums
+    val out = Files.createTempDirectory("graft_lineage_m3").toString
+    Tables.load(spark, sfDir, "region").repartition(3).write
+      .mode("overwrite").parquet(s"$out/region.parquet")
+    Lineage.writeManifest(spark, out, Seq("region"), "2026-08-12")
+    val json = Files.readString(
+      java.nio.file.Paths.get(s"$out/_meta/manifest.json"))
+    val want = Lineage.tableChecksums(spark, out, Seq("region"))
+      .head().getString(1)
+    assert(json.contains(s""""region": {"sha256": "$want""""),
+      s"manifest rollup diverged from tableChecksums ($want) in $json")
+  }
+
   test("ageDays computes staleness") {
     assert(Lineage.ageDays("2026-08-01",
       java.time.LocalDate.parse("2026-08-12")) == 11)

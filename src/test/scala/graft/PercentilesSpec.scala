@@ -93,6 +93,21 @@ class PercentilesSpec extends SparkSuite {
         < 1e-9, s"$grp p=$p")
   }
 
+  test("NaN values bucket and rank consistently (Spark NaN-largest order)") {
+    // LowerBound must compare with Spark SQL double ordering: under
+    // raw Java `<`, boundary < NaN is false, so NaN lands in bucket 0
+    // yet ranks last in the window -> corrupt interpolation. With the
+    // ordering aligned, NaN ranks last globally: p50 of [1,2,3,NaN]
+    // is 2.5 and p100 is the NaN max.
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", Double.NaN))
+      .toDF("grp", "v")
+    val got = Percentiles.exactByGroup(df, "grp", "v", Seq(0.5, 1.0),
+      numBuckets = 2).head()
+    assert(math.abs(got.getDouble(1) - 2.5) < 1e-9,
+      s"p50 over [1,2,3,NaN] must interpolate 2..3 = 2.5: $got")
+    assert(got.getDouble(2).isNaN, s"p100 should be the NaN max: $got")
+  }
+
   test("whole-table exact() matches the grouped form on one group") {
     val got = Percentiles.exact(data, "v", Seq(0.5, 0.95)).head
     val all = data.collect().map(_.getDouble(1))
