@@ -420,6 +420,29 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** q28: snapshot-to-snapshot diff — which customers were added,
+    * removed or changed between two publishes ([[Relational.snapshotDiff]]:
+    * one shuffle per side into a sort-merge FULL OUTER join, null-safe
+    * column compares). Snapshot B is derived deterministically from
+    * the base table (drops, balance updates, synthetic adds) so the
+    * oracle re-derives the identical pair. */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+    val cols = Seq("c_custkey", "c_acctbal", "c_mktsegment")
+    val a = cust.select(cols.map(col): _*)
+    val b = cust.filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        col("c_mktsegment"))
+      .unionAll(cust.filter(col("c_custkey") % 101 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          col("c_acctbal"), col("c_mktsegment")))
+    Relational.snapshotDiff(a, b, Seq("c_custkey"),
+      Seq("c_acctbal", "c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
   /** a02: mergeable HLL sketch rollup — per-day sketches unioned to
     * per-type totals WITHOUT rescanning raw data: the pre-aggregation
     * pattern that makes distinct-count rollups feasible at 100 TB
@@ -535,6 +558,37 @@ object SparkEntry {
         trunc4(lit(1.0) - col("__uniq") / col("__n")).as("dup_tok_ratio"),
         trunc4(col("__top2") * 2.0 / col("__n")).as("top_bigram_ratio"))
       .orderBy("doc_id")
+  }
+
+  /** t08: TF-IDF top-3 keywords per document — the classic corpus
+    * keyword extraction: per-(doc, term) counts, document frequency
+    * over the corpus, top-k by weight per doc.
+    *
+    * Scale shape: explode → hash-agg tf on (doc_id, term) → df by
+    * term re-aggregated FROM tf (never a second corpus scan) → SHUFFLE
+    * join tf⋈df on term (the vocabulary is corpus-sized at 100 TB —
+    * deliberately not broadcast) → per-doc top-k window over bounded
+    * per-doc term lists. Ranking uses the exact rational weight
+    * tf·N/df (IEEE-deterministic cross-engine; exact-math ties like
+    * 2·ln4 = 4·ln2 would flip order under float ln); the displayed
+    * tfidf is the conventional tf·ln(N/df). */
+  private def t08(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFns.tokensLower(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy((col("tf") * col("__n") / col("df")).desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        trunc4(col("tf") * log(col("__n").cast("double") / col("df")))
+          .as("tfidf"))
+      .orderBy("doc_id", "term")
   }
 
   /** n07: PII redaction — synthetic emails/phones injected into every
@@ -883,6 +937,7 @@ object SparkEntry {
     "q25_correlated_subquery" -> (q25 _),
     "q26_cube_grouping" -> (q26 _),
     "q27_range_window" -> (q27 _),
+    "q28_snapshot_diff" -> (q28 _),
     "a02_sketch_rollup" -> (a02 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
@@ -898,6 +953,7 @@ object SparkEntry {
     "t05_ngram_freq" -> (t05 _),
     "t06_sample_stratified" -> (t06 _),
     "t07_repetition_signals" -> (t07 _),
+    "t08_tfidf_keywords" -> (t08 _),
     "n07_pii_redact" -> (n07 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_pairs" -> (d02 _),
@@ -1190,6 +1246,32 @@ object SparkEntry {
         |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 2)
         |    AS sum_30d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q28_snapshot_diff" ->
+      """WITH a AS (SELECT c_custkey, c_acctbal, c_mktsegment
+        |    FROM customer),
+        |  b AS (SELECT c_custkey,
+        |      CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+        |        ELSE c_acctbal END AS c_acctbal, c_mktsegment
+        |    FROM customer WHERE c_custkey % 97 <> 0
+        |    UNION ALL
+        |    SELECT c_custkey + 10000000, c_acctbal, c_mktsegment
+        |    FROM customer WHERE c_custkey % 101 = 0),
+        |  j AS (SELECT a.c_custkey AS ak, b.c_custkey AS bk,
+        |      a.c_acctbal AS ab, b.c_acctbal AS bb,
+        |      a.c_mktsegment AS am, b.c_mktsegment AS bm
+        |    FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey)
+        |SELECT coalesce(ak, bk) AS c_custkey,
+        |  CASE WHEN ak IS NULL THEN 'added'
+        |       WHEN bk IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_type,
+        |  CASE WHEN ak IS NOT NULL AND bk IS NOT NULL THEN concat_ws(',',
+        |      CASE WHEN ab IS DISTINCT FROM bb THEN 'c_acctbal' END,
+        |      CASE WHEN am IS DISTINCT FROM bm THEN 'c_mktsegment' END)
+        |    ELSE '' END AS changed_cols
+        |FROM j
+        |WHERE ak IS NULL OR bk IS NULL
+        |  OR ab IS DISTINCT FROM bb OR am IS DISTINCT FROM bm
+        |ORDER BY c_custkey""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
@@ -1258,6 +1340,22 @@ object SparkEntry {
         |      g -> len(list_filter(ng, e -> e = g)))), 0) * 2.0 / n)
         |    * 10000) / 10000 AS top_bigram_ratio
         |FROM y ORDER BY doc_id""".stripMargin,
+    "t08_tfidf_keywords" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |  tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |    FROM t GROUP BY doc_id, term),
+        |  dfreq AS (SELECT term, count(*)::BIGINT AS df
+        |    FROM tf GROUP BY term),
+        |  n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |  r AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n,
+        |      row_number() OVER (PARTITION BY tf.doc_id
+        |        ORDER BY tf.tf * n.n / dfreq.df DESC, tf.term) AS rn
+        |    FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df,
+        |  floor(tf * ln(n * 1.0 / df) * 10000) / 10000 AS tfidf
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
     "n07_pii_redact" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' ||

@@ -96,4 +96,53 @@ object Relational {
       array_join(sort_array(collect_list(memberCol)), sep)
         .as("members_concat"),
       bool_or(flagCol).as("any_flag"))
+
+  /** Snapshot-to-snapshot diff on a key: which rows were added,
+    * removed or changed between two published snapshots, with the
+    * list of changed columns. The reference's data model is dated
+    * snapshot directories (pipelines/fetch.py:104-201); diffing
+    * consecutive publishes is the registry-maintenance question users
+    * ask after every `update`.
+    *
+    * Output: key columns + `change_type` ('added' | 'removed' |
+    * 'changed') + `changed_cols` (comma-joined compared-column names,
+    * '' for added/removed). Rows identical on every compared column
+    * are dropped, so the result is change-sized, not snapshot-sized.
+    *
+    * Plan shape at scale: each side shuffles ONCE on the key into a
+    * single sort-merge FULL OUTER join; every per-column comparison
+    * is a null-safe `<=>` evaluated in codegen on the joined row.
+    * Presence is tracked with marker columns, not key nullness, so
+    * NULL key values diff correctly (they null-safe-join to each
+    * other like any other key). */
+  def snapshotDiff(
+      a: DataFrame,
+      b: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs at least one key and one compared column")
+    def side(df: DataFrame, p: String) =
+      df.select((keys ++ compareCols).map(c => col(c).as(p + c)): _*)
+        .withColumn(p + "present", lit(true))
+    val joined = side(a, "__a_").join(side(b, "__b_"),
+      keys.map(k => col("__a_" + k) <=> col("__b_" + k)).reduce(_ && _),
+      "full_outer")
+    val differs = compareCols
+      .map(c => !(col("__a_" + c) <=> col("__b_" + c)))
+    val changedCols = array_compact(array(compareCols.map(c =>
+      when(!(col("__a_" + c) <=> col("__b_" + c)), lit(c))): _*))
+    val changeType = when(col("__a_present").isNull, lit("added"))
+      .when(col("__b_present").isNull, lit("removed"))
+      .when(differs.reduce(_ || _), lit("changed"))
+    joined
+      .withColumn("change_type", changeType)
+      .filter(col("change_type").isNotNull)
+      .withColumn("changed_cols",
+        when(col("change_type") === "changed",
+          array_join(changedCols, ",")).otherwise(lit("")))
+      .select(keys.map(k =>
+        coalesce(col("__a_" + k), col("__b_" + k)).as(k)) ++
+        Seq(col("change_type"), col("changed_cols")): _*)
+  }
 }

@@ -67,6 +67,37 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("LowerBound equals a linear scan under Spark double ordering (incl NaN, ±0.0)") {
+    // reference: count of boundaries strictly below v under Spark SQL
+    // ordering (NaN largest, -0.0 == 0.0)
+    def ref(bnds: Array[Double], v: Double): Int =
+      bnds.count(b => org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        .compareDoubles(b, v) < 0)
+    val special = Array(Double.NaN, 0.0, -0.0, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue)
+    val cases = (0 until 120).map { _ =>
+      val n = rnd.nextInt(8)
+      val bnds = Array.fill(n)(
+        if (rnd.nextInt(4) == 0) special(rnd.nextInt(special.length))
+        else rnd.nextInt(10).toDouble)
+        .sortWith((a, b) => org.apache.spark.sql.catalyst.util
+          .SQLOrderingUtil.compareDoubles(a, b) < 0)
+      val v = if (rnd.nextInt(3) == 0) special(rnd.nextInt(special.length))
+        else rnd.nextInt(10).toDouble
+      (bnds, v)
+    }
+    val got = cases.toDF("bnds", "v")
+      .select(org.apache.spark.sql.GraftBridge.column(
+        graft.plans.LowerBound(
+          org.apache.spark.sql.GraftBridge.expression(col("bnds")),
+          org.apache.spark.sql.GraftBridge.expression(col("v")))))
+      .collect().map(_.getInt(0))
+    cases.zip(got).foreach { case ((bnds, v), g) =>
+      assert(g == ref(bnds, v),
+        s"lower_bound(${bnds.mkString(",")}, $v) = $g, want ${ref(bnds, v)}")
+    }
+  }
+
   test("sort-based percentiles match Spark's percentile aggregate (random groups)") {
     val data = (0 until 12).flatMap { g =>
       val n = 1 + rnd.nextInt(50)
