@@ -443,6 +443,23 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** q29: bloom-pruned join ([[operators.Scale.bloomPrunedJoin]]):
+    * urgent orders' key set becomes a bloom filter probed map-side on
+    * the lineitem scan, so non-matching fact rows never reach the
+    * shuffle — the semi-join reduction for a small side too big to
+    * broadcast. False positives are removed by the exact join, so the
+    * plain join IS the oracle. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    operators.Scale.bloomPrunedJoin(
+        T(s, dir, "lineitem"),
+        T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        bigKey = "l_orderkey", smallKey = "o_orderkey")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("month")
+
   /** a02: mergeable HLL sketch rollup — per-day sketches unioned to
     * per-type totals WITHOUT rescanning raw data: the pre-aggregation
     * pattern that makes distinct-count rollups feasible at 100 TB
@@ -938,6 +955,7 @@ object SparkEntry {
     "q26_cube_grouping" -> (q26 _),
     "q27_range_window" -> (q27 _),
     "q28_snapshot_diff" -> (q28 _),
+    "q29_bloom_join" -> (q29 _),
     "a02_sketch_rollup" -> (a02 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
@@ -1272,6 +1290,14 @@ object SparkEntry {
         |WHERE ak IS NULL OR bk IS NULL
         |  OR ab IS DISTINCT FROM bb OR am IS DISTINCT FROM bm
         |ORDER BY c_custkey""".stripMargin,
+    "q29_bloom_join" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY strftime(o_orderdate, '%Y-%m')
+        |ORDER BY month""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
+
+import graft.plans.BloomMightContain
 
 /** Scale-out utilities: skew-salted joins and pruned data layouts.
   *
@@ -32,6 +34,41 @@ object Scale {
     val replicated = small.withColumn("__salt",
       explode(array((0 until numSalts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Bloom-pruned equi-join: semi-join reduction for the case where
+    * the small side is too big to BROADCAST but its key set fits a
+    * bloom filter. The filter is built distributed over the small
+    * side's keys (one aggregate job, a few MB of bits for tens of
+    * millions of keys), then probed MAP-SIDE on the big side — inside
+    * the scan's codegen, before the shuffle — so non-matching fact
+    * rows never enter the exchange. At 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling the ~match
+    * fraction (plus fpp).
+    *
+    * Correctness is unconditional: bloom filters have false positives
+    * (removed by the exact join) but no false negatives, so the
+    * result is identical to the plain join — which is exactly how the
+    * oracle checks it.
+    *
+    * @param expectedItems sizing hint for the filter; <= 0 counts the
+    *   small side first (one extra cheap job). */
+  def bloomPrunedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      expectedItems: Long = -1L,
+      fpp: Double = 0.01): DataFrame = {
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(small.count(), 1L)
+    // build and probe must hash the same representation: cast both
+    // sides to long (putLong / mightContainLong)
+    val bf = small.select(col(smallKey).cast("long").as("__k"))
+      .stat.bloomFilter("__k", items, fpp)
+    val pruned = big.filter(GraftBridge.column(BloomMightContain(
+      GraftBridge.expression(col(bigKey).cast("long")), bf)))
+    pruned.join(small, pruned(bigKey) === small(smallKey))
   }
 
   /** Compact a parquet directory to ~`targetFileBytes` output files —

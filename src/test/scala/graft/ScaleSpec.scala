@@ -20,6 +20,72 @@ class ScaleSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("bloomPrunedJoin returns identical results to a plain join") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val urgent = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plain = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val bloomed = Scale
+      .bloomPrunedJoin(li, urgent, "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(bloomed == plain)
+  }
+
+  test("bloom probe runs map-side: filter below the exchange, and prunes") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val urgent = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    // AQE off (query stages are leaf nodes — the filter would be
+    // invisible to collect) and broadcast off so the join is a
+    // sort-merge with real exchanges to sit below
+    val conf = spark.conf
+    val (aqe, bcast) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale
+        .bloomPrunedJoin(li, urgent, "l_orderkey", "o_orderkey")
+      val exec = joined.queryExecution.executedPlan
+      val shufflesInPlan = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shufflesInPlan.nonEmpty, s"expected a sort-merge join:\n$exec")
+      val bloomFilters = exec.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("bloom_might_contain") => f
+      }
+      assert(bloomFilters.nonEmpty, s"no bloom filter in plan:\n$exec")
+      bloomFilters.foreach { f =>
+        val shuffles = f.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(shuffles.isEmpty,
+          s"bloom probe must sit below the exchange (map-side):\n$f")
+      }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+    // and it must actually prune: urgent orders are ~20% of lineitem
+    val pruned = li.filter(org.apache.spark.sql.GraftBridge.column(
+      graft.plans.BloomMightContain(
+        org.apache.spark.sql.GraftBridge.expression(
+          col("l_orderkey").cast("long")),
+        urgent.select(col("o_orderkey").cast("long").as("__k"))
+          .stat.bloomFilter("__k", 1000, 0.01)))).count()
+    val total = li.count()
+    assert(pruned < total / 2,
+      s"bloom pruned $pruned of $total — no real reduction")
+  }
+
   test("compact merges a many-small-file layout, preserving rows") {
     val src = Files.createTempDirectory("graft_compact_src").toString
     val dest = Files.createTempDirectory("graft_compact_dst").toString + "/out"
