@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextFns}
@@ -75,6 +75,21 @@ object Dedup {
       textCol: Column,
       numHashes: Int = 64,
       shingleSize: Int = 2,
+      rowsPerBand: Int = 4): DataFrame =
+    pairsFromBandTable(
+      minHashBandTable(df, idCol, textCol, numHashes, shingleSize,
+        rowsPerBand))
+
+  /** The exploded (doc_id, band, band_hash) band table — the LSH
+    * shuffle key, factored out so it can either feed the self-join
+    * directly ([[minHashCandidatePairs]]) or be written once as a
+    * bucketed layout ([[writeBandedLayout]]). */
+  def minHashBandTable(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      numHashes: Int = 64,
+      shingleSize: Int = 2,
       rowsPerBand: Int = 4): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val numBands = numHashes / rowsPerBand
@@ -85,10 +100,13 @@ object Dedup {
         element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("band_hash"))
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.band_hash").as("band_hash"))
+  }
+
+  private def pairsFromBandTable(banded: DataFrame): DataFrame = {
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -98,6 +116,32 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
   }
+
+  /** Amortize the LSH shuffle into the ingest: write the band table
+    * bucketed (and sorted) on (band, band_hash). Every subsequent
+    * candidate generation against the saved layout
+    * ([[candidatePairsFromLayout]]) plans its self-join with ZERO
+    * exchanges — at 100 TB the banding explode+shuffle is paid once
+    * per corpus snapshot instead of once per dedup run. */
+  def writeBandedLayout(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      table: String,
+      numBuckets: Int = 32,
+      numHashes: Int = 64,
+      shingleSize: Int = 2,
+      rowsPerBand: Int = 4): Unit =
+    minHashBandTable(df, idCol, textCol, numHashes, shingleSize, rowsPerBand)
+      .write.bucketBy(numBuckets, "band", "band_hash")
+      .sortBy("band", "band_hash")
+      .mode("overwrite").saveAsTable(table)
+
+  /** Candidate pairs from a [[writeBandedLayout]] table — identical
+    * output to [[minHashCandidatePairs]], shuffle-free join. */
+  def candidatePairsFromLayout(
+      spark: SparkSession, table: String): DataFrame =
+    pairsFromBandTable(spark.table(table))
 
   /** Per-doc 64-bit SimHash: each token votes ±1 on every bit of its
     * xxhash64; the signature takes the sign. One explode + one

@@ -7,6 +7,45 @@ import org.apache.spark.sql.functions._
   * joins affordable at 100 TB (pay the shuffle once at write time). */
 class BucketingSpec extends SparkSuite {
 
+  test("banded LSH layout: candidate self-join plans no shuffle, same pairs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    graft.operators.Dedup.writeBandedLayout(
+      docs, col("doc_id"), col("text"), "bands_b", numBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fromLayout = graft.operators.Dedup
+        .candidatePairsFromLayout(spark, "bands_b")
+      // the join itself must be exchange-free (the trailing distinct
+      // legitimately shuffles on the pair key)
+      val exec = fromLayout.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val joins = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.nonEmpty, "expected a sort-merge self-join")
+      joins.foreach { j =>
+        val ex = j.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(ex.isEmpty, s"banded-layout join still shuffles:\n$j")
+      }
+      val direct = graft.operators.Dedup
+        .minHashCandidatePairs(docs, col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val layout = fromLayout
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(layout == direct,
+        s"layout pairs diverge: ${layout.size} vs ${direct.size}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bands_b")
+    }
+  }
+
   test("join of tables bucketed on the key plans no shuffle") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val orders = Tables.load(spark, sfDir, "orders")
