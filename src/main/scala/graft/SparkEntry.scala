@@ -460,6 +460,30 @@ object SparkEntry {
           .as("revenue"))
       .orderBy("month")
 
+  /** q30: SCD2 history across three dated snapshots
+    * ([[Relational.scdHistory]]): per-customer market-segment
+    * intervals with valid_from/valid_to, one key shuffle serving both
+    * the change-lag and the interval-lead windows. Snapshots are
+    * derived deterministically (key%7 moves in Feb, key%5 in Mar) so
+    * the oracle re-derives the identical stack. */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+    def snap(date: String, seg: Column) =
+      cust.select(col("c_custkey"), seg.as("c_mktsegment"),
+        lit(date).as("snap_date"))
+    val s1 = snap("2026-01-01", col("c_mktsegment"))
+    val s2 = snap("2026-02-01",
+      when(col("c_custkey") % 7 === 0, lit("MOVED7"))
+        .otherwise(col("c_mktsegment")))
+    val s3 = snap("2026-03-01",
+      when(col("c_custkey") % 5 === 0, lit("MOVED5"))
+        .when(col("c_custkey") % 7 === 0, lit("MOVED7"))
+        .otherwise(col("c_mktsegment")))
+    Relational.scdHistory(s1.unionAll(s2).unionAll(s3),
+      Seq("c_custkey"), Seq("c_mktsegment"), "snap_date")
+      .orderBy("c_custkey", "valid_from")
+  }
+
   /** a02: mergeable HLL sketch rollup — per-day sketches unioned to
     * per-type totals WITHOUT rescanning raw data: the pre-aggregation
     * pattern that makes distinct-count rollups feasible at 100 TB
@@ -956,6 +980,7 @@ object SparkEntry {
     "q27_range_window" -> (q27 _),
     "q28_snapshot_diff" -> (q28 _),
     "q29_bloom_join" -> (q29 _),
+    "q30_scd2_history" -> (q30 _),
     "a02_sketch_rollup" -> (a02 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
@@ -1298,6 +1323,32 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY strftime(o_orderdate, '%Y-%m')
         |ORDER BY month""".stripMargin,
+    "q30_scd2_history" ->
+      """WITH snaps AS (
+        |  SELECT c_custkey, c_mktsegment, '2026-01-01' AS snap_date
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED7'
+        |      ELSE c_mktsegment END, '2026-02-01'
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED5'
+        |      WHEN c_custkey % 7 = 0 THEN 'MOVED7'
+        |      ELSE c_mktsegment END, '2026-03-01'
+        |  FROM customer),
+        |  c AS (SELECT *, CASE WHEN lag(c_mktsegment) OVER w
+        |        IS DISTINCT FROM c_mktsegment
+        |      OR lag(snap_date) OVER w IS NULL THEN 1 ELSE 0 END AS chg
+        |    FROM snaps WINDOW w AS (PARTITION BY c_custkey
+        |      ORDER BY snap_date)),
+        |  f AS (SELECT c_custkey, c_mktsegment,
+        |      snap_date AS valid_from FROM c WHERE chg = 1)
+        |SELECT c_custkey, c_mktsegment, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY c_custkey
+        |    ORDER BY valid_from) AS valid_to
+        |FROM f ORDER BY c_custkey, valid_from""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Normalize
@@ -144,5 +145,42 @@ object Relational {
       .select(keys.map(k =>
         coalesce(col("__a_" + k), col("__b_" + k)).as(k)) ++
         Seq(col("change_type"), col("changed_cols")): _*)
+  }
+
+  /** Build a type-2 slowly-changing-dimension history from a stack of
+    * dated snapshots: one row per (key, attribute-state) interval,
+    * `valid_from` = the snapshot that introduced the state,
+    * `valid_to` = the snapshot that replaced it (NULL = current).
+    *
+    * The complement of [[snapshotDiff]] over the reference's dated
+    * snapshot model (fetch.py:104-201): diff answers "what changed
+    * between two publishes", this answers "what was true when" across
+    * ALL publishes — the registry-history question.
+    *
+    * Plan shape: ONE hash shuffle on the key serves both windows (the
+    * change-detection lag and the interval-closing lead reuse the
+    * same partitioning; Catalyst plans one Exchange + two sorts).
+    * Attribute comparison is null-safe; a key's first snapshot row
+    * always opens an interval. Keys deleted in a later snapshot keep
+    * their last interval open — pair with [[snapshotDiff]] to detect
+    * removals. Input must contain each key at most once per date. */
+  def scdHistory(
+      snapshots: DataFrame,
+      keys: Seq[String],
+      attrs: Seq[String],
+      dateCol: String): DataFrame = {
+    require(keys.nonEmpty && attrs.nonEmpty,
+      "scdHistory needs at least one key and one tracked attribute")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+    val changed = attrs
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _) || row_number().over(w) === 1
+    snapshots
+      .withColumn("__chg", changed)
+      .filter(col("__chg"))
+      .select((keys ++ attrs).map(col) :+ col(dateCol).as("valid_from"): _*)
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(keys.map(col): _*).orderBy(col("valid_from"))))
   }
 }

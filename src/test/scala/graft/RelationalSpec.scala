@@ -57,4 +57,42 @@ class RelationalSpec extends SparkSuite {
     assert(Relational.snapshotDiff(snapA, snapA, Seq("k"),
       Seq("name", "bal")).isEmpty)
   }
+
+  private lazy val snapStack = Seq(
+    // key 1: A -> A -> B   (one change)
+    (1L, Some("A"), "d1"), (1L, Some("A"), "d2"), (1L, Some("B"), "d3"),
+    // key 2: stable        (one open interval)
+    (2L, Some("X"), "d1"), (2L, Some("X"), "d2"), (2L, Some("X"), "d3"),
+    // key 3: null -> C     (null-safe change detection)
+    (3L, None: Option[String], "d1"), (3L, Some("C"), "d2"),
+    // key 4: appears late  (first snapshot opens the interval)
+    (4L, Some("Z"), "d3")
+  ).toDF("k", "seg", "dt")
+
+  test("scdHistory emits one row per attribute-state interval") {
+    val rows = Relational.scdHistory(snapStack, Seq("k"), Seq("seg"), "dt")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("null"),
+        r.getString(2), Option(r.getString(3)).getOrElse("open")))
+      .toSet
+    assert(rows == Set(
+      (1L, "A", "d1", "d3"), (1L, "B", "d3", "open"),
+      (2L, "X", "d1", "open"),
+      (3L, "null", "d1", "d2"), (3L, "C", "d2", "open"),
+      (4L, "Z", "d3", "open")), s"got $rows")
+  }
+
+  test("scdHistory plans ONE shuffle for both windows") {
+    val hist = Relational.scdHistory(snapStack, Seq("k"), Seq("seg"), "dt")
+    val exec = hist.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size == 1,
+      s"change-lag and interval-lead must reuse one key partitioning:\n$exec")
+  }
 }
