@@ -484,6 +484,28 @@ object SparkEntry {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** q31: data-quality audit ([[operators.Quality]]): row-predicate
+    * expectations fused into one scan per table, key uniqueness as a
+    * hash-agg, referential integrity as anti-joins — the publish-time
+    * validation a snapshot passes before going live. */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    import operators.Quality
+    val cust = T(s, dir, "customer")
+    val checks = Seq(
+      Quality.expectAll(cust, Seq(
+        "customer_nationkey_not_null" -> col("c_nationkey").isNull,
+        "customer_acctbal_in_range" ->
+          (col("c_acctbal") < -1000 || col("c_acctbal") > 10000))),
+      Quality.expectAll(T(s, dir, "documents"), Seq(
+        "documents_text_min_20_chars" -> (length(col("text")) < 20))),
+      Quality.expectUnique(cust, "customer_key_unique", Seq("c_custkey")),
+      Quality.expectReferential(T(s, dir, "orders"), cust,
+        "orders_custkey_referential", "o_custkey", "c_custkey"),
+      Quality.expectReferential(T(s, dir, "events"), cust,
+        "events_user_referential", "user_id", "c_custkey"))
+    Quality.audit(checks).orderBy("check_name")
+  }
+
   /** a02: mergeable HLL sketch rollup — per-day sketches unioned to
     * per-type totals WITHOUT rescanning raw data: the pre-aggregation
     * pattern that makes distinct-count rollups feasible at 100 TB
@@ -722,6 +744,18 @@ object SparkEntry {
   private def d08(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashCandidatePairs(T(s, dir, "documents"),
         col("doc_id"), col("text"))
+      .orderBy("a_id", "b_id")
+
+  /** d09: blocked fuzzy match ([[Dedup.fuzzyMatchPairs]]): customers
+    * whose names are within edit distance 1, blocked on
+    * (mktsegment, 16-char name prefix) so the quadratic verify stays
+    * within-block — the record-linkage shape of the reference's
+    * owner-name normalization problem. */
+  private def d09(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyMatchPairs(T(s, dir, "customer"),
+        col("c_custkey"), col("c_name"),
+        Seq(col("c_mktsegment"), substring(col("c_name"), 1, 16)),
+        maxDistance = 1)
       .orderBy("a_id", "b_id")
 
   /** d07: corpus-scale embedding near-dup — hyperplane LSH buckets →
@@ -981,6 +1015,7 @@ object SparkEntry {
     "q28_snapshot_diff" -> (q28 _),
     "q29_bloom_join" -> (q29 _),
     "q30_scd2_history" -> (q30 _),
+    "q31_quality_audit" -> (q31 _),
     "a02_sketch_rollup" -> (a02 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
@@ -1006,6 +1041,7 @@ object SparkEntry {
     "d06_neardup_pipeline" -> (d06 _),
     "d07_embedding_neardup_lsh" -> (d07 _),
     "d08_simhash_pairs" -> (d08 _),
+    "d09_fuzzy_match" -> (d09 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
@@ -1349,6 +1385,33 @@ object SparkEntry {
         |  lead(valid_from) OVER (PARTITION BY c_custkey
         |    ORDER BY valid_from) AS valid_to
         |FROM f ORDER BY c_custkey, valid_from""".stripMargin,
+    "q31_quality_audit" ->
+      """WITH v AS (
+        |  SELECT 'customer_nationkey_not_null' AS check_name,
+        |    sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_violations FROM customer
+        |  UNION ALL
+        |  SELECT 'customer_acctbal_in_range',
+        |    sum(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000
+        |      THEN 1 ELSE 0 END)::BIGINT FROM customer
+        |  UNION ALL
+        |  SELECT 'documents_text_min_20_chars',
+        |    sum(CASE WHEN length(text) < 20 THEN 1 ELSE 0 END)::BIGINT
+        |    FROM documents
+        |  UNION ALL
+        |  SELECT 'customer_key_unique',
+        |    (count(*) - count(DISTINCT c_custkey))::BIGINT FROM customer
+        |  UNION ALL
+        |  SELECT 'orders_custkey_referential', count(*)::BIGINT
+        |  FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'events_user_referential', count(*)::BIGINT
+        |  FROM events e WHERE e.user_id IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |SELECT check_name, n_violations,
+        |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM v ORDER BY check_name""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
@@ -1465,6 +1528,15 @@ object SparkEntry {
         |    len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY a_id""".stripMargin,
+    "d09_fuzzy_match" ->
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        |  levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_mktsegment = b.c_mktsegment
+        |  AND substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
     "d05_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |    FROM embeddings WHERE vec_id < 200)

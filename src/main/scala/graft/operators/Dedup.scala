@@ -143,6 +143,35 @@ object Dedup {
       spark: SparkSession, table: String): DataFrame =
     pairsFromBandTable(spark.table(table))
 
+  /** Blocked fuzzy string matching (record linkage): pairs share a
+    * cheap deterministic block key — bounding the quadratic verify to
+    * within-block — then exact edit-distance verification. The
+    * registry analog of owner-name matching: the reference normalizes
+    * owner names (hangarbay/address.py) precisely because
+    * near-identical spellings abound; this finds the survivors.
+    *
+    * Same scale shape as the LSH paths: one hash shuffle on the block
+    * key, pair volume bounded by block size (pick block keys the way
+    * you'd pick LSH bands — tight enough that a block fits a task),
+    * codegen'd levenshtein only within blocks, never all-pairs. */
+  def fuzzyMatchPairs(
+      df: DataFrame,
+      idCol: Column,
+      nameCol: Column,
+      blockKeys: Seq[Column],
+      maxDistance: Int = 1): DataFrame = {
+    val base = df.select(Seq(idCol.as("id"), nameCol.as("name")) ++
+      blockKeys.zipWithIndex.map { case (c, i) => c.as(s"__blk$i") }: _*)
+    val a = base.alias("a")
+    val b = base.alias("b")
+    val sameBlock = blockKeys.indices
+      .map(i => col(s"a.__blk$i") <=> col(s"b.__blk$i")).reduce(_ && _)
+    a.join(b, sameBlock && col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= maxDistance)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+  }
+
   /** Per-doc 64-bit SimHash: each token votes ±1 on every bit of its
     * xxhash64; the signature takes the sign. One explode + one
     * 64-expression hash-aggregate (same single-shuffle shape as
