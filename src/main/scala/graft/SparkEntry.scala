@@ -931,6 +931,28 @@ object SparkEntry {
         trunc4(count(col("t1")) / count(lit(1))).as("conversion"))
   }
 
+  /** e12: incremental rollup merge ([[Temporal.mergeRollup]]): the
+    * stored per-day rollup of history (ts < cutoff) merges with the
+    * delta's partial aggregates (ts >= cutoff) by re-summing the
+    * additive measures — no history rescan. The oracle is the FULL
+    * single-pass recompute: partial-merge must be indistinguishable
+    * from it, for any cutoff. */
+  private def e12(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-16 12:00:00").cast("timestamp")
+    val ev = T(s, dir, "events")
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"), col("event_type"), col("value"), col("ts"))
+    def roll(df: DataFrame) = df.groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    val base = roll(ev.filter(col("ts") < cutoff))
+    val delta = roll(ev.filter(col("ts") >= cutoff))
+    Temporal
+      .mergeRollup(base, delta, Seq("day", "event_type"), Seq("n", "sv"))
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("sv"), 2).as("total_value"))
+      .orderBy("day", "event_type")
+  }
+
   /** p01: the corpus pipeline COMPOSED end to end — exact dedup
     * keep-list → quality scoring → threshold filter → per-language
     * rollup. Every stage is an operator with its own oracle-checked
@@ -1058,6 +1080,7 @@ object SparkEntry {
     "e09_stream_stream_join" -> (e09 _),
     "e10_streaming_dedup" -> (e10 _),
     "e11_conversion_funnel" -> (e11 _),
+    "e12_incremental_rollup" -> (e12 _),
     "p01_corpus_pipeline" -> (p01 _),
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _)
@@ -1644,6 +1667,10 @@ object SparkEntry {
         |SELECT count(*) AS n_signup, count(p.t1) AS n_converted,
         |  floor((count(p.t1) / count(*)) * 10000) / 10000 AS conversion
         |FROM s LEFT JOIN p ON s.user_id = p.user_id""".stripMargin,
+    "e12_incremental_rollup" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "p01_corpus_pipeline" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
         |    GROUP BY md5(upper(regexp_replace(trim(text), '\s+', ' ', 'g')))),

@@ -13,6 +13,28 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Merge a stored rollup with a delta's partial aggregates WITHOUT
+    * rescanning history — the incremental daily-ETL pattern: additive
+    * aggregates (counts, sums) are associative, so yesterday's rollup
+    * table plus today's delta partials re-aggregate to exactly the
+    * full recompute. At 100 TB this is the difference between
+    * scanning one day and scanning the archive.
+    *
+    * Both inputs must carry the same `keys` and the same additive
+    * measure columns `sumCols` (the delta side already aggregated to
+    * partials with the same expressions). Non-additive aggregates
+    * (avg, distinct) must be carried as additive parts
+    * (sum+count, sketches — see a02's HLL rollup) — not ratios. */
+  def mergeRollup(
+      base: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String]): DataFrame =
+    base.unionAll(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same key exceeds `gapSeconds`. Returns
     * one row per session with count and span (epoch-micros bounds).

@@ -22,9 +22,11 @@ class QueriesSmokeSpec extends SparkSuite {
   test("no accidental cartesian or nested-loop joins in any query plan") {
     // intentional full scans: the exact-verification block (d05) and
     // the brute-force KNN baselines join on pure inequality by design;
-    // IVF probes cross-join a broadcast ~k-row centroid table
+    // IVF probes cross-join a broadcast ~k-row centroid table; t08
+    // broadcasts the ONE-row corpus count (scalar-subquery shape)
     val intentional = Set("d05_embedding_neardup", "s01_knn_brute",
-      "s04_knn_topk_agg", "s03_ivf_ann", "s05_ivf_kmeans")
+      "s04_knn_topk_agg", "s03_ivf_ann", "s05_ivf_kmeans",
+      "t08_tfidf_keywords")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",
