@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
-import graft.plans.BloomMightContain
+import graft.plans.{BloomMightContain, LowerBound}
 
 /** Scale-out utilities: skew-salted joins and pruned data layouts.
   *
@@ -100,6 +100,51 @@ object Scale {
       else if (nFiles > current) df.repartition(nFiles)
       else df
     sized.write.mode("overwrite").parquet(destPath)
+  }
+
+  /** Z-order (Morton curve) layout write: quantile-bucket codes of
+    * TWO columns are bit-interleaved into one sort key; the data is
+    * range-partitioned and sorted by it. Each output file then covers
+    * a small rectangle in (colA, colB) space, so parquet min/max
+    * stats prune files/row groups for predicates on EITHER column —
+    * where a single-column sort prunes one column and leaves the
+    * other spanning every file. The standard multi-dimension
+    * clustering layout for a 100 TB table queried on several keys.
+    *
+    * Mechanics: per-column boundaries from one `percentile_approx`
+    * pass (boundary placement only balances the curve, never affects
+    * correctness), codes assigned via the codegen'd binary-search
+    * [[graft.plans.LowerBound]], interleave in plain shift/or
+    * expressions — everything stays in whole-stage codegen. NULLs
+    * sort first (range partitioning on a null z-value). */
+  def zOrderedWrite(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      numFiles: Int = 64,
+      bits: Int = 8): Unit = {
+    val nCuts = (1 << bits) - 1
+    val cuts = array((1 to nCuts).map(i =>
+      lit(i.toDouble / (nCuts + 1))): _*)
+    def cutsOf(c: String) =
+      percentile_approx(col(c).cast("double"), cuts, lit(1000))
+    val bounds = df.agg(cutsOf(colA).as("a"), cutsOf(colB).as("b")).head()
+    def code(c: String, idx: Int): Column = GraftBridge.column(LowerBound(
+      GraftBridge.expression(
+        typedLit(bounds.getSeq[Double](idx).toSeq)),
+      GraftBridge.expression(col(c).cast("double"))))
+    val (a, b) = (code(colA, 0), code(colB, 1))
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i + 1)
+          .cast("long"))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i)
+          .cast("long"))
+    }
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Write a table partitioned by low-cardinality columns and sorted

@@ -102,6 +102,41 @@ class ScaleSpec extends SparkSuite {
     assert(spark.read.parquet(dest).count() == orders.count())
   }
 
+  test("zOrderedWrite clusters BOTH columns; single-col sort only one") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    // fraction of files whose [min,max] admits a probe value, averaged
+    // over 10 evenly spaced actual values — the expected file-skip rate
+    def coverage(dir: String, c: String): Double = {
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val probes = li.select(col(c)).distinct().orderBy(col(c))
+        .collect().map(_.getLong(0))
+      val picked = (0 until 10).map(i => probes(i * probes.length / 10))
+      picked.map(v =>
+        perFile.count { case (lo, hi) => lo <= v && v <= hi }.toDouble /
+          perFile.length).sum / picked.length
+    }
+    val zdir = Files.createTempDirectory("graft_z").toString + "/z"
+    Scale.zOrderedWrite(li, zdir, "l_partkey", "l_suppkey", numFiles = 16)
+    assert(spark.read.parquet(zdir).count() == li.count())
+    val sdir = Files.createTempDirectory("graft_z").toString + "/s"
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(sdir)
+    val (zPart, zSupp) = (coverage(zdir, "l_partkey"),
+      coverage(zdir, "l_suppkey"))
+    val (sPart, sSupp) = (coverage(sdir, "l_partkey"),
+      coverage(sdir, "l_suppkey"))
+    // single-col sort: near-perfect on the sort key, useless on the other
+    assert(sPart < 0.3, s"partkey-sorted baseline should prune partkey: $sPart")
+    assert(sSupp > 0.9, s"suppkey should span every partkey-sorted file: $sSupp")
+    // z-order: real pruning on BOTH
+    assert(zPart < 0.7, s"z-order must prune partkey probes: $zPart")
+    assert(zSupp < 0.7, s"z-order must prune suppkey probes: $zSupp")
+  }
+
   test("partitionedWrite produces a layout that prunes partitions") {
     val out = Files.createTempDirectory("graft_layout").toString + "/docs"
     val docs = Tables.load(spark, sfDir, "documents")
