@@ -36,6 +36,11 @@ object Cli {
       |  sql <query>                   ad-hoc SQL over registry views
       |  search <n-number>             N-number lookup w/ owner
       |  fleet <owner> [--state ST] [--limit N]
+      |  diff <otherDataRoot> [table]  what changed vs another
+      |                                snapshot's publish (default
+      |                                aircraft): added/removed/changed
+      |  audit                         data-quality report (uniqueness,
+      |                                nulls, referential integrity)
       |  tables                        list queryable tables/views
       |  schema <table>                column names/types
       |  version                       library version
@@ -103,6 +108,43 @@ object Cli {
         }
         val (state, limit) = parse(rest, None, None)
         Some(reg.fleet(owner, state, limit.getOrElse(0)))
+
+      case "diff" :: otherRoot :: rest =>
+        // what changed between another snapshot's publish and ours —
+        // keyed on n_number, every shared non-key aircraft column
+        // compared (Relational.snapshotDiff)
+        val table = rest.headOption.getOrElse("aircraft")
+        val mine = reg.table(table)
+        val theirs = spark.read.parquet(
+          s"$otherRoot/publish/$table.parquet")
+        val key = "n_number"
+        require(mine.columns.contains(key) && theirs.columns.contains(key),
+          s"diff supports n_number-keyed tables, not $table\n$usage")
+        val compared = mine.columns.filter(_ != key)
+          .filter(theirs.columns.contains)
+        Some(graft.operators.Relational.snapshotDiff(
+          theirs, mine, Seq(key), compared.toSeq).orderBy(key))
+
+      case "audit" :: Nil =>
+        // publish-time data-quality gate over the registry tables
+        import graft.operators.Quality
+        Some(Quality.audit(Seq(
+          Quality.expectUnique(reg.table("aircraft"),
+            "aircraft_n_number_unique", Seq("n_number")),
+          Quality.expectAll(reg.table("aircraft"), Seq(
+            "aircraft_n_number_not_null" ->
+              org.apache.spark.sql.functions.col("n_number").isNull)),
+          Quality.expectReferential(reg.table("aircraft"),
+            reg.table("aircraft_make_model"),
+            "aircraft_make_model_referential", "mfr_mdl_code",
+            "mfr_mdl_code"),
+          Quality.expectReferential(reg.table("owners"),
+            reg.table("aircraft"),
+            "owners_n_number_referential", "n_number", "n_number"),
+          Quality.expectReferential(reg.table("aircraft"),
+            reg.table("engines"),
+            "aircraft_engine_referential", "engine_code", "engine_code")))
+          .orderBy("check_name"))
 
       case "tables" :: Nil =>
         Some(reg.listTables.toDF("table_name"))

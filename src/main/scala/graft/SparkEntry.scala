@@ -683,6 +683,16 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** t09: quality-weighted corpus draw without replacement
+    * ([[operators.Sampling.weightedSample]], A-ES over hash-derived
+    * uniforms, text length as the weight). Rows-only oracle (xxhash
+    * keys); determinism + weight-monotonicity in SamplingSpec. */
+  private def t09(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.weightedSample(
+        T(s, dir, "documents"), "doc_id", length(col("text")), 100)
+      .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------
   // Deduplication (documents)
   // ---------------------------------------------------------------
@@ -1054,6 +1064,7 @@ object SparkEntry {
     "t06_sample_stratified" -> (t06 _),
     "t07_repetition_signals" -> (t07 _),
     "t08_tfidf_keywords" -> (t08 _),
+    "t09_weighted_sample" -> (t09 _),
     "n07_pii_redact" -> (n07 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_pairs" -> (d02 _),

@@ -52,9 +52,10 @@ object Quality {
       name: String,
       childKey: String,
       parentKey: String): DataFrame =
-    child.select(col(childKey)).filter(col(childKey).isNotNull)
-      .join(parent.select(col(parentKey)),
-        col(childKey) === col(parentKey), "left_anti")
+    // aliased on both sides: child and parent key often share a name
+    child.select(col(childKey).as("__ck")).filter(col("__ck").isNotNull)
+      .join(parent.select(col(parentKey).as("__pk")),
+        col("__ck") === col("__pk"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_violations"))
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,6 +38,38 @@ object Sampling {
     df.filter(
       pmod(xxhash64(lit(seed), col(idCol)), lit(1000000L)) <
         (frac * 1000000L).cast("long"))
+  }
+
+  /** Weighted sampling WITHOUT replacement, k rows, inclusion odds
+    * proportional to `weight` — Efraimidis–Spirakis A-ES: each row
+    * draws a deterministic uniform u from a seeded hash of its id and
+    * ranks by u^(1/w); the top k are the sample. The quality-weighted
+    * corpus draw ("sample 10M docs, prefer high quality") that
+    * rand()-based approaches can't do reproducibly.
+    *
+    * Plan shape: one map-side key computation + a global top-k, which
+    * Spark executes as per-partition top-k + merge
+    * (TakeOrderedAndProject) — no global sort, no shuffle of the
+    * non-sampled mass. Rows with weight <= 0, NULL or NaN are
+    * excluded (a NaN key would sort first under Spark's NaN-largest
+    * descending order and hijack the sample). */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    // u in (0,1): (hash mod 2^40 + 0.5) / 2^40; key = u^(1/w),
+    // ordered desc with id tiebreak for full determinism
+    val u = (pmod(xxhash64(lit(seed), col(idCol)), lit(1L << 40))
+      .cast("double") + 0.5) / lit((1L << 40).toDouble)
+    val key = pow(u, lit(1.0) / weight.cast("double"))
+    df.filter(weight.isNotNull && !isnan(weight.cast("double")) &&
+        weight.cast("double") > 0)
+      .withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__wkey")
   }
 
   /** Exact per-stratum top-N by a deterministic hash order — a fixed

@@ -82,6 +82,42 @@ class CliSpec extends SparkSuite {
     assert(lim.count() == 1)
   }
 
+  test("diff reports added/removed/changed vs another snapshot root") {
+    val root2 = Files.createTempDirectory("graft_cli2").toString
+    val zip2 = s"$root2/snapshot.zip"
+    // vs dataRoot: 221LA's year changes (an aircraft-table column),
+    // 757AF is missing, 999ZZ is new
+    val master2 = master
+      .replace("221LA,SN001,C172,ENG1,2015", "221LA,SN001,C172,ENG1,2016")
+      .linesIterator.filterNot(_.startsWith("757AF")).mkString("\n") +
+      "\n999ZZ,SN003,C172,ENG1,2020,4,V,20240601,20270601,20200601,1," +
+      "50000003,A00003,SKY LEASING LLC,1 MAIN ST,,RENO,NV,89501,3\n"
+    writeZip(zip2, Map("MASTER.txt" -> master2, "ACFTREF.txt" -> acftref,
+      "ENGINE.txt" -> engine))
+    Cli.run(spark, root2, Seq("update", zip2, "2021-01-01"), _ => ())
+    val d = Cli.run(spark, dataRoot, Seq("diff", root2), _ => ())
+      .get.collect()
+      .map(r => r.getAs[String]("n_number") ->
+        (r.getAs[String]("change_type"), r.getAs[String]("changed_cols")))
+      .toMap
+    assert(d.keySet == Set("221LA", "757AF", "999ZZ"), s"got $d")
+    assert(d("757AF")._1 == "added", s"757AF exists only in ours: $d")
+    assert(d("999ZZ")._1 == "removed", s"999ZZ exists only in theirs: $d")
+    assert(d("221LA")._1 == "changed" && d("221LA")._2.nonEmpty,
+      s"221LA moved city, changed_cols must say which: $d")
+  }
+
+  test("audit runs the registry quality gate and flags the broken ref") {
+    val rows = Cli.run(spark, dataRoot, Seq("audit"), _ => ())
+      .get.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // fixture: 757AF references ENG2, which ENGINE.txt doesn't carry
+    assert(rows("aircraft_engine_referential") == (1L, "fail"), s"$rows")
+    assert(rows("aircraft_n_number_unique") == (0L, "pass"))
+    assert(rows("owners_n_number_referential") == (0L, "pass"))
+    assert(rows("aircraft_make_model_referential") == (0L, "pass"))
+  }
+
   test("malformed fleet flags are usage errors, not silent drops") {
     for (bad <- Seq(
         Seq("fleet", "POLICE", "--limit", "abc"),   // non-numeric

@@ -28,6 +28,42 @@ class SamplingSpec extends SparkSuite {
       assert(after(l) == before(l), s"untargeted stratum $l changed"))
   }
 
+  test("weightedSample is deterministic, k-sized, and weight-monotone") {
+    import spark.implicits._
+    // 400 ids, weights 1..4 by id%4+1: inclusion odds must rise with
+    // weight. Average over 30 seeds for a stable statistic.
+    val df = (0 until 400).map(i => (i.toLong, (i % 4 + 1).toDouble))
+      .toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", col("w"), 50)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(df, "id", col("w"), 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 50, "not deterministic or wrong k")
+    val hits = Array.fill(4)(0)
+    (0 until 30).foreach { s =>
+      Sampling.weightedSample(df, "id", col("w"), 50, seed = s)
+        .collect().foreach(r => hits((r.getLong(0) % 4).toInt) += 1)
+    }
+    assert(hits(3) > 2 * hits(0),
+      s"weight-4 ids must be drawn far more than weight-1: ${hits.toList}")
+    assert(hits(0) < hits(1) && hits(1) < hits(2) && hits(2) < hits(3),
+      s"inclusion must be monotone in weight: ${hits.toList}")
+  }
+
+  test("weightedSample excludes non-positive weights and plans top-k") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0), (4L, Double.NaN),
+      (5L, 2.0)).toDF("id", "w")
+    val kept = Sampling.weightedSample(df, "id", col("w"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L),
+      s"zero/negative/NaN weights must be excluded: $kept")
+    val plan = Sampling.weightedSample(docs, "doc_id",
+      length(col("text")), 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must plan as per-partition top-k + merge:\n$plan")
+  }
+
   test("stratifiedBudget takes exactly min(budget, stratum size)") {
     val out = Sampling.stratifiedBudget(docs, "lang", "doc_id", 30)
     val sizes = out.groupBy("lang").count().collect()
