@@ -506,6 +506,43 @@ object SparkEntry {
     Quality.audit(checks).orderBy("check_name")
   }
 
+  /** q32: CDC changeset application ([[Relational.applyChangeset]]):
+    * updates + deletes + inserts merge into the next snapshot in one
+    * FULL OUTER sort-merge join. The oracle derives the target
+    * snapshot DIRECTLY (no merge) — the merge path must be
+    * indistinguishable from rebuilding the snapshot. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+    val cs = Seq(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val updates = cust
+      .filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
+        col("c_mktsegment"), lit(false).as("is_delete"))
+    val deletes = cust.filter(col("c_custkey") % 97 === 0)
+      .select(cs :+ lit(true).as("is_delete"): _*)
+    val inserts = cust.filter(col("c_custkey") % 101 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        col("c_acctbal"), col("c_mktsegment"), lit(false).as("is_delete"))
+    Relational.applyChangeset(cust,
+        updates.unionAll(deletes).unionAll(inserts),
+        Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
+        col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** q33: set operators — INTERSECT / EXCEPT are distinct physical
+    * operators from the semi/anti joins (set semantics deduplicate);
+    * both cohorts in one result. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").select(col("c_custkey"))
+    val o = T(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    c.intersect(o).withColumn("cohort", lit("with_orders"))
+      .unionAll(c.except(o).withColumn("cohort", lit("no_orders")))
+      .select(col("cohort"), col("c_custkey"))
+      .orderBy("cohort", "c_custkey")
+  }
+
   /** a02: mergeable HLL sketch rollup — per-day sketches unioned to
     * per-type totals WITHOUT rescanning raw data: the pre-aggregation
     * pattern that makes distinct-count rollups feasible at 100 TB
@@ -1048,6 +1085,8 @@ object SparkEntry {
     "q29_bloom_join" -> (q29 _),
     "q30_scd2_history" -> (q30 _),
     "q31_quality_audit" -> (q31 _),
+    "q32_upsert_merge" -> (q32 _),
+    "q33_set_ops" -> (q33 _),
     "a02_sketch_rollup" -> (a02 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
@@ -1446,6 +1485,24 @@ object SparkEntry {
         |SELECT check_name, n_violations,
         |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM v ORDER BY check_name""".stripMargin,
+    "q32_upsert_merge" ->
+      """SELECT c_custkey,
+        |  round(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+        |    ELSE c_acctbal END, 2) AS acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 97 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 10000000, round(c_acctbal, 2), c_mktsegment
+        |FROM customer WHERE c_custkey % 101 = 0
+        |ORDER BY c_custkey""".stripMargin,
+    "q33_set_ops" ->
+      """SELECT 'with_orders' AS cohort, c_custkey FROM
+        |  (SELECT c_custkey FROM customer
+        |   INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'no_orders', c_custkey FROM
+        |  (SELECT c_custkey FROM customer
+        |   EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY cohort, c_custkey""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,

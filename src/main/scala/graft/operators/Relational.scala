@@ -147,6 +147,38 @@ object Relational {
         Seq(col("change_type"), col("changed_cols")): _*)
   }
 
+  /** Apply a CDC changeset to a snapshot (MERGE / upsert semantics):
+    * matched keys take the update's values, unmatched updates insert,
+    * keys flagged in `deleteCol` drop — producing the NEXT snapshot
+    * from the current one plus a changeset, without a table format's
+    * MERGE (the parquet-snapshot world the reference lives in:
+    * publish next to current, then swap).
+    *
+    * Inverse of [[snapshotDiff]]: applying a diff-shaped changeset to
+    * snapshot A reproduces snapshot B exactly.
+    *
+    * Plan shape: ONE shuffle per side into a single FULL OUTER
+    * sort-merge join on the key; per-column `coalesce(update, base)`
+    * is codegen. Updates must carry the full row (not per-column
+    * deltas) and at most one row per key. */
+  def applyChangeset(
+      base: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      cols: Seq[String],
+      deleteCol: String = "is_delete"): DataFrame = {
+    val b = base.select((keys ++ cols).map(c => col(c).as("__b_" + c)): _*)
+    val c = changes.select((keys ++ cols).map(n =>
+        col(n).as("__c_" + n)) :+ col(deleteCol).as("__del"): _*)
+      .withColumn("__in_c", lit(true)) // marker: NULL keys upsert too
+    val side = (n: String) => when(col("__in_c").isNotNull, col("__c_" + n))
+      .otherwise(col("__b_" + n)).as(n)
+    b.join(c, keys.map(k => col("__b_" + k) <=> col("__c_" + k))
+        .reduce(_ && _), "full_outer")
+      .filter(!coalesce(col("__del"), lit(false)))
+      .select((keys ++ cols).map(side): _*)
+  }
+
   /** Build a type-2 slowly-changing-dimension history from a stack of
     * dated snapshots: one row per (key, attribute-state) interval,
     * `valid_from` = the snapshot that introduced the state,

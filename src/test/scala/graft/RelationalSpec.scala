@@ -58,6 +58,24 @@ class RelationalSpec extends SparkSuite {
       Seq("name", "bal")).isEmpty)
   }
 
+  test("applyChangeset(A, changes) reproduces snapshot B exactly") {
+    // the exact changeset that turns snapA into snapB, incl. the
+    // NULL-key upsert and a delete
+    val changes = Seq(
+      (Some(2L), "BETA", 25.0, false),
+      (Some(4L), "DELTA", 44.0, false),
+      (None: Option[Long], "NULL-KEY2", 1.0, false),
+      (Some(3L), "GAMM", 30.0, true),   // delete
+      (Some(5L), "NEW", 50.0, false)    // insert
+    ).toDF("k", "name", "bal", "is_delete")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getDouble(2))).toSet
+    val merged = Relational.applyChangeset(snapA, changes,
+      Seq("k"), Seq("name", "bal"))
+    assert(rows(merged) == rows(snapB),
+      s"merge diverged from the target snapshot:\n${rows(merged)}")
+  }
+
   private lazy val snapStack = Seq(
     // key 1: A -> A -> B   (one change)
     (1L, Some("A"), "d1"), (1L, Some("A"), "d2"), (1L, Some("B"), "d3"),
