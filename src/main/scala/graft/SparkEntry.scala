@@ -543,6 +543,27 @@ object SparkEntry {
       .orderBy("cohort", "c_custkey")
   }
 
+  /** q34: the ranking-window family in one pass. Tie-sensitive
+    * functions (rank / dense_rank / percent_rank / cume_dist) rank on
+    * the date alone — ties are real and both engines must agree on
+    * them; positional ones (row_number / ntile) need the total order
+    * or they are nondeterministic. Both windows share one partition
+    * key, so Catalyst plans ONE exchange (two sorts). */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val tied = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
+    val total = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(total).as("rn"),
+        rank().over(tied).as("rk"),
+        dense_rank().over(tied).as("drk"),
+        trunc4(percent_rank().over(tied)).as("prk"),
+        trunc4(cume_dist().over(tied)).as("cd"),
+        ntile(4).over(total).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
   /** a02: mergeable HLL sketch rollup — per-day sketches unioned to
     * per-type totals WITHOUT rescanning raw data: the pre-aggregation
     * pattern that makes distinct-count rollups feasible at 100 TB
@@ -1087,6 +1108,7 @@ object SparkEntry {
     "q31_quality_audit" -> (q31 _),
     "q32_upsert_merge" -> (q32 _),
     "q33_set_ops" -> (q33 _),
+    "q34_rank_family" -> (q34 _),
     "a02_sketch_rollup" -> (a02 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
@@ -1503,6 +1525,19 @@ object SparkEntry {
         |  (SELECT c_custkey FROM customer
         |   EXCEPT SELECT o_custkey FROM orders)
         |ORDER BY cohort, c_custkey""".stripMargin,
+    "q34_rank_family" ->
+      """SELECT o_orderkey, o_custkey,
+        |  row_number() OVER total AS rn,
+        |  rank() OVER tied AS rk,
+        |  dense_rank() OVER tied AS drk,
+        |  floor(percent_rank() OVER tied * 10000) / 10000 AS prk,
+        |  floor(cume_dist() OVER tied * 10000) / 10000 AS cd,
+        |  ntile(4) OVER total AS quartile
+        |FROM orders
+        |WINDOW tied AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+        |  total AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
