@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextFns}
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, Temporal}
+import graft.operators.{Dedup, Multimodal, Quality, Relational, Similarity, Temporal}
 import graft.streaming.Streams
 
 /** Driver contract — queries keyed by SURVEY.md §2, each with a DuckDB
@@ -564,6 +564,44 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** q35: one-pass column profiler ([[Quality.profile]]) over
+    * lineitem — per-column counts/nulls/distinct/min/max from a
+    * single aggregate scan (the registry "describe" primitive). */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Quality.profile(T(s, dir, "lineitem"),
+        numericCols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax"),
+        stringCols = Seq("l_returnflag", "l_linestatus"))
+      .orderBy("column_name")
+
+  /** q36: equi-width histogram ([[Quality.histogram]]) of
+    * l_extendedprice — two aggregate passes (min/max broadcast →
+    * bucket hash-agg), no sort/collect. */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Quality.histogram(T(s, dir, "lineitem"), col("l_extendedprice"), 10)
+      .select(col("bucket"), trunc4(col("lo")).as("lo"),
+        trunc4(col("hi")).as("hi"), col("n"))
+      .orderBy("bucket")
+
+  /** t10: per-(source, lang) corpus mixture report — doc counts,
+    * token sums, corpus share: the mixture-weights table a training
+    * run samples from. One scan + tiny broadcast of the total. */
+  private def t10(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val g = docs
+      .select(col("source"), col("lang"),
+        size(TextFns.tokensLower(col("text"))).cast("long").as("__ntok"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("total_tokens"))
+    val total = docs.agg(count(lit(1)).cast("double").as("__total"))
+    g.join(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("total_tokens"),
+        trunc4(col("n_docs") / col("__total")).as("share"))
+      .orderBy("source", "lang")
+  }
+
   /** a02: mergeable HLL sketch rollup — per-day sketches unioned to
     * per-type totals WITHOUT rescanning raw data: the pre-aggregation
     * pattern that makes distinct-count rollups feasible at 100 TB
@@ -826,6 +864,22 @@ object SparkEntry {
         maxDistance = 1)
       .orderBy("a_id", "b_id")
 
+  /** d10: benchmark decontamination ([[Dedup.decontaminate]]) —
+    * token 8-gram overlap between the corpus (doc_id % 20 != 0) and
+    * a held-out benchmark slice (doc_id % 20 == 0); planted near-dups
+    * straddling the split produce real contamination hits. Flag cast
+    * to 0/1 for cross-engine dtype stability. */
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        col("doc_id"), col("text"), n = 8)
+      .select(col("doc_id"), col("n_overlap"),
+        col("contaminated").cast("long").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** d07: corpus-scale embedding near-dup — hyperplane LSH buckets →
     * within-bucket pairs → exact cosine verify, over the FULL
     * embeddings table (no id block). Rows-only oracle (bucket
@@ -1021,6 +1075,25 @@ object SparkEntry {
       .orderBy("day", "event_type")
   }
 
+  /** e13: batch range (interval) join via [[Temporal.rangeJoin]] —
+    * purchases within 30 minutes AFTER each click, no equi-key. A
+    * naive inequality join plans as BroadcastNestedLoop (quadratic);
+    * the binned form hash-joins on a time-bucket id (RangeJoinSpec
+    * asserts no BNL/cartesian in the physical plan). */
+  private def e13(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("ts").as("r_ts"), col("value").as("r_value"))
+    Temporal.rangeJoin(clicks, "ts", purchases, "r_ts",
+        0L, 30L * 60L * 1000000L)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_after"),
+        round(sum(col("r_value")), 2).as("sum_value"))
+      .orderBy("event_id")
+  }
+
   /** p01: the corpus pipeline COMPOSED end to end — exact dedup
     * keep-list → quality scoring → threshold filter → per-language
     * rollup. Every stage is an operator with its own oracle-checked
@@ -1109,6 +1182,9 @@ object SparkEntry {
     "q32_upsert_merge" -> (q32 _),
     "q33_set_ops" -> (q33 _),
     "q34_rank_family" -> (q34 _),
+    "q35_column_profile" -> (q35 _),
+    "q36_histogram" -> (q36 _),
+    "t10_source_mixture" -> (t10 _),
     "a02_sketch_rollup" -> (a02 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
@@ -1136,6 +1212,7 @@ object SparkEntry {
     "d07_embedding_neardup_lsh" -> (d07 _),
     "d08_simhash_pairs" -> (d08 _),
     "d09_fuzzy_match" -> (d09 _),
+    "d10_decontaminate" -> (d10 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
@@ -1153,6 +1230,7 @@ object SparkEntry {
     "e10_streaming_dedup" -> (e10 _),
     "e11_conversion_funnel" -> (e11 _),
     "e12_incremental_rollup" -> (e12 _),
+    "e13_range_join" -> (e13 _),
     "p01_corpus_pipeline" -> (p01 _),
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _)
@@ -1538,6 +1616,51 @@ object SparkEntry {
         |  total AS (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q35_column_profile" -> {
+      val numeric = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val strings = Seq("l_returnflag", "l_linestatus")
+      val branches = (numeric.map { c =>
+        s"""SELECT '$c' AS column_name, count($c)::BIGINT AS n,
+           |  (count(*) - count($c))::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
+           |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+           |FROM lineitem""".stripMargin
+      } ++ strings.map { c =>
+        s"""SELECT '$c' AS column_name, count($c)::BIGINT AS n,
+           |  (count(*) - count($c))::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+           |  min($c) AS min_str, max($c) AS max_str
+           |FROM lineitem""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$branches\n) ORDER BY column_name"
+    },
+    "q36_histogram" ->
+      // formula shape matches Quality.histogram term for term —
+      // identical IEEE double ops ⇒ identical buckets and edges
+      """WITH mm AS (SELECT min(l_extendedprice)::DOUBLE AS mn,
+        |    max(l_extendedprice)::DOUBLE AS mx FROM lineitem),
+        |  b AS (SELECT least(floor((l_extendedprice::DOUBLE - mn) /
+        |      ((mx - mn) / 10)), 9)::BIGINT AS bucket, mn, mx
+        |    FROM lineitem CROSS JOIN mm
+        |    WHERE l_extendedprice IS NOT NULL)
+        |SELECT bucket,
+        |  floor((mn + bucket * ((mx - mn) / 10)) * 10000) / 10000 AS lo,
+        |  floor((mn + (bucket + 1) * ((mx - mn) / 10)) * 10000) / 10000
+        |    AS hi,
+        |  count(*)::BIGINT AS n
+        |FROM b GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin,
+    "t10_source_mixture" ->
+      """WITH g AS (SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split_regex(lower(trim(text)), '\s+')))::BIGINT
+        |      AS total_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |  t AS (SELECT count(*)::DOUBLE AS total FROM documents)
+        |SELECT source, lang, n_docs, total_tokens,
+        |  floor((n_docs / total) * 10000) / 10000 AS share
+        |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
@@ -1663,6 +1786,21 @@ object SparkEntry {
         |  AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a_id, b_id""".stripMargin,
+    "d10_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |  ng AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 7, 0)),
+        |    i -> array_to_string(tk[i:i+7], ' ')))) AS g FROM tok),
+        |  bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
+        |  hits AS (SELECT n.doc_id, count(*)::BIGINT AS n_overlap
+        |    FROM ng n JOIN bench USING (g)
+        |    WHERE n.doc_id % 20 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+        |  (coalesce(h.n_overlap, 0) > 0)::BIGINT AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
     "d05_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |    FROM embeddings WHERE vec_id < 200)
@@ -1774,6 +1912,16 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "e13_range_join" ->
+      // epoch_us on both sides mirrors the Spark reader's ns→us
+      // truncation, so the boundary comparisons are integer-exact
+      """SELECT l.event_id, count(*) AS n_after,
+        |  round(sum(r.value), 2) AS sum_value
+        |FROM events l JOIN events r ON r.event_type = 'purchase'
+        |  AND epoch_us(r.ts) >= epoch_us(l.ts)
+        |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+        |WHERE l.event_type = 'click'
+        |GROUP BY l.event_id ORDER BY l.event_id""".stripMargin,
     "p01_corpus_pipeline" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
         |    GROUP BY md5(upper(regexp_replace(trim(text), '\s+', ' ', 'g')))),

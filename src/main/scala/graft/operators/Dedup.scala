@@ -401,6 +401,45 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("cos_sim"))
   }
 
+  /** Benchmark decontamination: for every corpus doc, count the
+    * distinct token `n`-grams it shares with a benchmark/eval set —
+    * the standard train-set contamination check (GPT-3 App. C /
+    * Gopher-style n-gram overlap).
+    *
+    * Shape at 100 TB: per-doc distinct n-grams (map-side, zero
+    * shuffle), one hash shuffle to join corpus n-grams against the
+    * benchmark's distinct n-grams (the benchmark side is the small
+    * one — Catalyst broadcasts it under the threshold; with AQE the
+    * runtime size decides), then a per-doc count. The corpus is never
+    * self-joined and the join fan-out is bounded by benchmark n-gram
+    * multiplicity. Join key is the n-gram string so the result is
+    * engine-portable (hash the key upstream if shuffle width ever
+    * dominates — same output, modulo 64-bit collisions).
+    *
+    * Output: one row per corpus doc — (id, n_overlap, contaminated),
+    * zero-overlap docs included. */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int): DataFrame = {
+    def ngrams(df: DataFrame) = df
+      .select(idCol.as("doc_id"), TextFns.tokensLower(textCol).as("__tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.wordNgrams(col("__tk"), n))).as("g"))
+    val benchGrams = ngrams(benchmark).select("g").distinct()
+    val hits = ngrams(corpus)
+      .join(benchGrams, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.select(idCol.as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold over an
     * id-bounded block. The full-corpus scale path is
     * [[embeddingNearDupPairsBucketed]]; this operator does exact

@@ -59,6 +59,89 @@ object Quality {
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_violations"))
 
+  /** One-pass column profiler: per-column row/null/distinct counts
+    * plus min/max, over a SINGLE aggregate of one scan — the
+    * "describe my table" primitive a registry status call needs
+    * without N per-column scans.
+    *
+    * Numeric columns report min/max as doubles (`min_num`/`max_num`);
+    * string columns as strings (`min_str`/`max_str`) — keeping the
+    * output schema fixed and engine-portable (no numeric→string casts,
+    * whose text forms differ across engines). Exact multi-column
+    * distinct counts plan through Catalyst's Expand (one shuffle,
+    * input replicated ×|cols| map-side — the canonical exact plan;
+    * swap in approx_count_distinct per column if a 100 TB profile can
+    * tolerate ~2% error and wants the Expand gone). The aggregate
+    * emits ONE row; the per-column unpivot is driver-trivial. */
+  def profile(
+      df: DataFrame,
+      numericCols: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns")
+    val all = numericCols ++ stringCols
+    val aggs = all.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        count(lit(1)).minus(count(col(c))).cast("long").as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__dist_$c")) ++
+      (if (numericCols.contains(c))
+        Seq(min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c"))
+      else
+        Seq(min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c")))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = all.map { c =>
+      val numeric = numericCols.contains(c)
+      struct(
+        lit(c).as("column_name"),
+        col(s"__n_$c").as("n"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__dist_$c").as("n_distinct"),
+        (if (numeric) col(s"__min_$c") else lit(null).cast("double"))
+          .as("min_num"),
+        (if (numeric) col(s"__max_$c") else lit(null).cast("double"))
+          .as("max_num"),
+        (if (numeric) lit(null).cast("string") else col(s"__min_$c"))
+          .as("min_str"),
+        (if (numeric) lit(null).cast("string") else col(s"__max_$c"))
+          .as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Equi-width histogram in two aggregate passes: a one-row min/max
+    * aggregate (broadcast — it is a single row) then a bucket-id
+    * hash-agg with map-side partials. No sort, no collect; the only
+    * shuffle is the nBuckets-row final combine. The top edge closes
+    * the last bucket (max lands in bucket nBuckets-1, not nBuckets).
+    *
+    * Bucket arithmetic is plain IEEE double ops in a fixed shape
+    * (`(v - mn) / w`, `w = (mx - mn) / nBuckets`) so an oracle
+    * writing the SAME shape is bit-identical. Degenerate input
+    * (mn == mx or a single row) folds into bucket 0. */
+  def histogram(df: DataFrame, value: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets=$nBuckets")
+    val mm = df.agg(min(value).cast("double").as("__mn"),
+      max(value).cast("double").as("__mx"))
+    val w = (col("__mx") - col("__mn")) / nBuckets
+    val v = value.cast("double")
+    val bucket = when(col("__mx") === col("__mn"), 0L)
+      .otherwise(least(floor((v - col("__mn")) / w), lit(nBuckets - 1L)))
+      .cast("long")
+    df.join(broadcast(mm))
+      .filter(value.isNotNull)
+      .select(bucket.as("bucket"), col("__mn"), col("__mx"))
+      .groupBy("bucket", "__mn", "__mx")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (col("__mn") + col("bucket") * ((col("__mx") - col("__mn")) / nBuckets))
+          .as("lo"),
+        (col("__mn") + (col("bucket") + 1) *
+          ((col("__mx") - col("__mn")) / nBuckets)).as("hi"),
+        col("n"))
+  }
+
   /** Combine check frames into the audit report, pass/fail flagged. */
   def audit(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_ unionAll _)

@@ -99,6 +99,51 @@ object Temporal {
       .select((payload.map(col) :+ col(s"matched_$value")): _*)
   }
 
+  /** Binned range (interval) join: every left row pairs with the
+    * right rows whose timestamp falls in
+    * `[left.ts + lowerUs, left.ts + upperUs]` (bounds inclusive,
+    * epoch-micros arithmetic). No equi-key required.
+    *
+    * Spark plans a bare inequality join as BroadcastNestedLoop or a
+    * cartesian product — quadratic and undistributable at scale. This
+    * form converts it to an EQUI-join: bucket time into fixed bins of
+    * width `upperUs - lowerUs`, explode each LEFT row into the (≤2)
+    * bins its window overlaps, hash-join on the bin id, then apply
+    * the exact range predicate. Each matching pair survives exactly
+    * once (the right row's bin is a single value and the exploded
+    * left bins are distinct). Cost: one hash shuffle of each side on
+    * the bin id + ≤2× left duplication — the same shape DuckDB's
+    * IEJoin and Flink's interval join optimize to, expressed with
+    * stock Catalyst operators so AQE/codegen still apply.
+    *
+    * `left`/`right` must not share column names (rename before the
+    * call); `leftTs`/`rightTs` are timestamp columns. Bin arithmetic
+    * stays in exact integer space (pmod + exact double division of a
+    * multiple of the width — both < 2^53, so IEEE division is exact;
+    * no float-boundary bin misses). */
+  def rangeJoin(
+      left: DataFrame,
+      leftTs: String,
+      right: DataFrame,
+      rightTs: String,
+      lowerUs: Long,
+      upperUs: Long): DataFrame = {
+    require(upperUs > lowerUs,
+      s"empty range: lowerUs=$lowerUs upperUs=$upperUs")
+    val w = upperUs - lowerUs
+    def binOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    val lUs = unix_micros(col(leftTs))
+    val rUs = unix_micros(col(rightTs))
+    val l = left.withColumn("__bin",
+      explode(array_distinct(array(
+        binOf(lUs + lit(lowerUs)), binOf(lUs + lit(upperUs))))))
+    val r = right.withColumn("__bin", binOf(rUs))
+    l.join(r, Seq("__bin"))
+      .filter(rUs >= lUs + lit(lowerUs) && rUs <= lUs + lit(upperUs))
+      .drop("__bin")
+  }
+
   /** As-of join through the custom physical operator
     * ([[graft.plans.AsOfJoinExec]]): same semantics as
     * [[asofBackward]], but planned as a native sort-merge with O(1)

@@ -129,4 +129,38 @@ class DedupSpec extends SparkSuite {
     info(s"bucketed embedding near-dup recall = $recall (|exact|=${exact.size})")
     assert(recall >= 0.6, s"recall too low: $recall")
   }
+
+  test("decontaminate counts shared distinct n-grams, keeps clean docs") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares two 8-gram windows with the benchmark doc (a..h, b..i)
+      (1L, "a b c d e f g h i x"),
+      // repeated span must count ONCE (distinct n-grams per doc)
+      (2L, "a b c d e f g h a b c d e f g h"),
+      (3L, "z y x w v u t s r q"), // disjoint
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(
+        corpus, bench, col("doc_id"), col("text"), n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == (2L, true))
+    assert(got(2L) == (1L, true))
+    assert(got(3L) == (0L, false))
+    assert(got(4L) == (0L, false))
+  }
+
+  test("decontaminate on testdata: planted near-dups produce hits") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val res = Dedup.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      col("doc_id"), col("text"), n = 8)
+    val total = res.count()
+    val hits = res.filter(col("contaminated")).count()
+    info(s"decontaminate: $hits/$total corpus docs contaminated")
+    assert(total == docs.filter(col("doc_id") % 20 =!= 0).count())
+  }
 }

@@ -45,6 +45,50 @@ class QualitySpec extends SparkSuite {
       s"only the orphan 9 counts: $rep")
   }
 
+  test("profile: one row per column, exact stats, nulls counted") {
+    val df = Seq(
+      (Some(1.0), Some("a")),
+      (Some(2.0), None),
+      (Some(2.0), Some("b")),
+      (None, Some("a"))
+    ).toDF("v", "s")
+    val got = Quality.profile(df, Seq("v"), Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = got("v")
+    assert(v.getLong(1) == 3L && v.getLong(2) == 1L && v.getLong(3) == 2L)
+    assert(v.getDouble(4) == 1.0 && v.getDouble(5) == 2.0)
+    assert(v.isNullAt(6) && v.isNullAt(7))
+    val sRow = got("s")
+    assert(sRow.getLong(1) == 3L && sRow.getLong(2) == 1L &&
+      sRow.getLong(3) == 2L)
+    assert(sRow.isNullAt(4) && sRow.isNullAt(5))
+    assert(sRow.getString(6) == "a" && sRow.getString(7) == "b")
+  }
+
+  test("profile runs as ONE job over one scan (single aggregate plan)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val prof = Quality.profile(li, Seq("l_quantity"), Seq("l_returnflag"))
+    assert(prof.count() == 2)
+  }
+
+  test("histogram: counts partition the rows, max closes last bucket") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val h = Quality.histogram(df, col("v"), 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(h.keySet == (0L to 9L).toSet)
+    assert(h.values.map(_._3).sum == 101L)
+    assert(h(9L)._3 == 11L) // 90..100 inclusive: max folds into bucket 9
+    assert(h(0L)._1 == 0.0 && h(9L)._2 == 100.0)
+  }
+
+  test("histogram: degenerate single-value input → one bucket") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("v")
+    val h = Quality.histogram(df, col("v"), 10).collect()
+    assert(h.length == 1 && h.head.getLong(0) == 0L &&
+      h.head.getLong(3) == 3L)
+  }
+
   test("audit unions checks and flags pass/fail") {
     val df = Seq(1, -1).toDF("x")
     val rep = Quality.audit(Seq(

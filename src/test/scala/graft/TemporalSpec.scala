@@ -93,4 +93,54 @@ class TemporalSpec extends SparkSuite {
     val res = Temporal.asofBackward(events, orders, "k", "ts", "o_orderkey")
     assert(res.count() == events.count())
   }
+
+  test("rangeJoin matches the naive inequality join, bounds inclusive") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00"))
+    ).toDF("lid", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00")), // == lower bound of lid 1
+      (11L, ts("2024-01-01 10:30:00")), // == upper bound of lid 1
+      (12L, ts("2024-01-01 10:30:00.000001")), // 1 us past lid 1's window
+      (13L, ts("2024-01-01 09:59:59.999999")), // 1 us before: out
+      (14L, ts("2024-01-01 11:29:00")) // in for lid 2
+    ).toDF("rid", "r_ts")
+    val got = Temporal.rangeJoin(left, "ts", right, "r_ts",
+        0L, 30L * 60L * 1000000L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 14L)))
+  }
+
+  test("rangeJoin agrees with naive cross-filter on testdata, no BNL plan") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("lid"), col("ts"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("rid"), col("ts").as("r_ts"))
+    val win = 30L * 60L * 1000000L
+    val binned = Temporal.rangeJoin(l, "ts", r, "r_ts", 0L, win)
+    val naive = l.join(r,
+      unix_micros(col("r_ts")) >= unix_micros(col("ts")) &&
+        unix_micros(col("r_ts")) <= unix_micros(col("ts")) + win)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val gotPairs = pairs(binned)
+    assert(gotPairs == pairs(naive))
+    assert(gotPairs.nonEmpty, "degenerate fixture: no in-window pairs")
+    // a matching pair must appear exactly once despite the bin explode
+    assert(binned.count() == gotPairs.size.toLong)
+    val exec = binned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val bad = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"range join fell back to a quadratic plan:\n$exec")
+  }
 }
