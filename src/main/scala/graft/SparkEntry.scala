@@ -617,6 +617,30 @@ object SparkEntry {
         .as("approx_users"))
       .orderBy("event_type")
 
+  /** s06: KNN over int8-quantized embeddings with exact re-scoring
+    * ([[Similarity.quantizedKnn]]): integer byte-dot first pass over
+    * a 4×-smaller representation, exact cosine on the surviving
+    * candidates — same result as s01, memory-bound-scale plan. */
+  private def s06(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.quantizedKnn(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** a03: EXACT top-10 words via the Misra–Gries heavy-hitter
+    * sketch + exact verify ([[graft.operators.Sketches]]): pass 1 is
+    * a bounded-state aggregate (m counters, map-side partials — the
+    * shuffle is m rows, not |vocab|); pass 2 re-counts only the ≤m
+    * candidates. The full DuckDB groupBy oracle hash-matches because
+    * the verify pass makes the result exact. */
+  private def a03(s: SparkSession, dir: String): DataFrame = {
+    val toks = T(s, dir, "documents")
+      .select(explode(TextFns.tokensLower(col("text"))).as("word"))
+    graft.operators.Sketches.heavyHitters(toks, col("word"), m = 256, k = 10)
+      .orderBy(col("n").desc, col("key"))
+  }
+
   /** a01: approximate sketches — HLL distinct + quantile sketch.
     * Rows-only oracle (sketch internals are engine-specific);
     * accuracy vs exact asserted in specs. */
@@ -1186,6 +1210,7 @@ object SparkEntry {
     "q36_histogram" -> (q36 _),
     "t10_source_mixture" -> (t10 _),
     "a02_sketch_rollup" -> (a02 _),
+    "a03_heavy_hitters" -> (a03 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
     "n02_state_zip" -> (n02 _),
@@ -1218,6 +1243,7 @@ object SparkEntry {
     "s03_ivf_ann" -> (s03 _),
     "s04_knn_topk_agg" -> (s04 _),
     "s05_ivf_kmeans" -> (s05 _),
+    "s06_quantized_knn" -> (s06 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_counts" -> (e02 _),
     "e03_asof_join" -> (e03 _),
@@ -1235,6 +1261,20 @@ object SparkEntry {
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _)
   )
+
+  /** Shared by s01 (brute force) and s06 (quantized + exact
+    * re-score): both must produce the exact cosine top-5. */
+  private val knnOracleSql: String =
+    """SELECT q_id, rank, cand_id FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+      |      AS rank
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |    WHERE vec_id < 10) q
+      |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c
+      |    ON c.vec_id != q.vec_id)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** Shared by e03 (composed) and e07 (custom operator): both must
     * match the same per-event latest-order semantics. */
@@ -1637,6 +1677,13 @@ object SparkEntry {
       }).mkString("\nUNION ALL\n")
       s"SELECT * FROM (\n$branches\n) ORDER BY column_name"
     },
+    "a03_heavy_hitters" ->
+      // the sketch's exact-verify pass makes a full-groupBy oracle
+      // legitimate: candidates ⊇ true top-10, re-counted exactly
+      """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS key FROM documents)
+        |SELECT key, count(*)::BIGINT AS n FROM t GROUP BY key
+        |ORDER BY n DESC, key LIMIT 10""".stripMargin,
     "q36_histogram" ->
       // formula shape matches Quality.histogram term for term —
       // identical IEEE double ops ⇒ identical buckets and edges
@@ -1820,17 +1867,12 @@ object SparkEntry {
         |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c
         |    ON c.vec_id != q.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    "s01_knn_brute" ->
-      """SELECT q_id, rank, cand_id FROM (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
-        |      AS rank
-        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |    WHERE vec_id < 10) q
-        |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c
-        |    ON c.vec_id != q.vec_id)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "s01_knn_brute" -> knnOracleSql,
+    // the quantized path re-scores its candidate cut with the same
+    // exact cosine, and the cut keeps the true top-5 on this corpus
+    // (SimilaritySpec asserts parity with knnBruteAgg) — so the
+    // exact-KNN oracle applies verbatim
+    "s06_quantized_knn" -> knnOracleSql,
     "e01_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -257,6 +257,72 @@ object Similarity {
     v.select(col("__id").as(idCol), assignCol)
   }
 
+  /** Integer dot product over int8-quantized vectors
+    * ([[graft.plans.ByteDot]]): all-integer multiply-accumulate in
+    * one codegen loop. */
+  def byteDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.ByteDot(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** KNN over int8-quantized embeddings with exact re-scoring — the
+    * memory-bound scale path: a 100 TB float corpus is 25 TB at int8,
+    * and the first-pass scoring moves/multiplies bytes, not floats.
+    *
+    * Pass 0 (two tiny aggregates): corpus-wide symmetric scale
+    * `127 / max|x|`, broadcast. Pass 1: quantize both sides to
+    * array<tinyint> (norms precomputed ONCE per row), score every
+    * (query, candidate) with the integer [[byteDot]], keep the top
+    * `k × candMult` per query via the bounded-heap aggregate — no
+    * window sort, map-side partials. Pass 2: exact float cosine
+    * ([[cosine]]) on the surviving candidates only (|Q| × k×candMult
+    * rows), top k. Output matches [[knnBruteAgg]] whenever the true
+    * top-k survives the quantized cut (recall asserted ≥ in
+    * SimilaritySpec; exact equality holds on the test corpus). */
+  def quantizedKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      candMult: Int = 4): DataFrame = {
+    val scaleDf = corpus.select(
+      max(aggregate(col(vecCol), lit(0.0),
+        (acc, x) => greatest(acc, abs(x.cast("double"))))).as("__mx"))
+    def quant(df: DataFrame, id: String, v: String, qv: String, qn: String) =
+      df.crossJoin(broadcast(scaleDf))
+        .select(col(idCol).as(id), col(vecCol).as(v),
+          transform(col(vecCol),
+            x => round(x.cast("double") / col("__mx") * 127).cast("byte"))
+            .as(qv))
+        .select(col(id), col(v), col(qv),
+          sqrt(aggregate(col(qv), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))).as(qn))
+    val c = quant(corpus, "cand_id", "cv", "cqv", "cqn")
+    val q = broadcast(quant(queries, "q_id", "qv", "qqv", "qqn"))
+    val cands = c.join(q, col("cand_id") =!= col("q_id"))
+      .select(col("q_id"),
+        (byteDot(col("cqv"), col("qqv")).cast("double") /
+          (col("cqn") * col("qqn"))).as("asim"),
+        col("cand_id"))
+      .groupBy("q_id")
+      .agg(topKAgg(col("asim"), col("cand_id"), k * candMult).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("cand_id"))
+    cands
+      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+        Seq("cand_id"))
+      .join(broadcast(
+        queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))),
+        Seq("q_id"))
+      .groupBy("q_id")
+      .agg(topKAgg(cosine(col("qv"), col("cv")), col("cand_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cand_id"))
+  }
+
   /** Per-cell mean centroids (the IVF coarse codebook), computed from
     * a cell-assignment column: posexplode → per-(cell,dim) avg →
     * re-assembled arrays. Two small shuffles, output is tiny and

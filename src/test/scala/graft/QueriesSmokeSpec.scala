@@ -24,9 +24,13 @@ class QueriesSmokeSpec extends SparkSuite {
     // the brute-force KNN baselines join on pure inequality by design;
     // IVF probes cross-join a broadcast ~k-row centroid table; t08
     // broadcasts the ONE-row corpus count (scalar-subquery shape)
+    // q36/t10 broadcast a ONE-row min-max/total aggregate; s06 is the
+    // quantized variant of the s01 inequality-join baseline plus a
+    // one-row scale broadcast
     val intentional = Set("d05_embedding_neardup", "s01_knn_brute",
       "s04_knn_topk_agg", "s03_ivf_ann", "s05_ivf_kmeans",
-      "t08_tfidf_keywords")
+      "t08_tfidf_keywords", "q36_histogram", "t10_source_mixture",
+      "s06_quantized_knn")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",

@@ -88,4 +88,35 @@ class SimilaritySpec extends SparkSuite {
     info(s"IVF recall@5 (nprobe=6/10 cells) = $recall")
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
+
+  test("quantizedKnn: exact-rescored int8 path equals brute force") {
+    val quant = Similarity
+      .quantizedKnn(emb, queries, "vec_id", "embedding", 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"))).toSet
+    val exact = Similarity
+      .knnBruteAgg(emb, queries, "vec_id", "embedding", 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"))).toSet
+    // full (q, rank, cand) parity: the 4k quantized cut must keep the
+    // true top-5 AND the exact re-score must order it identically
+    assert(quant == exact,
+      s"quantized KNN diverged from brute force: " +
+        s"missing=${exact -- quant} extra=${quant -- exact}")
+  }
+
+  test("byteDot: integer dot, NULL on length mismatch") {
+    import spark.implicits._
+    // Seq[Byte] encodes as array<tinyint> (Array[Byte] would be binary)
+    val df = Seq((Seq[Byte](1, 2, 3), Seq[Byte](4, 5, 6))).toDF("a", "b")
+    val v = df.select(Similarity.byteDot(col("a"), col("b")).as("d"))
+      .head.getLong(0)
+    assert(v == 4 + 10 + 18)
+    val mism = df.select(Similarity.byteDot(col("a"),
+        slice(col("b"), 1, 2)).as("d"))
+      .head
+    assert(mism.isNullAt(0))
+  }
 }

@@ -28,6 +28,43 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("Misra-Gries: superset guarantee + undercount bound under eviction") {
+    import spark.implicits._
+    // 5 heavy keys (1000 each) in a 2000-key tail; m=64 forces heavy
+    // eviction and 8 partitions force partial merges
+    val heavy = (1 to 5).flatMap(i => Seq.fill(1000)(s"h$i"))
+    val tail = (1 to 2000).flatMap(i => Seq.fill(3)(f"t$i%04d"))
+    val n = heavy.size + tail.size
+    val m = 64
+    val df = spark.sparkContext.parallelize(heavy ++ tail, 8).toDF("key")
+    val summary = df
+      .agg(graft.operators.Sketches.mgSummary(col("key"), m).as("s"))
+      .select(explode(col("s")).as("c"))
+      .select(col("c.key"), col("c.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary.size <= m)
+    val bound = n.toDouble / (m + 1)
+    (1 to 5).foreach { i =>
+      val k = s"h$i"
+      assert(summary.contains(k),
+        s"heavy key $k (freq 1000 > n/(m+1)=$bound) evicted")
+      assert(summary(k) <= 1000L, s"$k overcounted: ${summary(k)}")
+      assert(summary(k) >= 1000L - bound,
+        s"$k undercount beyond n/(m+1): ${summary(k)}")
+    }
+  }
+
+  test("heavyHitters: exact top-k despite bounded sketch state") {
+    import spark.implicits._
+    val heavy = (1 to 5).flatMap(i => Seq.fill(100 * i)(s"h$i"))
+    val tail = (1 to 1000).flatMap(i => Seq.fill(2)(f"t$i%04d"))
+    val df = spark.sparkContext.parallelize(heavy ++ tail, 8).toDF("key")
+    val got = graft.operators.Sketches.heavyHitters(df, col("key"), 64, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List("h5" -> 500L, "h4" -> 400L, "h3" -> 300L,
+      "h2" -> 200L, "h1" -> 100L))
+  }
+
   test("approx sketches land near exact values") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val rows = li.groupBy("l_returnflag").agg(
