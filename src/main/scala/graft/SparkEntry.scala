@@ -543,6 +543,29 @@ object SparkEntry {
       .orderBy("cohort", "c_custkey")
   }
 
+  /** q37: schema-evolution union — an old snapshot generation
+    * (missing the later `c_acctbal` column) appended to the current
+    * one via unionByName(allowMissingColumns): absent columns
+    * null-fill, no rewrite of the old files, column PRESENCE not
+    * position decides alignment (plain UNION ALL would silently
+    * misalign). The multi-generation ingest shape of a long-lived
+    * lake table. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val cur = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("v2").as("gen"))
+    // the legacy generation: same table before the c_acctbal column
+    // existed (simulated by dropping it — the files on disk would
+    // simply lack the column)
+    val legacy = T(s, dir, "customer")
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"), lit("v1").as("gen"))
+    cur.unionByName(legacy, allowMissingColumns = true)
+      .select(col("gen"), col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy("gen", "c_custkey")
+  }
+
   /** q34: the ranking-window family in one pass. Tie-sensitive
     * functions (rank / dense_rank / percent_rank / cume_dist) rank on
     * the date alone — ties are real and both engines must agree on
@@ -601,6 +624,20 @@ object SparkEntry {
         trunc4(col("n_docs") / col("__total")).as("share"))
       .orderBy("source", "lang")
   }
+
+  /** t11: hashing-trick document features
+    * ([[TextFns.featureBucket]]) — vocabulary-free 32-dim token-count
+    * vectors in sparse (doc, bucket, n) form: one map-side hash per
+    * token, one (doc, bucket) hash-agg; no vocab table to build,
+    * broadcast, or keep consistent across a 100 TB corpus. */
+  private def t11(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFns.tokensLower(col("text"))).as("w"))
+      .select(col("doc_id"), TextFns.featureBucket(col("w"), 32).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("doc_id", "bucket")
 
   /** a02: mergeable HLL sketch rollup — per-day sketches unioned to
     * per-type totals WITHOUT rescanning raw data: the pre-aggregation
@@ -1118,6 +1155,14 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** e14: streaming CDC upsert ([[Streams.streamingUpsertLatest]]) —
+    * a foreachBatch merge maintains the latest-event-per-user parquet
+    * snapshot (versioned dirs + pointer swap, exactly-once readers).
+    * Oracle: the batch latest-per-key query; equality must hold for
+    * ANY micro-batch chunking (multi-batch replay in StreamsSpec). */
+  private def e14(s: SparkSession, dir: String): DataFrame =
+    Streams.streamingUpsertLatest(s, dir)
+
   /** p01: the corpus pipeline COMPOSED end to end — exact dedup
     * keep-list → quality scoring → threshold filter → per-language
     * rollup. Every stage is an operator with its own oracle-checked
@@ -1208,7 +1253,9 @@ object SparkEntry {
     "q34_rank_family" -> (q34 _),
     "q35_column_profile" -> (q35 _),
     "q36_histogram" -> (q36 _),
+    "q37_schema_evolution" -> (q37 _),
     "t10_source_mixture" -> (t10 _),
+    "t11_hashed_features" -> (t11 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a01_approx_sketch" -> (a01 _),
@@ -1257,6 +1304,7 @@ object SparkEntry {
     "e11_conversion_funnel" -> (e11 _),
     "e12_incremental_rollup" -> (e12 _),
     "e13_range_join" -> (e13 _),
+    "e14_streaming_upsert" -> (e14 _),
     "p01_corpus_pipeline" -> (p01 _),
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _)
@@ -1699,6 +1747,13 @@ object SparkEntry {
         |    AS hi,
         |  count(*)::BIGINT AS n
         |FROM b GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin,
+    "q37_schema_evolution" ->
+      """SELECT 'v2' AS gen, c_custkey, c_name,
+        |  round(c_acctbal, 2) AS c_acctbal FROM customer
+        |UNION ALL
+        |SELECT 'v1', c_custkey, c_name, NULL FROM customer
+        |  WHERE c_custkey % 3 = 0
+        |ORDER BY gen, c_custkey""".stripMargin,
     "t10_source_mixture" ->
       """WITH g AS (SELECT source, lang, count(*)::BIGINT AS n_docs,
         |    sum(len(string_split_regex(lower(trim(text)), '\s+')))::BIGINT
@@ -1708,6 +1763,16 @@ object SparkEntry {
         |SELECT source, lang, n_docs, total_tokens,
         |  floor((n_docs / total) * 10000) / 10000 AS share
         |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin,
+    "t11_hashed_features" ->
+      // md5 is byte-identical across engines; '0x'||hex ::BIGINT in
+      // DuckDB == conv(hex, 16, 10) in Spark for the 8-digit prefix
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (('0x' || substr(md5(w), 1, 8))::BIGINT % 32) AS bucket,
+        |  count(*)::BIGINT AS n
+        |FROM t GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
@@ -1964,6 +2029,14 @@ object SparkEntry {
         |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
         |WHERE l.event_type = 'click'
         |GROUP BY l.event_id ORDER BY l.event_id""".stripMargin,
+    "e14_streaming_upsert" ->
+      // epoch_us ordering mirrors the Spark reader's ns→us truncation
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |  round(value, 2) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "p01_corpus_pipeline" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
         |    GROUP BY md5(upper(regexp_replace(trim(text), '\s+', ' ', 'g')))),

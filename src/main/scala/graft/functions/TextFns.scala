@@ -83,6 +83,15 @@ object TextFns {
     coalesce(scanned, lit(0))
   }
 
+  /** Feature-hashing bucket (the hashing-trick vectorizer): a token's
+    * bucket in a `dim`-dimensional feature space, derived from the
+    * first 8 hex digits of md5 — chosen over xxhash64 because md5 is
+    * byte-identical across engines, so hashed features are
+    * reproducible anywhere (the whole point of the hashing trick:
+    * no vocabulary to ship). Codegen'd built-ins, zero shuffle. */
+  def featureBucket(token: Column, dim: Int): Column =
+    conv(substring(md5(token), 1, 8), 16, 10).cast("long") % dim
+
   /** Email/phone PII patterns — deliberately simple and identical
     * under Java regex and RE2 so the redaction operator is
     * oracle-checkable across engines. */

@@ -34,6 +34,22 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("featureBucket: in [0, dim), deterministic, matches JVM md5") {
+    import graft.functions.TextFns
+    val words = (0 until 200).map(_ => randomString()).filter(_.nonEmpty)
+    val got = words.toDF("w")
+      .select(col("w"), TextFns.featureBucket(col("w"), 32).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    words.foreach { w =>
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val expect = java.lang.Long.parseLong(hex, 16) % 32
+      assert(got(w) == expect, s"bucket mismatch for '$w'")
+      assert(got(w) >= 0 && got(w) < 32)
+    }
+  }
+
   test("TopKBuffer equals sort-take-k on random inputs (200 trials)") {
     (0 until 200).foreach { _ =>
       val n = rnd.nextInt(40)

@@ -35,7 +35,7 @@ class QueriesSmokeSpec extends SparkSuite {
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",
       "e08_streaming_file_sink", "e09_stream_stream_join",
-      "e10_streaming_dedup")
+      "e10_streaming_dedup", "e14_streaming_upsert")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if streamingRunners(name) => None
       case (name, fn) =>

@@ -67,4 +67,37 @@ class StreamsSpec extends SparkSuite {
         r.getAs[Long]("n")).toMap
     assert(streamed == batch)
   }
+
+  test("streaming upsert: multi-batch replay equals batch latest-per-key") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    // split the input into 3 files and force one file per micro-batch,
+    // so the merge path (snapshot ⊕ delta) actually runs across batches
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_e14_src").toString
+    ev.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_e14_spec").toString
+    val snap = Streams.upsertLatestOf(stream, base)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"))).toMap
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val expect = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"))).toMap
+    assert(snap == expect)
+    // the merge really ran over >1 batch (otherwise this spec proves
+    // nothing): versioned snapshot dirs v0..vN must exist beyond v0
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+  }
 }
