@@ -693,6 +693,24 @@ object SparkEntry {
   // Text analysis (documents)
   // ---------------------------------------------------------------
 
+  /** n08: Unicode NFC normalization ([[Normalize.nfc]], native
+    * codegen expression) — a decomposed accent sequence (e +
+    * combining acute) is injected into a deterministic subset (the
+    * synthetic corpus is pure ASCII), then composed: lengths shrink
+    * and fingerprints equal DuckDB's nfc_normalize byte for byte. */
+  private def n08(s: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 5 === 0,
+      concat(lit("Cafe"), lit("\u0301"), lit(" "), col("text")))
+      .otherwise(col("text"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), injected.as("__t"))
+      .select(col("doc_id"),
+        length(col("__t")).cast("long").as("pre_len"),
+        length(Normalize.nfc(col("__t"))).cast("long").as("post_len"),
+        md5(Normalize.nfc(col("__t"))).as("fp"))
+      .orderBy("doc_id")
+  }
+
   /** t01: token statistics — whitespace + BPE-ish tokenization;
     * token array materialized once per row. */
   private def t01(s: SparkSession, dir: String): DataFrame =
@@ -1275,6 +1293,7 @@ object SparkEntry {
     "t08_tfidf_keywords" -> (t08 _),
     "t09_weighted_sample" -> (t09 _),
     "n07_pii_redact" -> (n07 _),
+    "n08_nfc_normalize" -> (n08 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_pairs" -> (d02 _),
     "d03_jaccard_verify" -> (d03 _),
@@ -1763,6 +1782,18 @@ object SparkEntry {
         |SELECT source, lang, n_docs, total_tokens,
         |  floor((n_docs / total) * 10000) / 10000 AS share
         |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin,
+    "n08_nfc_normalize" ->
+      // chr(769) = the combining acute the Spark side injects as
+      // "́"; nfc_normalize and the JDK normalizer share the
+      // Unicode tables, so fingerprints match byte for byte
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'Cafe' || chr(769) || ' ' || text
+        |    ELSE text END AS t FROM documents)
+        |SELECT doc_id, length(t)::BIGINT AS pre_len,
+        |  length(nfc_normalize(t))::BIGINT AS post_len,
+        |  md5(nfc_normalize(t)) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin,
     "t11_hashed_features" ->
       // md5 is byte-identical across engines; '0x'||hex ::BIGINT in
       // DuckDB == conv(hex, 16, 10) in Spark for the 8-digit prefix

