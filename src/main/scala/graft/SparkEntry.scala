@@ -959,6 +959,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** d11: SemDeDup-shape embedding cluster dedup
+    * ([[Dedup.embeddingClusterDedup]]) — bucketed near-dup pairs →
+    * connected components → one keeper per cluster. Rows-only oracle
+    * (bucket recall is hyperplane-dependent); cluster-consistency
+    * specs in DedupSpec. */
+  private def d11(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingClusterDedup(
+        T(s, dir, "embeddings"), col("vec_id"), col("embedding"), 0.3)
+      .orderBy("vec_id")
+
   /** d07: corpus-scale embedding near-dup — hyperplane LSH buckets →
     * within-bucket pairs → exact cosine verify, over the FULL
     * embeddings table (no id block). Rows-only oracle (bucket
@@ -1304,6 +1314,7 @@ object SparkEntry {
     "d08_simhash_pairs" -> (d08 _),
     "d09_fuzzy_match" -> (d09 _),
     "d10_decontaminate" -> (d10 _),
+    "d11_embedding_cluster_dedup" -> (d11 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),

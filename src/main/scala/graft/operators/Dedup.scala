@@ -401,6 +401,33 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("cos_sim"))
   }
 
+  /** SemDeDup-shape embedding cluster dedup, end to end: hyperplane-
+    * bucketed near-dup pairs ([[embeddingNearDupPairsBucketed]]) →
+    * iterative min-label connected components ([[clusterLeaders]]) →
+    * one keeper per cluster (the min id). The embedding twin of the
+    * text-side [[nearDedupPipeline]]: same verdict schema, same
+    * O(diameter)-round CC, candidate generation bounded by LSH
+    * buckets instead of MinHash bands. Singletons keep themselves.
+    *
+    * Output: (vec_id, cluster_id, keep) — keep as 0/1 long for
+    * cross-engine dtype stability. */
+  def embeddingClusterDedup(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      threshold: Double): DataFrame = {
+    val pairs = embeddingNearDupPairsBucketed(df, idCol, vecCol, threshold)
+      .select(col("a_id"), col("b_id"))
+    val leaders = clusterLeaders(pairs)
+      .select(col("doc_id").as("vec_id"), col("leader_id"))
+    df.select(idCol.as("vec_id"))
+      .join(leaders, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("leader_id"), col("vec_id")).as("cluster_id"),
+        (coalesce(col("leader_id"), col("vec_id")) === col("vec_id"))
+          .cast("long").as("keep"))
+  }
+
   /** Benchmark decontamination: for every corpus doc, count the
     * distinct token `n`-grams it shares with a benchmark/eval set —
     * the standard train-set contamination check (GPT-3 App. C /

@@ -130,6 +130,30 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.6, s"recall too low: $recall")
   }
 
+  test("embeddingClusterDedup: one keeper per cluster, pairs co-clustered") {
+    val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 200)
+    val res = Dedup.embeddingClusterDedup(
+        emb, col("vec_id"), col("embedding"), 0.3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(res.size == emb.count())
+    // exactly one keeper per cluster, and it is the min id
+    res.values.groupBy(_._1).foreach { case (cid, members) =>
+      assert(members.count(_._2 == 1L) == 1, s"cluster $cid keepers != 1")
+    }
+    res.foreach { case (id, (cid, keep)) =>
+      assert(cid <= id, s"leader above member: $id -> $cid")
+      assert((keep == 1L) == (cid == id))
+    }
+    // every bucketed near-dup pair must land in one cluster
+    Dedup.embeddingNearDupPairsBucketed(
+        emb, col("vec_id"), col("embedding"), 0.3)
+      .collect().foreach { r =>
+        val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+        assert(res(a)._1 == res(b)._1, s"pair ($a,$b) split across clusters")
+      }
+  }
+
   test("decontaminate counts shared distinct n-grams, keeps clean docs") {
     import spark.implicits._
     val bench = Seq((100L, "a b c d e f g h i j"))
