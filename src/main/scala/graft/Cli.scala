@@ -32,6 +32,8 @@ object Cli {
       |  update <zip> [snapshotDate]   unzip + normalize + manifest
       |  normalize <rawDir> [snapshotDate]   normalize an unpacked
       |                                snapshot dir + manifest
+      |  refresh <rawDir>              incremental normalize: only
+      |                                tables whose raw dump changed
       |  status                        snapshot date, age, row counts
       |  sql <query>                   ad-hoc SQL over registry views
       |  search <n-number>             N-number lookup w/ owner
@@ -73,6 +75,14 @@ object Cli {
           Registry.tableNames, date)
         warningSink(s"normalize complete: $pub (snapshot $date)")
         None
+
+      case "refresh" :: raw :: Nil =>
+        // incremental normalize: only tables whose raw dump changed
+        val refreshed = graft.registry.RegistryNormalize
+          .normalizeIncremental(spark, raw, s"$dataRoot/publish")
+        val rows = if (refreshed.isEmpty) Seq("(none)" -> "current")
+          else refreshed.map(_ -> "refreshed")
+        Some(rows.toDF("table_name", "status"))
 
       case "version" :: Nil =>
         Some(Seq(("graft", "0.4.0"),

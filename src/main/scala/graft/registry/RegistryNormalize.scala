@@ -144,4 +144,64 @@ object RegistryNormalize {
       .parquet(s"$outDir/aircraft_make_model.parquet")
     engines(engine).write.mode("overwrite").parquet(s"$outDir/engines.parquet")
   }
+
+  /** Which raw file feeds each published table (normalize.py's
+    * source layout: one MASTER dump fans out to three tables). */
+  val tableSources: Map[String, String] = Map(
+    "aircraft" -> "MASTER.txt",
+    "registrations" -> "MASTER.txt",
+    "owners" -> "MASTER.txt",
+    "aircraft_make_model" -> "ACFTREF.txt",
+    "engines" -> "ENGINE.txt")
+
+  /** INCREMENTAL normalize: re-derive only the tables whose raw
+    * source file actually changed since the last run, by comparing
+    * distributed SHA256 checksums ([[Lineage.checksums]]) against the
+    * recorded ones. A daily registry refresh usually touches one dump
+    * out of three — recomputing all five tables rescans everything;
+    * this recomputes exactly the stale subset and leaves the other
+    * published parquet untouched (readers keep serving them). The new
+    * checksum record is written only after the refreshed tables
+    * commit, so a crash mid-run re-refreshes rather than skips.
+    *
+    * Returns the refreshed table names (empty = everything current).
+    */
+  def normalizeIncremental(
+      spark: SparkSession, rawDir: String, outDir: String): Seq[String] = {
+    val recordPath =
+      java.nio.file.Paths.get(s"$outDir/_meta/raw_checksums.txt")
+    val current = Lineage.checksums(spark, rawDir, "*.txt")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val previous: Map[String, String] =
+      if (java.nio.file.Files.exists(recordPath))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(recordPath)).asScala
+          .map(_.split(" ", 2)).collect { case Array(f, h) => f -> h }
+          .toMap
+      else Map.empty
+    val changed = current.collect {
+      case (f, h) if !previous.get(f).contains(h) => f
+    }.toSet
+    val stale = tableSources.collect {
+      case (t, src) if changed(src) => t
+    }.toSeq.sorted
+    if (stale.nonEmpty) {
+      lazy val master = readRaw(spark, s"$rawDir/MASTER.txt")
+      lazy val acftref = readRaw(spark, s"$rawDir/ACFTREF.txt")
+      lazy val engine = readRaw(spark, s"$rawDir/ENGINE.txt")
+      val builders: Map[String, () => DataFrame] = Map(
+        "aircraft" -> (() => aircraft(master)),
+        "registrations" -> (() => registrations(master)),
+        "owners" -> (() => owners(master)),
+        "aircraft_make_model" -> (() => aircraftMakeModel(acftref)),
+        "engines" -> (() => engines(engine)))
+      stale.foreach(t => builders(t)().write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet"))
+    }
+    java.nio.file.Files.createDirectories(recordPath.getParent)
+    java.nio.file.Files.writeString(recordPath,
+      current.toSeq.sorted.map { case (f, h) => s"$f $h" }
+        .mkString("", "\n", "\n"))
+    stale
+  }
 }

@@ -169,6 +169,26 @@ class CliSpec extends SparkSuite {
       "SELECT count(*) FROM aircraft"), _ => ()).get.head.getLong(0) == 2)
   }
 
+  test("refresh re-normalizes only changed dumps through the CLI") {
+    val root = Files.createTempDirectory("graft_cli_refresh").toString
+    val raw = s"$root/rawdir"
+    Files.createDirectories(Paths.get(raw))
+    Files.writeString(Paths.get(s"$raw/MASTER.txt"), master)
+    Files.writeString(Paths.get(s"$raw/ACFTREF.txt"), acftref)
+    Files.writeString(Paths.get(s"$raw/ENGINE.txt"), engine)
+    val first = Cli.run(spark, root, Seq("refresh", raw), _ => ())
+      .get.collect().map(_.getString(0)).toSet
+    assert(first == graft.registry.RegistryNormalize.tableSources.keySet)
+    val second = Cli.run(spark, root, Seq("refresh", raw), _ => ())
+      .get.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(second.toSeq == Seq("(none)" -> "current"))
+    Files.writeString(Paths.get(s"$raw/ENGINE.txt"),
+      engine + "ENG9,GE,CF6,5,0,50000\n")
+    val third = Cli.run(spark, root, Seq("refresh", raw), _ => ())
+      .get.collect().map(_.getString(0)).toSet
+    assert(third == Set("engines"))
+  }
+
   test("version reports components") {
     val rows = Cli.run(spark, dataRoot, Seq("version"), _ => ())
       .get.collect().map(_.getString(0)).toSet

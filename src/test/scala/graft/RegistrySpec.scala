@@ -115,4 +115,26 @@ class RegistrySpec extends SparkSuite {
     assert(registry.listTables.contains("aircraft_decoded"))
     assert(registry.schemaOf("engines").count() == 6)
   }
+
+  test("normalizeIncremental refreshes only tables whose raw source changed") {
+    val (raw, _) = dirs
+    val pub2 = Files.createTempDirectory("graft_pub_inc").toString
+    // cold start: no checksum record — everything refreshes
+    val first = RegistryNormalize.normalizeIncremental(spark, raw, pub2)
+    assert(first.toSet == RegistryNormalize.tableSources.keySet)
+    // unchanged inputs: nothing refreshes
+    assert(RegistryNormalize.normalizeIncremental(spark, raw, pub2).isEmpty)
+    // touch only the engine dump → exactly the engines table refreshes
+    val enginePath = java.nio.file.Paths.get(s"$raw/ENGINE.txt")
+    Files.writeString(enginePath,
+      Files.readString(enginePath) + "ENG3,GE,CF6,5,0,50000\n")
+    val marker = new java.io.File(s"$pub2/aircraft.parquet").lastModified()
+    assert(RegistryNormalize.normalizeIncremental(spark, raw, pub2) ==
+      Seq("engines"))
+    assert(new java.io.File(s"$pub2/aircraft.parquet").lastModified() ==
+      marker, "untouched table was rewritten")
+    assert(spark.read.parquet(s"$pub2/engines.parquet").count() == 3)
+    // and the record advanced: a repeat run is again a no-op
+    assert(RegistryNormalize.normalizeIncremental(spark, raw, pub2).isEmpty)
+  }
 }
