@@ -693,6 +693,32 @@ object SparkEntry {
   // Text analysis (documents)
   // ---------------------------------------------------------------
 
+  /** t12: statistical fluency score from a corpus-trained character
+    * bigram LM — the cheap "perplexity-ish" quality filter: estimate
+    * P(c2|c1) from the corpus itself (one bigram hash-agg; the model
+    * is ≤ alphabet² rows, broadcastable at any corpus size), then
+    * score each doc as its mean bigram probability. Probabilities
+    * stay RATIONAL (count/count, no ln) so the arithmetic is
+    * engine-identical (the t08 rational-ranking trick). */
+  private def t12(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    val big = docs.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
+        .as("bg"))
+    val bc = big.groupBy("bg").agg(count(lit(1)).as("nb"))
+    val pc = bc.groupBy(substring(col("bg"), 1, 1).as("p"))
+      .agg(sum(col("nb")).as("np"))
+    val probs = bc.join(pc, substring(col("bg"), 1, 1) === col("p"))
+      .select(col("bg"), (col("nb") / col("np")).as("prob"))
+    big.join(broadcast(probs), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        trunc4(avg(col("prob"))).as("fluency"))
+      .orderBy("doc_id")
+  }
+
   /** n08: Unicode NFC normalization ([[Normalize.nfc]], native
     * codegen expression) — a decomposed accent sequence (e +
     * combining acute) is injected into a deterministic subset (the
@@ -1183,6 +1209,18 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** e15: time-series resample + forward fill
+    * ([[Temporal.resampleDailyFill]]) — every user's event values
+    * regularized onto the corpus's daily grid, last observation
+    * carried forward across gap days. */
+  private def e15(s: SparkSession, dir: String): DataFrame =
+    Temporal.resampleDailyFill(
+        T(s, dir, "events"), "user_id", "ts", "event_id", "value")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("value"), 2).as("value"))
+      .orderBy("user_id", "day")
+
   /** e14: streaming CDC upsert ([[Streams.streamingUpsertLatest]]) —
     * a foreachBatch merge maintains the latest-event-per-user parquet
     * snapshot (versioned dirs + pointer swap, exactly-once readers).
@@ -1284,6 +1322,7 @@ object SparkEntry {
     "q37_schema_evolution" -> (q37 _),
     "t10_source_mixture" -> (t10 _),
     "t11_hashed_features" -> (t11 _),
+    "t12_char_lm_score" -> (t12 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a01_approx_sketch" -> (a01 _),
@@ -1335,6 +1374,7 @@ object SparkEntry {
     "e12_incremental_rollup" -> (e12 _),
     "e13_range_join" -> (e13 _),
     "e14_streaming_upsert" -> (e14 _),
+    "e15_gap_fill" -> (e15 _),
     "p01_corpus_pipeline" -> (p01 _),
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _)
@@ -1793,6 +1833,20 @@ object SparkEntry {
         |SELECT source, lang, n_docs, total_tokens,
         |  floor((n_docs / total) * 10000) / 10000 AS share
         |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin,
+    "t12_char_lm_score" ->
+      """WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |  b AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, length(t) - 1),
+        |    i -> substr(t, i, 2))) AS bg FROM d),
+        |  bc AS (SELECT bg, count(*)::BIGINT AS nb FROM b GROUP BY 1),
+        |  pc AS (SELECT substr(bg, 1, 1) AS p, sum(nb)::BIGINT AS np
+        |    FROM bc GROUP BY 1),
+        |  pr AS (SELECT bg, nb / np AS prob FROM bc
+        |    JOIN pc ON substr(bc.bg, 1, 1) = pc.p)
+        |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor(avg(prob) * 10000) / 10000 AS fluency
+        |FROM b JOIN pr USING (bg)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "n08_nfc_normalize" ->
       // chr(769) = the combining acute the Spark side injects as
       // "́"; nfc_normalize and the JDK normalizer share the
@@ -2071,6 +2125,27 @@ object SparkEntry {
         |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
         |WHERE l.event_type = 'click'
         |GROUP BY l.event_id ORDER BY l.event_id""".stripMargin,
+    "e15_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id, value,
+        |    date_trunc('day', ts)::DATE AS d FROM events),
+        |  bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        |  days AS (SELECT unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY))::DATE AS d FROM bounds),
+        |  users AS (SELECT DISTINCT user_id FROM e),
+        |  grid AS (SELECT user_id, d FROM users CROSS JOIN days),
+        |  lastd AS (SELECT user_id, d, value FROM (
+        |    SELECT user_id, d, value, row_number() OVER (
+        |      PARTITION BY user_id, d ORDER BY tu DESC, event_id DESC)
+        |      AS rn FROM e) WHERE rn = 1),
+        |  f AS (SELECT g.user_id, g.d,
+        |    last_value(l.value IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.d
+        |      ROWS UNBOUNDED PRECEDING) AS v
+        |    FROM grid g LEFT JOIN lastd l
+        |      ON g.user_id = l.user_id AND g.d = l.d)
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+        |  round(v, 2) AS value
+        |FROM f ORDER BY user_id, day""".stripMargin,
     "e14_streaming_upsert" ->
       // epoch_us ordering mirrors the Spark reader's ns→us truncation
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,

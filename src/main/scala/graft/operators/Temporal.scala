@@ -144,6 +144,46 @@ object Temporal {
       .drop("__bin")
   }
 
+  /** Time-series regularization: resample each key's event stream
+    * onto the corpus's daily grid, forward-filling the latest value —
+    * the gap-fill step before any windowed feature extraction over
+    * irregular events (days with no events carry the last observation
+    * forward; days before a key's first event stay NULL).
+    *
+    * Scale shape: last-observation-per-(key, day) is one windowed
+    * pick; the grid is |keys| × |days| rows built from a broadcast
+    * one-row bounds aggregate (days explode map-side, never
+    * collected); the forward fill is ONE shuffle on the key with a
+    * running `last(ignoreNulls)` window — bounded state per key, no
+    * driver loops. `tie` breaks same-timestamp ties (latest event_id
+    * wins). */
+  def resampleDailyFill(
+      events: DataFrame,
+      key: String,
+      ts: String,
+      tie: String,
+      value: String): DataFrame = {
+    val perDay = Window.partitionBy(col(key), col("__d"))
+      .orderBy(col(ts).desc, col(tie).desc)
+    val lastPerDay = events
+      .select(col(key), to_date(col(ts)).as("__d"), col(ts), col(tie),
+        col(value))
+      .withColumn("__rn", row_number().over(perDay))
+      .filter(col("__rn") === 1)
+      .select(col(key), col("__d"), col(value))
+    val days = events
+      .agg(min(to_date(col(ts))).as("__d0"), max(to_date(col(ts))).as("__d1"))
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)"))
+        .as("__d"))
+    val grid = events.select(col(key)).distinct()
+      .crossJoin(broadcast(days))
+    val fill = Window.partitionBy(col(key)).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerDay, Seq(key, "__d"), "left")
+      .withColumn("__v", last(col(value), ignoreNulls = true).over(fill))
+      .select(col(key), col("__d").as("day"), col("__v").as(value))
+  }
+
   /** As-of join through the custom physical operator
     * ([[graft.plans.AsOfJoinExec]]): same semantics as
     * [[asofBackward]], but planned as a native sort-merge with O(1)

@@ -94,6 +94,28 @@ class TemporalSpec extends SparkSuite {
     assert(res.count() == events.count())
   }
 
+  test("resampleDailyFill: grid complete, gaps forward-filled, pre-history null") {
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 100L, 5.0),
+      (1L, ts("2024-01-02 12:00:00"), 101L, 7.0), // later same day wins
+      (1L, ts("2024-01-04 09:00:00"), 102L, 9.0), // Jan 3 gap -> carries 7.0
+      (2L, ts("2024-01-03 08:00:00"), 103L, 1.0)  // Jan 1-2 pre-history null
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Temporal
+      .resampleDailyFill(events, "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // grid: 2 users x 3 days (Jan 2..4)
+    assert(got.size == 6)
+    assert(got((1L, "2024-01-02")).contains(7.0))
+    assert(got((1L, "2024-01-03")).contains(7.0)) // gap filled
+    assert(got((1L, "2024-01-04")).contains(9.0))
+    assert(got((2L, "2024-01-02")).isEmpty) // before first event
+    assert(got((2L, "2024-01-03")).contains(1.0))
+    assert(got((2L, "2024-01-04")).contains(1.0))
+  }
+
   test("rangeJoin matches the naive inequality join, bounds inclusive") {
     val left = Seq(
       (1L, ts("2024-01-01 10:00:00")),
