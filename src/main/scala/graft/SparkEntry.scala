@@ -566,6 +566,22 @@ object SparkEntry {
       .orderBy("gen", "c_custkey")
   }
 
+  /** q38: explicit GROUPING SETS — the two marginal rollups
+    * (by flag, by status) in ONE pass over the scan, completing the
+    * rollup (q19) / cube (q26) family: arbitrary group combinations
+    * without scanning once per marginal. */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
   /** q34: the ranking-window family in one pass. Tie-sensitive
     * functions (rank / dense_rank / percent_rank / cume_dist) rank on
     * the date alone — ties are real and both engines must agree on
@@ -717,6 +733,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_bigrams"),
         trunc4(avg(col("prob"))).as("fluency"))
       .orderBy("doc_id")
+  }
+
+  /** t13: corpus-derived stopword/boilerplate detection — tokens
+    * whose document frequency exceeds half the corpus: the
+    * data-driven stopword list a filtering pipeline derives per
+    * corpus/language instead of shipping a fixed list. One distinct
+    * (doc, token) hash-agg → one token hash-agg; the corpus count is
+    * a one-row broadcast. */
+  private def t13(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val df = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.tokensLower(col("text"))))
+          .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).cast("double").as("__n"))
+    df.join(broadcast(total))
+      .filter(col("df") / col("__n") > 0.5)
+      .select(col("token"), col("df"),
+        trunc4(col("df") / col("__n")).as("doc_frac"))
+      .orderBy("token")
   }
 
   /** n08: Unicode NFC normalization ([[Normalize.nfc]], native
@@ -1258,6 +1295,43 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** p02: the ROUND-5 preprocessing chain composed end to end —
+    * benchmark decontamination (d10) → exact dedup (d01) →
+    * char-bigram LM fluency filter (t12, model trained on the
+    * SURVIVORS — chain order matters and the oracle re-derives it in
+    * that order) → per-source report. Every stage is an independently
+    * oracle-checked operator; this proves the composition. */
+  private def p02(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val clean = Dedup
+      .decontaminate(corpus, bench, col("doc_id"), col("text"), n = 8)
+      .filter(col("n_overlap") === 0).select("doc_id")
+    val cleanDocs = corpus.join(clean, Seq("doc_id"), "left_semi")
+    val keep = Dedup.exactDedup(cleanDocs, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    val surv = cleanDocs.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), lower(trim(col("text"))).as("t"))
+    val big = surv.select(col("doc_id"), col("source"),
+      explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
+        .as("bg"))
+    val bc = big.groupBy("bg").agg(count(lit(1)).as("nb"))
+    val pc = bc.groupBy(substring(col("bg"), 1, 1).as("p"))
+      .agg(sum(col("nb")).as("np"))
+    val probs = bc.join(pc, substring(col("bg"), 1, 1) === col("p"))
+      .select(col("bg"), (col("nb") / col("np")).as("prob"))
+    big.join(broadcast(probs), Seq("bg"))
+      .groupBy("doc_id", "source")
+      .agg(trunc4(avg(col("prob"))).as("fluency"))
+      .filter(col("fluency") >= 0.25)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        trunc4(avg(col("fluency"))).as("avg_fluency"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------
   // Multimodal
   // ---------------------------------------------------------------
@@ -1320,6 +1394,8 @@ object SparkEntry {
     "q35_column_profile" -> (q35 _),
     "q36_histogram" -> (q36 _),
     "q37_schema_evolution" -> (q37 _),
+    "q38_grouping_sets" -> (q38 _),
+    "t13_stopword_detect" -> (t13 _),
     "t10_source_mixture" -> (t10 _),
     "t11_hashed_features" -> (t11 _),
     "t12_char_lm_score" -> (t12 _),
@@ -1376,6 +1452,7 @@ object SparkEntry {
     "e14_streaming_upsert" -> (e14 _),
     "e15_gap_fill" -> (e15 _),
     "p01_corpus_pipeline" -> (p01 _),
+    "p02_preprocess_chain" -> (p02 _),
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _)
   )
@@ -1817,6 +1894,23 @@ object SparkEntry {
         |    AS hi,
         |  count(*)::BIGINT AS n
         |FROM b GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin,
+    "q38_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin,
+    "t13_stopword_detect" ->
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(
+        |    string_split_regex(lower(trim(text)), '\s+'))) AS token
+        |  FROM documents),
+        |  d AS (SELECT token, count(*)::BIGINT AS df FROM t GROUP BY 1),
+        |  n AS (SELECT count(*)::DOUBLE AS total FROM documents)
+        |SELECT token, df,
+        |  floor((df / total) * 10000) / 10000 AS doc_frac
+        |FROM d CROSS JOIN n WHERE df / total > 0.5
+        |ORDER BY token""".stripMargin,
     "q37_schema_evolution" ->
       """SELECT 'v2' AS gen, c_custkey, c_name,
         |  round(c_acctbal, 2) AS c_acctbal FROM customer
@@ -2154,6 +2248,41 @@ object SparkEntry {
         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "p02_preprocess_chain" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |  ng AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 7, 0)),
+        |    i -> array_to_string(tk[i:i+7], ' ')))) AS g FROM tok),
+        |  bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
+        |  hits AS (SELECT n.doc_id, count(*)::BIGINT AS n_overlap
+        |    FROM ng n JOIN bench USING (g)
+        |    WHERE n.doc_id % 20 <> 0 GROUP BY 1),
+        |  clean AS (SELECT d.doc_id FROM documents d
+        |    LEFT JOIN hits h USING (doc_id)
+        |    WHERE d.doc_id % 20 <> 0 AND coalesce(h.n_overlap, 0) = 0),
+        |  keep AS (SELECT min(d.doc_id) AS doc_id FROM documents d
+        |    JOIN clean c ON d.doc_id = c.doc_id
+        |    GROUP BY md5(upper(regexp_replace(trim(d.text), '\s+', ' ',
+        |      'g')))),
+        |  surv AS (SELECT d.doc_id, d.source, lower(trim(d.text)) AS t
+        |    FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+        |  b AS (SELECT doc_id, source, unnest(list_transform(
+        |    generate_series(1, length(t) - 1),
+        |    i -> substr(t, i, 2))) AS bg FROM surv),
+        |  bc AS (SELECT bg, count(*)::BIGINT AS nb FROM b GROUP BY 1),
+        |  pc AS (SELECT substr(bg, 1, 1) AS p, sum(nb)::BIGINT AS np
+        |    FROM bc GROUP BY 1),
+        |  pr AS (SELECT bg, nb / np AS prob FROM bc
+        |    JOIN pc ON substr(bc.bg, 1, 1) = pc.p),
+        |  fl AS (SELECT b.doc_id, b.source,
+        |    floor(avg(prob) * 10000) / 10000 AS fluency
+        |    FROM b JOIN pr USING (bg) GROUP BY 1, 2)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  floor(avg(fluency) * 10000) / 10000 AS avg_fluency
+        |FROM fl WHERE fluency >= 0.25
+        |GROUP BY source ORDER BY source""".stripMargin,
     "p01_corpus_pipeline" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
         |    GROUP BY md5(upper(regexp_replace(trim(text), '\s+', ' ', 'g')))),
