@@ -566,6 +566,23 @@ object SparkEntry {
       .orderBy("gen", "c_custkey")
   }
 
+  /** q39: grouped top-k on relational data through the bounded-heap
+    * aggregate ([[Similarity.topKAgg]] / plans.TopKPairs) — top-3
+    * orders by price per customer as a hash aggregate with k-row
+    * state and map-side partials, NOT a window sort of every
+    * customer's full order history (the plan difference that matters
+    * when a hot key has millions of rows). Oracle: the window form. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(Similarity.topKAgg(col("o_totalprice"), col("o_orderkey"), 3)
+        .as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("o_orderkey"),
+        round(col("col.score"), 2).as("o_totalprice"))
+      .orderBy("o_custkey", "rank")
+
   /** q38: explicit GROUPING SETS — the two marginal rollups
     * (by flag, by status) in ONE pass over the scan, completing the
     * rollup (q19) / cube (q26) family: arbitrary group combinations
@@ -1395,6 +1412,7 @@ object SparkEntry {
     "q36_histogram" -> (q36 _),
     "q37_schema_evolution" -> (q37 _),
     "q38_grouping_sets" -> (q38 _),
+    "q39_grouped_topk" -> (q39 _),
     "t13_stopword_detect" -> (t13 _),
     "t10_source_mixture" -> (t10 _),
     "t11_hashed_features" -> (t11 _),
@@ -1894,6 +1912,14 @@ object SparkEntry {
         |    AS hi,
         |  count(*)::BIGINT AS n
         |FROM b GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin,
+    "q39_grouped_topk" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    round(o_totalprice, 2) AS o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
     "q38_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
