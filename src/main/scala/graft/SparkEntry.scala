@@ -736,10 +736,14 @@ object SparkEntry {
   private def t12(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    // cache (lazy): both the model aggregate and the scoring join
+    // consume this frame — uncached, every doc pays the per-char
+    // lambda-dispatched bigram explode twice
     val big = docs.select(col("doc_id"),
       explode(expr(
         "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
         .as("bg"))
+      .cache()
     val bc = big.groupBy("bg").agg(count(lit(1)).as("nb"))
     val pc = bc.groupBy(substring(col("bg"), 1, 1).as("p"))
       .agg(sum(col("nb")).as("np"))
@@ -1330,10 +1334,14 @@ object SparkEntry {
       .select(col("keep_id").as("doc_id"))
     val surv = cleanDocs.join(keep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"), lower(trim(col("text"))).as("t"))
+    // cache (lazy): consumed by both the model aggregate and the
+    // scoring join, and everything upstream (decontaminate + dedup
+    // semi-joins) would otherwise rerun twice too
     val big = surv.select(col("doc_id"), col("source"),
       explode(expr(
         "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
         .as("bg"))
+      .cache()
     val bc = big.groupBy("bg").agg(count(lit(1)).as("nb"))
     val pc = bc.groupBy(substring(col("bg"), 1, 1).as("p"))
       .agg(sum(col("nb")).as("np"))
