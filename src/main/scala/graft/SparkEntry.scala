@@ -711,6 +711,34 @@ object SparkEntry {
       .orderBy(col("n").desc, col("key"))
   }
 
+  /** a04: KMV sketch set algebra ([[graft.operators.Sketches]]) —
+    * per-event-type sketches of the (user, day) activity set, then
+    * pairwise Jaccard and distinct-INTERSECTION estimates between
+    * types, entirely from the tiny sketches (the operation a02's HLL
+    * cannot do: HLL only unions). Rows-only oracle (sketch internals
+    * are hash-dependent); accuracy bounds in SketchSpec. */
+  private def a04(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val sk = T(s, dir, "events")
+      .select(col("event_type"),
+        xxhash64(col("user_id"), date_trunc("day", col("ts"))).as("h"))
+      .groupBy("event_type")
+      .agg(graft.operators.Sketches.kmvSketch(col("h"), k).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(graft.operators.Sketches.kmvEstimate(col("ska"), k), 1)
+          .as("est_a"),
+        round(graft.operators.Sketches.kmvEstimate(col("skb"), k), 1)
+          .as("est_b"),
+        trunc4(graft.operators.Sketches.kmvJaccard(col("ska"), col("skb"), k))
+          .as("jaccard"),
+        round(graft.operators.Sketches.kmvIntersect(col("ska"), col("skb"), k), 1)
+          .as("est_common"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** a01: approximate sketches — HLL distinct + quantile sketch.
     * Rows-only oracle (sketch internals are engine-specific);
     * accuracy vs exact asserted in specs. */
@@ -1427,6 +1455,7 @@ object SparkEntry {
     "t12_char_lm_score" -> (t12 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
+    "a04_kmv_set_algebra" -> (a04 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
     "n02_state_zip" -> (n02 _),

@@ -20,6 +20,45 @@ object Sketches {
         .toAggregateExpression())
   }
 
+  /** KMV distinct-set sketch ([[graft.plans.KmvSketch]]) over a
+    * 64-bit hash column: array<bigint> of the k smallest distinct
+    * (unsigned-order-transformed) hashes. */
+  def kmvSketch(hash: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.KmvSketch(GraftBridge.expression(hash), k)
+        .toAggregateExpression())
+  }
+
+  private val TwoPow64 = 1.8446744073709552E19
+
+  /** Distinct-count estimate from a KMV sketch: (k−1)/u_k with u_k
+    * the k-th smallest hash normalized to [0,1); a sketch smaller
+    * than k IS the distinct hash set, so the count is exact. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit(k - 1.0) /
+        (element_at(sketch, k).cast("double") / TwoPow64 + 0.5))
+
+  /** The k smallest of A∪B — itself a valid KMV sketch of the union
+    * (closure under union is the point of KMV). */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Jaccard estimate: the union sketch is a uniform sample of A∪B,
+    * so the fraction of it present in BOTH input sketches estimates
+    * |A∩B| / |A∪B| — the estimate HLL sketches cannot give. Plain
+    * array built-ins: sketches compare engine-side, no UDFs. */
+  def kmvJaccard(a: Column, b: Column, k: Int): Column = {
+    val merged = kmvUnion(a, b, k)
+    size(array_intersect(merged, array_intersect(a, b))).cast("double") /
+      size(merged)
+  }
+
+  /** Distinct-intersection estimate: Jaccard × |A∪B| estimate. */
+  def kmvIntersect(a: Column, b: Column, k: Int): Column =
+    kmvJaccard(a, b, k) * kmvEstimate(kmvUnion(a, b, k), k)
+
   /** EXACT top-k heavy hitters without a full-cardinality groupBy:
     * pass 1 aggregates an m-counter Misra–Gries summary (bounded
     * state, map-side partials — the shuffle is m rows, not one per

@@ -65,6 +65,39 @@ class SketchSpec extends SparkSuite {
       "h2" -> 200L, "h1" -> 100L))
   }
 
+  test("KMV: exact below k; estimates within 15% under real sketching") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // A = 1..10000, B = 5001..15000: |A∩B|=5000, |A∪B|=15000, J=1/3
+    val rows = (1 to 10000).map(i => ("A", i.toLong)) ++
+      (5001 to 15000).map(i => ("B", i.toLong))
+    val k = 512
+    val sk = spark.sparkContext.parallelize(rows, 8).toDF("s", "v")
+      .select(col("s"), xxhash64(col("v")).as("h"))
+      .groupBy("s").agg(Sketches.kmvSketch(col("h"), k).as("sk"))
+    val wide = sk.groupBy().pivot("s").agg(first(col("sk")))
+    val est = wide.select(
+      Sketches.kmvEstimate(col("A"), k).as("ea"),
+      Sketches.kmvEstimate(col("B"), k).as("eb"),
+      Sketches.kmvJaccard(col("A"), col("B"), k).as("j"),
+      Sketches.kmvIntersect(col("A"), col("B"), k).as("i")).head
+    assert(math.abs(est.getDouble(0) - 10000) / 10000 < 0.15,
+      s"card A: ${est.getDouble(0)}")
+    assert(math.abs(est.getDouble(1) - 10000) / 10000 < 0.15,
+      s"card B: ${est.getDouble(1)}")
+    assert(math.abs(est.getDouble(2) - 1.0 / 3) < 0.07,
+      s"jaccard: ${est.getDouble(2)}")
+    assert(math.abs(est.getDouble(3) - 5000) / 5000 < 0.25,
+      s"intersection: ${est.getDouble(3)}")
+    // exact regime: cardinality < k ⇒ estimate is the exact count
+    val small = (1 to 100).map(i => ("S", i.toLong))
+    val s2 = small.toDF("s", "v")
+      .select(col("s"), xxhash64(col("v")).as("h"))
+      .groupBy("s").agg(Sketches.kmvSketch(col("h"), k).as("sk"))
+      .select(Sketches.kmvEstimate(col("sk"), k).as("e")).head
+    assert(s2.getDouble(0) == 100.0)
+  }
+
   test("approx sketches land near exact values") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val rows = li.groupBy("l_returnflag").agg(
