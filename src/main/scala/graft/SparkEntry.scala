@@ -726,15 +726,23 @@ object SparkEntry {
       .agg(graft.operators.Sketches.kmvSketch(col("h"), k).as("sk"))
     val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    // staged selects materialize the union sketch and jaccard ONCE —
+    // array expressions get no CSE, so composing kmvJaccard +
+    // kmvIntersect inline would re-sort the merged arrays per column
+    import graft.operators.Sketches
     a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("ska"), col("skb"),
+        Sketches.kmvUnion(col("ska"), col("skb"), k).as("__u"))
+      .select(col("type_a"), col("type_b"), col("ska"), col("skb"),
+        col("__u"),
+        (size(array_intersect(col("__u"),
+          array_intersect(col("ska"), col("skb")))).cast("double") /
+          size(col("__u"))).as("__j"))
       .select(col("type_a"), col("type_b"),
-        round(graft.operators.Sketches.kmvEstimate(col("ska"), k), 1)
-          .as("est_a"),
-        round(graft.operators.Sketches.kmvEstimate(col("skb"), k), 1)
-          .as("est_b"),
-        trunc4(graft.operators.Sketches.kmvJaccard(col("ska"), col("skb"), k))
-          .as("jaccard"),
-        round(graft.operators.Sketches.kmvIntersect(col("ska"), col("skb"), k), 1)
+        round(Sketches.kmvEstimate(col("ska"), k), 1).as("est_a"),
+        round(Sketches.kmvEstimate(col("skb"), k), 1).as("est_b"),
+        trunc4(col("__j")).as("jaccard"),
+        round(col("__j") * Sketches.kmvEstimate(col("__u"), k), 1)
           .as("est_common"))
       .orderBy("type_a", "type_b")
   }
@@ -766,10 +774,17 @@ object SparkEntry {
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
     // cache (lazy): both the model aggregate and the scoring join
     // consume this frame — uncached, every doc pays the per-char
-    // lambda-dispatched bigram explode twice
+    // lambda-dispatched bigram explode twice. The length guard
+    // matters: Spark's sequence(1, 0) counts DOWN ([1, 0]), so a
+    // 0/1-char doc would emit phantom bigrams where DuckDB's
+    // generate_series(1, 0) is empty — guarded, both engines drop
+    // the doc (explode of an empty array).
     val big = docs.select(col("doc_id"),
       explode(expr(
-        "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
+        """CASE WHEN length(t) >= 2
+          |  THEN transform(sequence(1, length(t) - 1),
+          |    i -> substr(t, i, 2))
+          |  ELSE array() END""".stripMargin))
         .as("bg"))
       .cache()
     val bc = big.groupBy("bg").agg(count(lit(1)).as("nb"))
@@ -1364,10 +1379,14 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), lower(trim(col("text"))).as("t"))
     // cache (lazy): consumed by both the model aggregate and the
     // scoring join, and everything upstream (decontaminate + dedup
-    // semi-joins) would otherwise rerun twice too
+    // semi-joins) would otherwise rerun twice too. Same short-doc
+    // guard as t12 (sequence(1, 0) counts down).
     val big = surv.select(col("doc_id"), col("source"),
       explode(expr(
-        "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
+        """CASE WHEN length(t) >= 2
+          |  THEN transform(sequence(1, length(t) - 1),
+          |    i -> substr(t, i, 2))
+          |  ELSE array() END""".stripMargin))
         .as("bg"))
       .cache()
     val bc = big.groupBy("bg").agg(count(lit(1)).as("nb"))

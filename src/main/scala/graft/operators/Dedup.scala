@@ -385,7 +385,12 @@ object Dedup {
     }
     // cache (lazy): the self-join below evaluates this frame for BOTH
     // sides — uncached, every row pays its numTables × planesPerTable
-    // hyperplane dot products twice (caching measured 1.9× at sf0.1)
+    // hyperplane dot products twice (caching measured 1.9× at sf0.1).
+    // Deliberately not unpersisted: the returned frame is lazy, so
+    // there is no safe point inside the operator; blocks are
+    // recomputable and Spark evicts them LRU under memory pressure —
+    // long-lived sessions calling this repeatedly can
+    // spark.catalog.clearCache() between corpora
     val banded = v
       .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
@@ -448,7 +453,11 @@ object Dedup {
     * dominates — same output, modulo 64-bit collisions).
     *
     * Output: one row per corpus doc — (id, n_overlap, contaminated),
-    * zero-overlap docs included. */
+    * zero-overlap docs included.
+    *
+    * `idCol`/`textCol` are resolved against BOTH frames, so corpus
+    * and benchmark must carry those columns under the same names
+    * (select/rename the benchmark side first if it differs). */
   def decontaminate(
       corpus: DataFrame,
       benchmark: DataFrame,

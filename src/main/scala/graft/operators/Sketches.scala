@@ -55,7 +55,11 @@ object Sketches {
       size(merged)
   }
 
-  /** Distinct-intersection estimate: Jaccard × |A∪B| estimate. */
+  /** Distinct-intersection estimate: Jaccard × |A∪B| estimate.
+    * Convenience composition — array expressions get no CSE, so this
+    * builds the union sketch twice; in hot paths materialize
+    * [[kmvUnion]] in a select first and derive both factors from the
+    * materialized column (the a04 query shows the staged shape). */
   def kmvIntersect(a: Column, b: Column, k: Int): Column =
     kmvJaccard(a, b, k) * kmvEstimate(kmvUnion(a, b, k), k)
 

@@ -98,12 +98,18 @@ case class MisraGries(
       InternalRow(UTF8String.fromString(k), c): Any
     })
 
+  // length-prefixed raw UTF-8, not writeUTF: keys are whole column
+  // values (heavyHitters casts arbitrary columns to string) and
+  // writeUTF throws past 64 KB of modified-UTF-8
   override def serialize(buf: MGSummary): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.m)
     out.writeInt(buf.counts.size)
-    buf.counts.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    buf.counts.foreach { case (k, c) =>
+      val b = k.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -111,7 +117,12 @@ case class MisraGries(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new MGSummary(in.readInt())
     val n = in.readInt()
-    (0 until n).foreach(_ => buf.counts.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.counts.update(new String(b, "UTF-8"), in.readLong())
+    }
     buf
   }
 

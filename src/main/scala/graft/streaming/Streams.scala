@@ -197,7 +197,16 @@ object Streams {
     * merge). */
   def upsertLatestOf(stream: DataFrame, base: String): DataFrame = {
     val spark = stream.sparkSession
-    val ptr = new java.util.concurrent.atomic.AtomicReference[String](null)
+    // the snapshot pointer is DURABLE (a _latest file beside the
+    // checkpoint), not process memory: the checkpoint makes a restart
+    // skip committed batches, so a memory-only pointer would silently
+    // drop their accumulated state on the first post-restart merge
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
     def latestPerUser(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id")
@@ -208,14 +217,17 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val delta = latestPerUser(batch.toDF())
-        val merged = Option(ptr.get()) match {
+        val merged = readPtr() match {
           case None => delta
           case Some(p) =>
             latestPerUser(spark.read.parquet(p).unionByName(delta))
         }
         val out = s"$base/v$id"
         merged.write.mode("overwrite").parquet(out)
-        ptr.set(out)
+        // written AFTER the snapshot commits: a crash between the two
+        // re-runs the batch against the previous pointer (idempotent —
+        // latest-per-key of the same input), never serves a half-write
+        java.nio.file.Files.writeString(latestFile, out)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -223,8 +235,9 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    require(ptr.get != null, "stream produced no batches")
-    spark.read.parquet(ptr.get)
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(snap)
   }
 
   /** [[upsertLatestOf]] over the events table: the maintained

@@ -54,6 +54,19 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("Misra-Gries survives >64KB keys through the shuffle (serialization)") {
+    import spark.implicits._
+    // writeUTF would throw past 65535 modified-UTF-8 bytes; keys are
+    // whole column values, so giant keys are a legitimate input
+    val bigKey = "x" * 100000
+    val df = spark.sparkContext
+      .parallelize(Seq.fill(10)(bigKey) ++ Seq("small"), 4).toDF("key")
+    val got = graft.operators.Sketches.heavyHitters(df, col("key"), 8, 1)
+      .collect()
+    assert(got.length == 1 && got.head.getString(0) == bigKey &&
+      got.head.getLong(1) == 10L)
+  }
+
   test("heavyHitters: exact top-k despite bounded sketch state") {
     import spark.implicits._
     val heavy = (1 to 5).flatMap(i => Seq.fill(100 * i)(s"h$i"))
