@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Scan-level plan assertions: filters reach the parquet reader as
+  * PushedFilters and projections prune ReadSchema — the two
+  * properties that decide whether a 100 TB scan reads terabytes or
+  * gigabytes. Asserted on representative queries so a refactor that
+  * silently breaks pushdown (e.g. wrapping a filter column in a
+  * non-pushable expression) fails the suite, not the bill.
+  */
+class PushdownSpec extends SparkSuite {
+
+  private def scans(name: String): Seq[FileSourceScanExec] = {
+    val plan = SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val found = plan.collect { case s: FileSourceScanExec => s }
+    assert(found.nonEmpty, s"$name: no parquet scans in plan")
+    found
+  }
+
+  test("q02 filter+projection reach the scan") {
+    val s = scans("q02_filter_project")
+    val pushed = s.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThan") || pushed.contains("LessThan"),
+      s"no range filter pushed: $pushed")
+    // projection pruning: the scan must NOT read every lineitem column
+    val schemas = s.map(_.metadata.getOrElse("ReadSchema", ""))
+    assert(schemas.exists(sch => !sch.contains("l_comment") &&
+      sch.contains("l_")),
+      s"scan reads unpruned schema: $schemas")
+  }
+
+  test("q05 LIKE-search pushes the residual-safe predicates") {
+    val pushed = scans("q05_fleet_search")
+      .flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.nonEmpty && pushed != "[]", s"nothing pushed: $pushed")
+  }
+
+  test("e13 range join scans push the event_type filters") {
+    val pushed = scans("e13_range_join")
+      .flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(event_type,click)") &&
+      pushed.contains("EqualTo(event_type,purchase)"),
+      s"event_type filters not pushed: $pushed")
+  }
+
+  test("t01 text stats scan prunes to the columns it uses") {
+    val schemas = scans("t01_token_stats")
+      .map(_.metadata.getOrElse("ReadSchema", ""))
+    assert(schemas.exists(sch => sch.contains("doc_id") &&
+      sch.contains("text") && !sch.contains("embedding") &&
+      !sch.contains("source")),
+      s"documents scan unpruned: $schemas")
+  }
+
+  test("q35 profiler reads only the profiled columns") {
+    val schemas = scans("q35_column_profile")
+      .map(_.metadata.getOrElse("ReadSchema", ""))
+    assert(schemas.exists(sch => sch.contains("l_quantity") &&
+      !sch.contains("l_orderkey") && !sch.contains("l_shipdate")),
+      s"profiler scan unpruned: $schemas")
+  }
+}
