@@ -42,21 +42,21 @@ class SimilaritySpec extends SparkSuite {
   // explicitly tuned probe settings and deterministic seeded
   // hyperplanes, so a drop means a real recall regression, not noise.
 
-  test("lshAnn recall vs brute force (tuned multi-probe)") {
-    val ann = resultSet(
-      Similarity.lshAnn(emb, queries, "vec_id", "embedding", 5,
-        numPlanes = 5, probeBits = 2))
-    val recall = (ann intersect brute).size.toDouble / brute.size
-    info(s"LSH recall@5 (planes=5, 2-bit probes) = $recall")
-    assert(recall >= 0.6, s"LSH recall too low: $recall")
-  }
-
-  test("lshAnn default (cheap) config still finds a usable fraction") {
+  test("lshAnn DEFAULT config recall vs brute force") {
     val ann = resultSet(
       Similarity.lshAnn(emb, queries, "vec_id", "embedding", 5))
     val recall = (ann intersect brute).size.toDouble / brute.size
-    info(s"LSH recall@5 (default planes=6, 1-bit probes) = $recall")
-    assert(recall >= 0.15, s"LSH recall too low: $recall")
+    info(s"LSH recall@5 (default planes=5, 2-bit probes) = $recall")
+    assert(recall >= 0.6, s"default LSH recall too low: $recall")
+  }
+
+  test("lshAnn cheap config (1-bit probes) still finds a usable fraction") {
+    val ann = resultSet(
+      Similarity.lshAnn(emb, queries, "vec_id", "embedding", 5,
+        numPlanes = 6, probeBits = 1))
+    val recall = (ann intersect brute).size.toDouble / brute.size
+    info(s"LSH recall@5 (cheap planes=6, 1-bit probes) = $recall")
+    assert(recall >= 0.15, s"cheap LSH recall too low: $recall")
   }
 
   test("kmeansCells: deterministic, covers every row, at most k cells") {
