@@ -698,6 +698,17 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** s07: product-quantization ANN ([[Similarity.pqKnn]]) — 8-byte
+    * PQ codes (32× smaller than float vectors), classic ADC table
+    * scoring, exact re-rank. Rows-only oracle (codes are
+    * sample/codebook-dependent); recall floor in SimilaritySpec. */
+  private def s07(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.pqKnn(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** a03: EXACT top-10 words via the Misra–Gries heavy-hitter
     * sketch + exact verify ([[graft.operators.Sketches]]): pass 1 is
     * a bounded-state aggregate (m counters, map-side partials — the
@@ -1510,6 +1521,7 @@ object SparkEntry {
     "s04_knn_topk_agg" -> (s04 _),
     "s05_ivf_kmeans" -> (s05 _),
     "s06_quantized_knn" -> (s06 _),
+    "s07_pq_ann" -> (s07 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_counts" -> (e02 _),
     "e03_asof_join" -> (e03 _),

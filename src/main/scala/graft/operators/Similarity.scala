@@ -328,6 +328,165 @@ object Similarity {
         col("col.id").as("cand_id"))
   }
 
+  /** Plain-Scala Lloyd iterations on a driver-held sample — PQ
+    * sub-codebook training. Deterministic: init = first k sample
+    * points (the sample itself is hash-ordered), empty cells keep
+    * their centroid. */
+  private def lloydEuclid(
+      points: Array[Array[Double]],
+      k: Int,
+      iters: Int): Array[Array[Double]] = {
+    var cents = points.take(k)
+    var it = 0
+    while (it < iters) {
+      val d = points.head.length
+      val sums = Array.fill(cents.length)(new Array[Double](d))
+      val cnt = new Array[Int](cents.length)
+      points.foreach { p =>
+        var best = 0
+        var bd = Double.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          var dist = 0.0
+          var i = 0
+          while (i < d) {
+            val t = p(i) - cents(j)(i); dist += t * t; i += 1
+          }
+          if (dist < bd) { bd = dist; best = j }
+          j += 1
+        }
+        cnt(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < d) { s(i) += p(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (cnt(j) == 0) old else sums(j).map(_ / cnt(j))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Product-quantization ANN with asymmetric distance (ADC) scoring
+    * and exact re-ranking — the aggressive end of the compression
+    * spectrum: each vector stores `numSub` byte codes (+1 float
+    * norm), 8 bytes for a 64-dim embedding vs 256 raw — 32× less
+    * than float, 8× less than the int8 path (s06).
+    *
+    * Train: per-subspace codebooks (`codebookK` centroids over
+    * `dim/numSub`-dim slices) via Lloyd on a bounded hash-ordered
+    * sample held on the driver — the standard PQ regime (codebooks
+    * train on ~10⁴–10⁵ samples regardless of corpus size; encoding
+    * is the distributed part). Encode: per subspace, argmin-L2 code
+    * via `x·c − ‖c‖²/2` codegen dots against literal centroids
+    * (subvector materialized ONCE per subspace — no lambda-scope
+    * re-evaluation). Score: classic ADC — each query precomputes its
+    * codebookK-entry dot table per subspace (in its broadcast row), a
+    * (query, candidate) pair then costs `numSub` array lookups, not a
+    * dim-length loop; approximate cosine divides by the codebook-
+    * derived norm. Top `k × candMult` per query via the bounded heap,
+    * exact float cosine re-rank of the survivors. Recall floor
+    * asserted in SimilaritySpec. */
+  def pqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numSub: Int = 8,
+      codebookK: Int = 32,
+      sampleN: Int = 4096,
+      trainIters: Int = 10,
+      candMult: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
+    val subDim = dim / numSub
+    val sample = corpus
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= codebookK, s"sample ${sample.length} < k")
+    val books: Array[Array[Array[Double]]] = (0 until numSub).map { s =>
+      lloydEuclid(
+        sample.map(_.slice(s * subDim, (s + 1) * subDim)),
+        codebookK, trainIters)
+    }.toArray
+    val bookNormSq: Array[Array[Double]] =
+      books.map(_.map(c => c.map(x => x * x).sum))
+
+    def subCol(v: Column, s: Int): Column =
+      slice(transform(v, _.cast("double")), s * subDim + 1, subDim)
+
+    // ---- encode: codes + codebook-derived norm. Scoring loops over
+    // a LITERAL packed codebook via transform (a codegen loop) rather
+    // than codebookK unrolled struct exprs — the unrolled form blows
+    // janino's method limits at 8 × 32 inline dot loops and drops the
+    // whole stage to interpreted mode. Scores materialize in their
+    // own select so the argmax's two references don't re-evaluate
+    // the transform (no CSE), then argmin-L2 code =
+    // first position of the max of `x·c − ‖c‖²/2`.
+    val withSubs = corpus.select(
+      (col(idCol).as("cand_id") +: col(vecCol).as("cv") +:
+        (0 until numSub).map(s => subCol(col(vecCol), s).as(s"__s$s"))): _*)
+    val withScores = withSubs.select(
+      (col("cand_id") +: col("cv") +:
+        (0 until numSub).map { s =>
+          val packed = typedLit(books(s).zipWithIndex.map { case (c, j) =>
+            (c.toSeq, bookNormSq(s)(j))
+          }.toSeq)
+          transform(packed, e =>
+            dotNative(col(s"__s$s"), e.getField("_1")) -
+              e.getField("_2") / 2).as(s"__sc$s")
+        }): _*)
+    val encoded = withScores
+      .select((col("cand_id") +: col("cv") +:
+        (0 until numSub).map { s =>
+          (array_position(col(s"__sc$s"), array_max(col(s"__sc$s"))) - 1)
+            .cast("int").as(s"__c$s")
+        }): _*)
+      .withColumn("__anorm", sqrt((0 until numSub).map(s =>
+        element_at(typedLit(bookNormSq(s).toSeq), col(s"__c$s") + 1))
+        .reduce(_ + _)))
+
+    // ---- queries: per-subspace ADC tables + exact norm, broadcast
+    val qsubs = queries.select(
+      (col(idCol).as("q_id") +: col(vecCol).as("qv") +:
+        (0 until numSub).map(s => subCol(col(vecCol), s).as(s"__qs$s"))): _*)
+    val qtabs = qsubs.select(
+      (col("q_id") +: col("qv") +:
+        l2norm(transform(col("qv"), _.cast("double"))).as("__qnorm") +:
+        (0 until numSub).map { s =>
+          transform(typedLit(books(s).map(_.toSeq).toSeq),
+            c => dotNative(col(s"__qs$s"), c)).as(s"__t$s")
+        }): _*)
+
+    val approx = (0 until numSub).map(s =>
+      element_at(col(s"__t$s"), col(s"__c$s") + 1)).reduce(_ + _) /
+      (col("__anorm") * col("__qnorm"))
+    val cands = encoded.join(broadcast(qtabs), col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), approx.as("asim"), col("cand_id"))
+      .groupBy("q_id")
+      .agg(topKAgg(col("asim"), col("cand_id"), k * candMult).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("cand_id"))
+
+    cands
+      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+        Seq("cand_id"))
+      .join(broadcast(
+        queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))),
+        Seq("q_id"))
+      .groupBy("q_id")
+      .agg(topKAgg(cosine(col("qv"), col("cv")), col("cand_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cand_id"))
+  }
+
   /** Per-cell mean centroids (the IVF coarse codebook), computed from
     * a cell-assignment column: posexplode → per-(cell,dim) avg →
     * re-assembled arrays. Two small shuffles, output is tiny and

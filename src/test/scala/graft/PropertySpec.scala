@@ -50,6 +50,35 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("rangeJoin equals naive inequality join on random windows (5 trials)") {
+    import graft.operators.Temporal
+    (1 to 5).foreach { _ =>
+      val n = 120
+      val span = 1000000L * (60 + rnd.nextInt(600)) // up to 11 min of us
+      val lRows = (0 until n).map(i =>
+        (i.toLong, new java.sql.Timestamp(1704067200000L +
+          (rnd.nextLong().abs % span) / 1000)))
+      val rRows = (0 until n).map(i =>
+        (1000L + i, new java.sql.Timestamp(1704067200000L +
+          (rnd.nextLong().abs % span) / 1000)))
+      val l = lRows.toDF("lid", "ts")
+      val r = rRows.toDF("rid", "r_ts")
+      val lower = -1000000L * rnd.nextInt(120)
+      val upper = lower + 1000000L * (1 + rnd.nextInt(180))
+      val binned = Temporal.rangeJoin(l, "ts", r, "r_ts", lower, upper)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val naive = l.join(r,
+          unix_micros(col("r_ts")) >= unix_micros(col("ts")) + lower &&
+            unix_micros(col("r_ts")) <= unix_micros(col("ts")) + upper)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(binned == naive,
+        s"window [$lower,$upper]: missing=${naive -- binned} " +
+          s"extra=${binned -- naive}")
+    }
+  }
+
   test("TopKBuffer equals sort-take-k on random inputs (200 trials)") {
     (0 until 200).foreach { _ =>
       val n = rnd.nextInt(40)

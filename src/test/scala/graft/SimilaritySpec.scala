@@ -89,6 +89,14 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("pqKnn: ADC-coded path keeps recall after exact re-rank") {
+    val pq = resultSet(
+      Similarity.pqKnn(emb, queries, "vec_id", "embedding", 5))
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    info(s"PQ recall@5 (8 subspaces x 32 codes, candMult=16) = $recall")
+    assert(recall >= 0.6, s"PQ recall too low: $recall")
+  }
+
   test("quantizedKnn: exact-rescored int8 path equals brute force") {
     val quant = Similarity
       .quantizedKnn(emb, queries, "vec_id", "embedding", 5)
