@@ -831,6 +831,15 @@ object SparkEntry {
       .orderBy("token")
   }
 
+  /** t14: deterministic train/val/test split
+    * ([[graft.operators.Sampling.hashSplit]]) — md5-bucketed 80/10/10
+    * assignment, stable under retries and corpus growth; the md5
+    * derivation makes the full assignment oracle-checkable. */
+  private def t14(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSplit(
+        T(s, dir, "documents").select(col("doc_id")), col("doc_id"))
+      .orderBy("doc_id")
+
   /** n08: Unicode NFC normalization ([[Normalize.nfc]], native
     * codegen expression) — a decomposed accent sequence (e +
     * combining acute) is injected into a deterministic subset (the
@@ -1480,6 +1489,7 @@ object SparkEntry {
     "q38_grouping_sets" -> (q38 _),
     "q39_grouped_topk" -> (q39 _),
     "t13_stopword_detect" -> (t13 _),
+    "t14_train_split" -> (t14 _),
     "t10_source_mixture" -> (t10 _),
     "t11_hashed_features" -> (t11 _),
     "t12_char_lm_score" -> (t12 _),
@@ -2035,6 +2045,15 @@ object SparkEntry {
         |  floor(avg(prob) * 10000) / 10000 AS fluency
         |FROM b JOIN pr USING (bg)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "t14_train_split" ->
+      """WITH b AS (SELECT doc_id,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)
+        |      AS bk FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN bk < 80 THEN 'train'
+        |       WHEN bk < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "n08_nfc_normalize" ->
       // chr(769) = the combining acute the Spark side injects as
       // "́"; nfc_normalize and the JDK normalizer share the

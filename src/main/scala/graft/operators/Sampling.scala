@@ -16,6 +16,28 @@ object Sampling {
   /** Deterministic per-row Bernoulli sample: keep rows whose
     * seeded hash of the id falls under the fraction. Stable across
     * runs, partitionings and retries (unlike df.sample). */
+  /** Deterministic train/val/test split: each row's bucket derives
+    * from md5 of its id (engine-reproducible, like
+    * [[graft.functions.TextFns.featureBucket]]), so the assignment is
+    * stable across runs, retries, engines, and corpus growth — a row
+    * keeps its split when new data arrives, the property random
+    * splits lose. Zero shuffle: one map-side hash per row. */
+  def hashSplit(
+      df: DataFrame,
+      idCol: Column,
+      valPct: Int = 10,
+      testPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
+      s"bad split: val=$valPct test=$testPct")
+    val bucket =
+      conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    df.withColumn("split",
+      when(bucket < 100 - valPct - testPct, "train")
+        .when(bucket < 100 - testPct, "val")
+        .otherwise("test"))
+  }
+
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
       seed: Long = 42L): DataFrame =
     df.filter(

@@ -64,6 +64,25 @@ class SamplingSpec extends SparkSuite {
       s"global top-k must plan as per-partition top-k + merge:\n$plan")
   }
 
+  test("hashSplit: covers, near-target proportions, stable under growth") {
+    import org.apache.spark.sql.functions.col
+    val split = Sampling.hashSplit(docs.select(col("doc_id")), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == docs.count())
+    val n = split.size.toDouble
+    val frac = split.values.groupBy(identity).view.mapValues(_.size / n)
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.06, s"val ${frac("val")}")
+    assert(math.abs(frac("test") - 0.1) < 0.06, s"test ${frac("test")}")
+    // growth stability: a subset's assignments are unchanged — the
+    // property a random split loses on every new data drop
+    val subset = Sampling
+      .hashSplit(docs.select(col("doc_id"))
+        .filter(col("doc_id") < 100), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(split(id) == s) }
+  }
+
   test("stratifiedBudget takes exactly min(budget, stratum size)") {
     val out = Sampling.stratifiedBudget(docs, "lang", "doc_id", 30)
     val sizes = out.groupBy("lang").count().collect()
