@@ -599,6 +599,47 @@ object SparkEntry {
         col("n"), col("sum_qty"))
       .orderBy("flag", "status")
 
+  /** q40: per-group z-score outlier audit — event values beyond 3σ
+    * of their event-type group: two aggregate passes (per-group
+    * moments broadcast → map-side flag), no window over the fact
+    * table. The synthetic columns are uniform (max |z| = √3), so
+    * corrupted readings are INJECTED deterministically (the n07/n08
+    * pattern) and the audit must recover exactly those rows.
+    * Population σ (stddev_pop) for cross-engine parity. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 97 === 0, col("value") * 50 + 1000)
+          .otherwise(col("value")).as("v"))
+    val stats = ev.groupBy("event_type")
+      .agg(avg(col("v")).as("__mu"), stddev_pop(col("v")).as("__sigma"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(abs(col("v") - col("__mu")) > lit(3) * col("__sigma"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_outliers"),
+        round(min(col("v")), 2).as("min_outlier"),
+        round(max(col("v")), 2).as("max_outlier"))
+      .orderBy("event_type")
+  }
+
+  /** q41: time-horizon dedup — keep each (user, event_type)'s FIRST
+    * event per calendar hour (the at-most-once-per-window ETL rule;
+    * the batch twin of e10's streaming dedup-within-watermark). One
+    * keyed window shuffle. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    T(s, dir, "events")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+          .as("hour"))
+      .orderBy("event_id")
+  }
+
   /** q34: the ranking-window family in one pass. Tie-sensitive
     * functions (rank / dense_rank / percent_rank / cume_dist) rank on
     * the date alone — ties are real and both engines must agree on
@@ -1488,6 +1529,8 @@ object SparkEntry {
     "q37_schema_evolution" -> (q37 _),
     "q38_grouping_sets" -> (q38 _),
     "q39_grouped_topk" -> (q39 _),
+    "q40_outlier_audit" -> (q40 _),
+    "q41_hourly_dedup" -> (q41 _),
     "t13_stopword_detect" -> (t13 _),
     "t14_train_split" -> (t14 _),
     "t10_source_mixture" -> (t10 _),
@@ -1990,6 +2033,26 @@ object SparkEntry {
         |    AS hi,
         |  count(*)::BIGINT AS n
         |FROM b GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin,
+    "q40_outlier_audit" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 97 = 0 THEN value * 50 + 1000
+        |      ELSE value END AS v FROM events),
+        |  s AS (SELECT event_type, avg(v) AS mu, stddev_pop(v) AS sigma
+        |    FROM e GROUP BY 1)
+        |SELECT e.event_type, count(*)::BIGINT AS n_outliers,
+        |  round(min(e.v), 2) AS min_outlier,
+        |  round(max(e.v), 2) AS max_outlier
+        |FROM e JOIN s ON e.event_type = s.event_type
+        |WHERE abs(e.v - s.mu) > 3 * s.sigma
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q41_hourly_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type, date_trunc('hour', ts)
+        |    ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q39_grouped_topk" ->
       """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey,
