@@ -1391,6 +1391,29 @@ object SparkEntry {
   private def e14(s: SparkSession, dir: String): DataFrame =
     Streams.streamingUpsertLatest(s, dir)
 
+  /** e16: weekly cohort retention matrix — users grouped by their
+    * first-signup week, distinct active users per (cohort, week
+    * offset): the standard retention triangle. Two hash-aggs (cohort
+    * pick, weekly activity dedup) + one join shuffled on user; ISO
+    * Monday weeks in both engines. */
+  private def e16(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(date_trunc("week", col("ts"))).as("cw"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .distinct()
+    cohort.join(activity, Seq("user_id"))
+      .filter(col("aw") >= col("cw"))
+      .groupBy(col("cw"), (datediff(col("aw"), col("cw")) / 7)
+        .cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** p01: the corpus pipeline COMPOSED end to end — exact dedup
     * keep-list → quality scoring → threshold filter → per-language
     * rollup. Every stage is an operator with its own oracle-checked
@@ -1590,6 +1613,7 @@ object SparkEntry {
     "e13_range_join" -> (e13 _),
     "e14_streaming_upsert" -> (e14 _),
     "e15_gap_fill" -> (e15 _),
+    "e16_cohort_retention" -> (e16 _),
     "p01_corpus_pipeline" -> (p01 _),
     "p02_preprocess_chain" -> (p02 _),
     "m01_binary_meta" -> (m01 _),
@@ -2416,6 +2440,18 @@ object SparkEntry {
         |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
         |  round(v, 2) AS value
         |FROM f ORDER BY user_id, day""".stripMargin,
+    "e16_cohort_retention" ->
+      """WITH c AS (SELECT user_id, min(date_trunc('week', ts)) AS cw
+        |    FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |  a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+        |    FROM events)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  (date_diff('day', cw, aw) // 7)::BIGINT AS week_offset,
+        |  count(DISTINCT c.user_id)::BIGINT AS n_active
+        |FROM c JOIN a USING (user_id)
+        |WHERE aw >= cw
+        |GROUP BY cw, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "e14_streaming_upsert" ->
       // epoch_us ordering mirrors the Spark reader's ns→us truncation
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
