@@ -299,7 +299,8 @@ object Similarity {
       df.crossJoin(broadcast(scaleDf))
         .select(col(idCol).as(id), col(vecCol).as(v),
           transform(col(vecCol),
-            x => round(x.cast("double") / col("__mx") * 127).cast("byte"))
+            x => greatest(lit(-127.0), least(lit(127.0),
+              round(x.cast("double") / col("__mx") * 127))).cast("byte"))
             .as(qv))
         .select(col(id), col(v), col(qv),
           sqrt(aggregate(col(qv), lit(0.0),

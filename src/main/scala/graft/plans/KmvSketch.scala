@@ -34,6 +34,8 @@ case class KmvSketch(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
+  require(k >= 1, s"KmvSketch needs k >= 1, got $k")
+
   override def children: Seq[Expression] = Seq(child)
 
   override def nullable: Boolean = false

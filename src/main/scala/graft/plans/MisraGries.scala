@@ -21,6 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * survives map-side partials + reducer merge.
   */
 final class MGSummary(val m: Int) {
+  require(m >= 1, s"MGSummary needs m >= 1 counters, got $m")
+
   val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
   def add(key: String, w: Long = 1L): Unit = {
@@ -73,6 +75,8 @@ case class MisraGries(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MGSummary] {
+
+  require(m >= 1, s"MisraGries needs m >= 1 counters, got $m")
 
   override def children: Seq[Expression] = Seq(child)
 

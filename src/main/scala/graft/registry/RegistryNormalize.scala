@@ -179,6 +179,22 @@ object RegistryNormalize {
           .map(_.split(" ", 2)).collect { case Array(f, h) => f -> h }
           .toMap
       else Map.empty
+    // a raw dump that vanished since the last run is a broken
+    // snapshot, not a no-op: its tables would keep serving stale
+    // parquet and a rewritten record would mask the deletion forever.
+    // Fail fast naming the affected tables (the file can't be
+    // re-derived from nothing).
+    val deleted = previous.keySet -- current.keySet
+    if (deleted.nonEmpty) {
+      val affected = tableSources.collect {
+        case (t, src) if deleted(src) => t
+      }.toSeq.sorted
+      throw new IllegalStateException(
+        s"raw dump(s) ${deleted.toSeq.sorted.mkString(", ")} disappeared " +
+          s"from $rawDir since the last normalize; tables " +
+          s"${affected.mkString(", ")} would serve stale data. Restore " +
+          "the dump or run a full normalize() to a fresh outDir.")
+    }
     val changed = current.collect {
       case (f, h) if !previous.get(f).contains(h) => f
     }.toSet

@@ -226,8 +226,16 @@ object Streams {
         merged.write.mode("overwrite").parquet(out)
         // written AFTER the snapshot commits: a crash between the two
         // re-runs the batch against the previous pointer (idempotent —
-        // latest-per-key of the same input), never serves a half-write
-        java.nio.file.Files.writeString(latestFile, out)
+        // latest-per-key of the same input), never serves a half-write.
+        // Temp-file + ATOMIC_MOVE so a crash mid-write can't leave a
+        // truncated pointer — readers see old contents or new, never a
+        // partial path.
+        val tmp = java.nio.file.Files.createTempFile(
+          latestFile.getParent, "_latest", ".tmp")
+        java.nio.file.Files.writeString(tmp, out)
+        java.nio.file.Files.move(tmp, latestFile,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")

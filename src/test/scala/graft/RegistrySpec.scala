@@ -137,4 +137,27 @@ class RegistrySpec extends SparkSuite {
     // and the record advanced: a repeat run is again a no-op
     assert(RegistryNormalize.normalizeIncremental(spark, raw, pub2).isEmpty)
   }
+
+  test("normalizeIncremental fails fast when a raw dump disappears") {
+    val (raw, _) = dirs
+    // copy the raw snapshot so we can delete from it safely
+    val raw2 = Files.createTempDirectory("graft_raw_del").toString
+    for (f <- Seq("MASTER.txt", "ACFTREF.txt", "ENGINE.txt"))
+      Files.copy(java.nio.file.Paths.get(s"$raw/$f"),
+        java.nio.file.Paths.get(s"$raw2/$f"))
+    val pub3 = Files.createTempDirectory("graft_pub_del").toString
+    assert(RegistryNormalize.normalizeIncremental(spark, raw2, pub3).nonEmpty)
+    Files.delete(java.nio.file.Paths.get(s"$raw2/ENGINE.txt"))
+    val ex = intercept[IllegalStateException] {
+      RegistryNormalize.normalizeIncremental(spark, raw2, pub3)
+    }
+    // names both the missing dump and the table that would go stale
+    assert(ex.getMessage.contains("ENGINE.txt"))
+    assert(ex.getMessage.contains("engines"))
+    // the checksum record was NOT rewritten: restoring the dump and
+    // re-running refreshes nothing (content unchanged) but succeeds
+    Files.copy(java.nio.file.Paths.get(s"$raw/ENGINE.txt"),
+      java.nio.file.Paths.get(s"$raw2/ENGINE.txt"))
+    assert(RegistryNormalize.normalizeIncremental(spark, raw2, pub3).isEmpty)
+  }
 }

@@ -115,6 +115,32 @@ class SimilaritySpec extends SparkSuite {
         s"missing=${exact -- quant} extra=${quant -- exact}")
   }
 
+  test("quantizedKnn: out-of-corpus-range query components clamp, not wrap") {
+    import spark.implicits._
+    // queries scaled 1.2x beyond the corpus max: the int8 scale comes
+    // from the corpus, so un-clamped quantization rounds extreme
+    // components past ±127 and cast("byte") silently WRAPS
+    // (sign-flipping the first-pass score). Clamped saturation only
+    // flattens the tail — the exact re-rank must still reproduce
+    // brute force (cosine is scale-invariant, so the oracle is the
+    // unscaled answer).
+    val hot = queries.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(1.2)).as("embedding"))
+    val quant = Similarity
+      .quantizedKnn(emb, hot, "vec_id", "embedding", 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"))).toSet
+    val exact = Similarity
+      .knnBruteAgg(emb, hot, "vec_id", "embedding", 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"))).toSet
+    assert(quant == exact,
+      s"clamped quantized KNN diverged on out-of-range queries: " +
+        s"missing=${exact -- quant} extra=${quant -- exact}")
+  }
+
   test("byteDot: integer dot, NULL on length mismatch") {
     import spark.implicits._
     // Seq[Byte] encodes as array<tinyint> (Array[Byte] would be binary)

@@ -111,6 +111,19 @@ class SketchSpec extends SparkSuite {
     assert(s2.getDouble(0) == 100.0)
   }
 
+  test("sketches reject non-positive state sizes at construction") {
+    // k=0 / m=0 used to surface as a NoSuchElementException deep in an
+    // executor task (buf.last on an empty TreeSet); fail fast instead
+    import org.apache.spark.sql.GraftBridge.{expression => ex}
+    intercept[IllegalArgumentException] {
+      graft.plans.KmvSketch(ex(lit(1L)), 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.MisraGries(ex(lit("x")), 0)
+    }
+    intercept[IllegalArgumentException] { new graft.plans.MGSummary(-1) }
+  }
+
   test("approx sketches land near exact values") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val rows = li.groupBy("l_returnflag").agg(
