@@ -750,6 +750,17 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** s08: IVF-PQ — coarse k-means cells composed with residual
+    * product quantization, per-probe ADC scoring, exact re-rank
+    * ([[Similarity.ivfPqKnn]]). Rows-only oracle (trained index);
+    * recall floor + determinism asserted in SimilaritySpec. */
+  private def s08(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, numCells = 10, nprobe = 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** a03: EXACT top-10 words via the Misra–Gries heavy-hitter
     * sketch + exact verify ([[graft.operators.Sketches]]): pass 1 is
     * a bounded-state aggregate (m counters, map-side partials — the
@@ -1488,6 +1499,16 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** p03: INCREMENTAL corpus clean — p02's decontaminate →
+    * exact-dedup front maintained over a document stream via
+    * foreachBatch with a durable accepted-fingerprint snapshot
+    * ([[graft.streaming.Streams.incrementalClean]]); equals the
+    * one-shot batch clean regardless of micro-batch chunking
+    * (multi-file replay spec in StreamsSpec; oracle re-derives the
+    * batch form). */
+  private def p03(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingCleanCorpus(s, dir)
+
   // ---------------------------------------------------------------
   // Multimodal
   // ---------------------------------------------------------------
@@ -1598,6 +1619,7 @@ object SparkEntry {
     "s05_ivf_kmeans" -> (s05 _),
     "s06_quantized_knn" -> (s06 _),
     "s07_pq_ann" -> (s07 _),
+    "s08_ivfpq_ann" -> (s08 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_counts" -> (e02 _),
     "e03_asof_join" -> (e03 _),
@@ -1616,6 +1638,7 @@ object SparkEntry {
     "e16_cohort_retention" -> (e16 _),
     "p01_corpus_pipeline" -> (p01 _),
     "p02_preprocess_chain" -> (p02 _),
+    "p03_incremental_clean" -> (p03 _),
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _)
   )
@@ -2460,6 +2483,28 @@ object SparkEntry {
         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "p03_incremental_clean" ->
+      // the batch form of the incremental clean: decontaminate
+      // (d10's n-gram shape) then keep-min-doc_id per fingerprint —
+      // the streaming first-arrival rule under in-order replay
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |  ng AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 7, 0)),
+        |    i -> array_to_string(tk[i:i+7], ' ')))) AS g FROM tok),
+        |  bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
+        |  hits AS (SELECT n.doc_id, count(*)::BIGINT AS n_overlap
+        |    FROM ng n JOIN bench USING (g)
+        |    WHERE n.doc_id % 20 <> 0 GROUP BY 1),
+        |  clean AS (SELECT d.doc_id, d.source,
+        |      md5(lower(trim(d.text))) AS fp
+        |    FROM documents d LEFT JOIN hits h USING (doc_id)
+        |    WHERE d.doc_id % 20 <> 0 AND coalesce(h.n_overlap, 0) = 0)
+        |SELECT doc_id, source, fp FROM (
+        |  SELECT clean.*, row_number() OVER (PARTITION BY fp
+        |    ORDER BY doc_id) AS rn FROM clean)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "p02_preprocess_chain" ->
       """WITH tok AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS tk

@@ -488,6 +488,139 @@ object Similarity {
         col("col.id").as("cand_id"))
   }
 
+  /** IVF-PQ: the coarse quantizer (k-means cells, [[kmeansCells]])
+    * composed with product quantization over RESIDUALS — the
+    * composition used by billion-scale ANN indexes (Jégou et al.,
+    * "Product quantization for nearest neighbor search", §IV):
+    * residuals concentrate around 0 once the cell mean is removed,
+    * so the same codebook budget quantizes them far more finely
+    * than raw vectors.
+    *
+    * Index: assign each corpus vector to its cell; store cell id +
+    * `numSub` byte codes over the residual + one exact float norm.
+    * Query: rank cells by centroid cosine, probe the top `nprobe`;
+    * per query ONE set of ADC tables (dot(q_s, c_j) decomposes over
+    * the query's own subvectors, so tables are cell-independent) and
+    * per probed cell one scalar `q·centroid`. Approx dot =
+    * q·centroid + Σ_s table_s[code_s]; approx cosine divides by the
+    * stored exact norm. The probe join is a hash equi-join on cell —
+    * a probe touches nprobe/numCells of the index, and the ADC state
+    * broadcast is |Q|·nprobe rows. Exact cosine re-rank of the top
+    * `k × candMult` survivors, as in [[pqKnn]]. */
+  def ivfPqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCells: Int = 10,
+      nprobe: Int = 3,
+      numSub: Int = 8,
+      codebookK: Int = 32,
+      sampleN: Int = 4096,
+      trainIters: Int = 10,
+      candMult: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
+    val subDim = dim / numSub
+    // ---- coarse quantizer: cell assignment + per-cell centroids.
+    // Residuals materialize in their OWN select (zip_with output
+    // referenced by later lambdas would re-evaluate per element).
+    val cells = kmeansCells(corpus, idCol, vecCol, numCells, seed = seed)
+    val cents = broadcast(centroids(
+      corpus.select(col(idCol), col(vecCol)).join(cells, idCol),
+      "cell", vecCol))
+    val withRes = corpus.select(col(idCol), col(vecCol)).join(cells, idCol)
+      .join(cents, Seq("cell"))
+      .select(col("cell"), col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
+          (a, b) => a - b).as("__res"))
+    // ---- PQ codebooks Lloyd-trained on a bounded residual sample
+    val sample = withRes
+      .orderBy(xxhash64(col("cand_id"), lit(seed + 1)), col("cand_id"))
+      .limit(sampleN)
+      .select(col("__res")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= codebookK,
+      s"residual sample ${sample.length} < codebookK $codebookK")
+    val books: Array[Array[Array[Double]]] = (0 until numSub).map { s =>
+      lloydEuclid(
+        sample.map(_.slice(s * subDim, (s + 1) * subDim)),
+        codebookK, trainIters)
+    }.toArray
+    val bookNormSq: Array[Array[Double]] =
+      books.map(_.map(c => c.map(x => x * x).sum))
+    // ---- encode: argmin-L2 residual codes (looped literal codebook,
+    // as in pqKnn — unrolled struct argmax blows janino limits) +
+    // the exact vector norm (one float; IP/cosine IVF-PQ keeps it)
+    val withSubs = withRes.select(
+      (col("cell") +: col("cand_id") +: col("cv") +:
+        l2norm(transform(col("cv"), _.cast("double"))).as("__cnorm") +:
+        (0 until numSub).map(s =>
+          slice(col("__res"), s * subDim + 1, subDim).as(s"__s$s"))): _*)
+    val withScores = withSubs.select(
+      (col("cell") +: col("cand_id") +: col("cv") +: col("__cnorm") +:
+        (0 until numSub).map { s =>
+          val packed = typedLit(books(s).zipWithIndex.map { case (c, j) =>
+            (c.toSeq, bookNormSq(s)(j))
+          }.toSeq)
+          transform(packed, e =>
+            dotNative(col(s"__s$s"), e.getField("_1")) -
+              e.getField("_2") / 2).as(s"__sc$s")
+        }): _*)
+    val encoded = withScores.select(
+      (col("cell") +: col("cand_id") +: col("cv") +: col("__cnorm") +:
+        (0 until numSub).map { s =>
+          (array_position(col(s"__sc$s"), array_max(col(s"__sc$s"))) - 1)
+            .cast("int").as(s"__c$s")
+        }): _*)
+    // ---- probe: top-nprobe cells per query + per-query ADC tables
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cell"),
+        dotNative(transform(col("qv"), _.cast("double")), col("centroid"))
+          .as("__qdotc"))
+    val qd = probed
+      .select((col("q_id") +: col("qv") +: col("cell") +: col("__qdotc") +:
+        l2norm(transform(col("qv"), _.cast("double"))).as("__qnorm") +:
+        (0 until numSub).map(s =>
+          slice(transform(col("qv"), _.cast("double")),
+            s * subDim + 1, subDim).as(s"__qs$s"))): _*)
+      .select((col("q_id") +: col("cell") +: col("__qdotc") +:
+        col("__qnorm") +:
+        (0 until numSub).map { s =>
+          transform(typedLit(books(s).map(_.toSeq).toSeq),
+            c => dotNative(col(s"__qs$s"), c)).as(s"__t$s")
+        }): _*)
+    val approx = (col("__qdotc") +
+      (0 until numSub).map(s =>
+        element_at(col(s"__t$s"), col(s"__c$s") + 1)).reduce(_ + _)) /
+      (col("__cnorm") * col("__qnorm"))
+    val cands = encoded.join(broadcast(qd), Seq("cell"))
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), approx.as("asim"), col("cand_id"))
+      .groupBy("q_id")
+      .agg(topKAgg(col("asim"), col("cand_id"), k * candMult).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("cand_id"))
+    cands
+      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+        Seq("cand_id"))
+      .join(broadcast(
+        queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))),
+        Seq("q_id"))
+      .groupBy("q_id")
+      .agg(topKAgg(cosine(col("qv"), col("cv")), col("cand_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cand_id"))
+  }
+
   /** Per-cell mean centroids (the IVF coarse codebook), computed from
     * a cell-assignment column: posexplode → per-(cell,dim) avg →
     * re-assembled arrays. Two small shuffles, output is tiny and

@@ -248,6 +248,95 @@ object Streams {
     spark.read.parquet(snap)
   }
 
+  /** p03: incremental corpus cleaning — the decontaminate →
+    * exact-dedup front of the corpus pipeline (p02's first two
+    * stages) maintained INCREMENTALLY over a document stream, the
+    * shape of a production ingest that cleans each day's crawl
+    * without rescanning the accepted corpus. Per micro-batch:
+    * word-8-gram overlap flags against the STATIC benchmark set
+    * (broadcast-sized grams), contaminated docs dropped, keep the
+    * min doc_id per text fingerprint WITHIN the batch, anti-join the
+    * batch survivors against the accumulated accepted-fingerprint
+    * snapshot, append (versioned snapshot dirs + atomic pointer, the
+    * same durable-state pattern as [[upsertLatestOf]]).
+    *
+    * Cross-batch the rule is first-arrival-wins; with the file
+    * source's in-order replay that equals the batch keep-min-id
+    * dedup, so the final snapshot equals the one-shot batch
+    * decontaminate → dedup over the whole input regardless of
+    * micro-batch chunking (forced multi-file replay in
+    * StreamsSpec; DuckDB re-derives the batch form as the oracle). */
+  def incrementalClean(
+      stream: DataFrame,
+      benchmark: DataFrame,
+      base: String,
+      n: Int = 8): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF()
+        val flags = graft.operators.Dedup.decontaminate(
+          b, benchmark, col("doc_id"), col("text"), n)
+        val clean = b.join(
+          flags.filter(col("n_overlap") === 0).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val withFp = clean.select(col("doc_id"), col("source"),
+          md5(lower(trim(col("text")))).as("fp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        val keepB = withFp.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val merged = readPtr() match {
+          case None => keepB
+          case Some(p) =>
+            val st = spark.read.parquet(p)
+            st.unionByName(
+              keepB.join(st.select("fp"), Seq("fp"), "left_anti"))
+        }
+        val out = s"$base/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        val tmp = java.nio.file.Files.createTempFile(
+          latestFile.getParent, "_latest", ".tmp")
+        java.nio.file.Files.writeString(tmp, out)
+        java.nio.file.Files.move(tmp, latestFile,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p03_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(snap)
+  }
+
+  /** [[incrementalClean]] over the documents table: corpus =
+    * doc_id % 20 != 0 streamed, benchmark = doc_id % 20 == 0 static
+    * (the same split as d10/p02). */
+  def streamingCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p03").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 20 =!= 0)
+    val bench = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 20 === 0)
+    val snap = withStreamPartitions(spark, 8) {
+      incrementalClean(docs, bench, base)
+    }
+    snap.orderBy("doc_id")
+  }
+
   /** [[upsertLatestOf]] over the events table: the maintained
     * snapshot is the latest event per user. */
   def streamingUpsertLatest(spark: SparkSession, dir: String): DataFrame = {

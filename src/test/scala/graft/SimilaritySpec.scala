@@ -97,6 +97,19 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"PQ recall too low: $recall")
   }
 
+  test("ivfPqKnn: residual-PQ over coarse cells keeps recall; deterministic") {
+    val run1 = resultSet(Similarity.ivfPqKnn(
+      emb, queries, "vec_id", "embedding", 5, numCells = 10, nprobe = 5))
+    val recall = (run1 intersect brute).size.toDouble / brute.size
+    info(s"IVF-PQ recall@5 (10 cells, nprobe=5, 8x32 residual PQ) = $recall")
+    assert(recall >= 0.6, s"IVF-PQ recall too low: $recall")
+    // trained index, but every stage is seeded/hash-ordered: rerun
+    // must reproduce the exact same result set
+    val run2 = resultSet(Similarity.ivfPqKnn(
+      emb, queries, "vec_id", "embedding", 5, numCells = 10, nprobe = 5))
+    assert(run1 == run2, "IVF-PQ result not deterministic across runs")
+  }
+
   test("quantizedKnn: exact-rescored int8 path equals brute force") {
     val quant = Similarity
       .quantizedKnn(emb, queries, "vec_id", "embedding", 5)

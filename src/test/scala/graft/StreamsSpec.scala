@@ -100,4 +100,52 @@ class StreamsSpec extends SparkSuite {
       .map(_.getName).filter(_.startsWith("v"))
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
+
+  test("incremental clean: multi-batch replay equals batch decontaminate+dedup") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    // id-range splits written as separate files, replayed one file per
+    // micro-batch IN doc_id ORDER (file source replays in input order) —
+    // the cross-batch anti-join dedup path must actually run
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p03_src").toString
+    val ids = corpus.select(max(col("doc_id"))).head.getLong(0)
+    val cut1 = ids / 3; val cut2 = 2 * ids / 3
+    Seq(
+      corpus.filter(col("doc_id") <= cut1),
+      corpus.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      corpus.filter(col("doc_id") > cut2)
+    ).zipWithIndex.foreach { case (part, i) =>
+      part.coalesce(1).write.mode("overwrite").parquet(f"$srcDir/part$i%02d")
+    }
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part*")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p03_spec").toString
+    val got = graft.streaming.Streams.incrementalClean(stream, bench, base)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[String]("fp"))).toSet
+    // batch oracle: decontaminate, drop contaminated, keep min doc_id
+    // per fingerprint over the WHOLE corpus at once
+    val flags = graft.operators.Dedup.decontaminate(
+      corpus, bench, col("doc_id"), col("text"), 8)
+    val clean = corpus.join(
+      flags.filter(col("n_overlap") === 0).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"),
+        md5(lower(trim(col("text")))).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    val expect = clean.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[String]("fp"))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+  }
 }
