@@ -143,6 +143,114 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  // ---- adversarial oracle-parity fuzzing: the DuckDB gate runs on
+  // fixed synthetic data; these drive the same deterministic cores
+  // with hostile random inputs (unicode, invalid dates, IEEE edges)
+  // against independent JVM reference models.
+
+  private def randomUnicode(): String = {
+    val combining = "̧́̈̃̊" // ́ ̈ ̧ ̃ ̊
+    val len = rnd.nextInt(24)
+    (0 until len).map { _ =>
+      rnd.nextInt(5) match {
+        case 0 => combining(rnd.nextInt(combining.length))
+        case 1 => (0xc0 + rnd.nextInt(0x17f - 0xc0)).toChar // latin supp/ext
+        case 2 => (0x3b1 + rnd.nextInt(24)).toChar // greek
+        case 3 => " \t\n".charAt(rnd.nextInt(3))
+        case _ => (32 + rnd.nextInt(95)).toChar
+      }
+    }.mkString
+  }
+
+  test("nfc matches JDK Normalizer on hostile unicode (300 random inputs)") {
+    val inputs = (0 until 300).map(_ => randomUnicode())
+    val got = inputs.toDF("x")
+      .select(col("x"), Normalize.nfc(col("x")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    inputs.foreach { s =>
+      val expect = java.text.Normalizer
+        .normalize(s, java.text.Normalizer.Form.NFC)
+      assert(got(s) == expect,
+        s"NFC mismatch for ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("fingerprint md5 matches JVM digest over UTF-8 on unicode inputs") {
+    import graft.functions.TextFns
+    val inputs = (0 until 200).map(_ => randomUnicode())
+    val got = inputs.toDF("x")
+      .select(col("x"), TextFns.fingerprint(col("x")).as("f"),
+        Normalize.cleanText(col("x")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (s, f, cleaned) =>
+      val expect = md.digest(cleaned.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(f == expect, s"md5 mismatch for '$s'")
+    }
+  }
+
+  test("parseYyyymmdd: valid ints round-trip via LocalDate, invalid are null") {
+    // mix of genuinely valid dates, structurally-8-digit-but-invalid
+    // (month 13, day 32, Feb 30), and junk magnitudes
+    val inputs = (0 until 400).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => 19000101 + rnd.nextInt(1100000)
+        case 1 => 20000000 + rnd.nextInt(10000) // often invalid m/d
+        case 2 => rnd.nextInt(99999999)
+        case _ => Seq(0, -1, 20231301, 20230230, 20230732,
+          99999999)(rnd.nextInt(6))
+      }
+    }
+    val got = inputs.toDF("x")
+      .select(col("x"), Normalize.parseYyyymmdd(col("x")).as("d"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        Option(r.getDate(1)).map(_.toString)).toMap
+    inputs.foreach { i =>
+      val expect =
+        try {
+          val s = i.toString
+          if (s.length != 8) None
+          else Some(java.time.LocalDate.parse(s,
+            // Spark's CORRECTED parser = java.time STRICT with 'y'
+            // rewritten to 'u' (no era), so the JVM model uses uuuu
+            java.time.format.DateTimeFormatter.ofPattern("uuuuMMdd")
+              .withResolverStyle(java.time.format.ResolverStyle.STRICT)
+              .withLocale(java.util.Locale.ROOT))
+            .toString)
+        } catch { case _: Exception => None }
+      assert(got(i) == expect,
+        s"date parse mismatch for $i: got ${got(i)}, expected $expect")
+    }
+  }
+
+  test("histogram bucket arithmetic matches a JVM IEEE model (5 random trials)") {
+    import graft.operators.Quality
+    (1 to 5).foreach { _ =>
+      val n = 200 + rnd.nextInt(300)
+      val scale = math.pow(10, rnd.nextInt(6) - 3)
+      val vals = (0 until n).map(_ =>
+        (rnd.nextDouble() - 0.5) * scale)
+      val nBuckets = 1 + rnd.nextInt(12)
+      val got = vals.toDF("v")
+        .select(col("v"))
+        .transform(df => Quality.histogram(df, col("v"), nBuckets))
+        .collect()
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+      // same fixed IEEE shape as the operator: w = (mx-mn)/n,
+      // bucket = min(floor((v-mn)/w), n-1)
+      val mn = vals.min; val mx = vals.max
+      val w = (mx - mn) / nBuckets
+      val expect = vals.groupBy { v =>
+        if (mx == mn) 0L
+        else math.min(math.floor((v - mn) / w).toLong, nBuckets - 1L)
+      }.map { case (b, vs) => b -> vs.size.toLong }
+      assert(got == expect,
+        s"histogram mismatch: nBuckets=$nBuckets got=$got expect=$expect")
+    }
+  }
+
   test("sort-based percentiles match Spark's percentile aggregate (random groups)") {
     val data = (0 until 12).flatMap { g =>
       val n = 1 + rnd.nextInt(50)
