@@ -1509,6 +1509,14 @@ object SparkEntry {
   private def p03(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingCleanCorpus(s, dir)
 
+  /** p04: INCREMENTAL LM model maintenance — t12's char-bigram
+    * counts folded over a document stream as a mergeable monoid
+    * ([[graft.streaming.Streams.incrementalLmModel]]): the final
+    * model equals batch training with no corpus rescan, chunking-
+    * invariant (replay spec in StreamsSpec). */
+  private def p04(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingLmModel(s, dir)
+
   // ---------------------------------------------------------------
   // Multimodal
   // ---------------------------------------------------------------
@@ -1639,6 +1647,7 @@ object SparkEntry {
     "p01_corpus_pipeline" -> (p01 _),
     "p02_preprocess_chain" -> (p02 _),
     "p03_incremental_clean" -> (p03 _),
+    "p04_incremental_lm" -> (p04 _),
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _)
   )
@@ -2483,6 +2492,19 @@ object SparkEntry {
         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "p04_incremental_lm" ->
+      // the batch-trained model: the incremental fold must reproduce
+      // it exactly (bigram counts are a commutative monoid)
+      """WITH d AS (SELECT lower(trim(text)) AS t FROM documents),
+        |  b AS (SELECT unnest(list_transform(
+        |    generate_series(1, length(t) - 1),
+        |    i -> substr(t, i, 2))) AS bg FROM d),
+        |  bc AS (SELECT bg, count(*)::BIGINT AS nb FROM b GROUP BY 1),
+        |  pc AS (SELECT substr(bg, 1, 1) AS p, sum(nb)::BIGINT AS np
+        |    FROM bc GROUP BY 1)
+        |SELECT bg, nb, np, floor(nb / np * 10000) / 10000 AS prob
+        |FROM bc JOIN pc ON substr(bc.bg, 1, 1) = pc.p
+        |ORDER BY bg""".stripMargin,
     "p03_incremental_clean" ->
       // the batch form of the incremental clean: decontaminate
       // (d10's n-gram shape) then keep-min-doc_id per fingerprint —

@@ -520,22 +520,28 @@ object Similarity {
       sampleN: Int = 4096,
       trainIters: Int = 10,
       candMult: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      coarseIters: Int = 5): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
     val subDim = dim / numSub
     // ---- coarse quantizer: cell assignment + per-cell centroids.
     // Residuals materialize in their OWN select (zip_with output
     // referenced by later lambdas would re-evaluate per element).
-    val cells = kmeansCells(corpus, idCol, vecCol, numCells, seed = seed)
+    val cells = kmeansCells(corpus, idCol, vecCol, numCells,
+      maxIter = coarseIters, seed = seed)
     val cents = broadcast(centroids(
       corpus.select(col(idCol), col(vecCol)).join(cells, idCol),
       "cell", vecCol))
+    // cached: consumed by BOTH the driver-side residual sample and
+    // the distributed encode pass (no CSE across jobs — uncached, the
+    // assignment join would run twice)
     val withRes = corpus.select(col(idCol), col(vecCol)).join(cells, idCol)
       .join(cents, Seq("cell"))
       .select(col("cell"), col(idCol).as("cand_id"), col(vecCol).as("cv"),
         zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
           (a, b) => a - b).as("__res"))
+      .cache()
     // ---- PQ codebooks Lloyd-trained on a bounded residual sample
     val sample = withRes
       .orderBy(xxhash64(col("cand_id"), lit(seed + 1)), col("cand_id"))

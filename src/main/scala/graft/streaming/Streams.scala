@@ -337,6 +337,81 @@ object Streams {
     snap.orderBy("doc_id")
   }
 
+  /** p04: incremental LM model maintenance — the char-bigram counts
+    * behind t12's fluency score folded over a document stream via
+    * foreachBatch. Bigram counts form a commutative monoid (merge =
+    * sum per bigram), so folding a day's delta into the stored model
+    * is exact: the final model EQUALS the batch-trained model over
+    * the whole corpus with no rescan, regardless of micro-batch
+    * chunking. At 100 TB the corpus scan IS the training cost — this
+    * is the shape that amortizes it across ingest days. State is
+    * ≤ alphabet² rows (versioned dirs + atomic pointer, as e14). */
+  def incrementalLmModel(stream: DataFrame, base: String): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // same bigram extraction as t12 (length guard: sequence(1, 0)
+        // counts DOWN, a 0/1-char doc must contribute nothing)
+        val big = batch.toDF()
+          .select(lower(trim(col("text"))).as("t"))
+          .select(explode(expr(
+            """CASE WHEN length(t) >= 2
+              |  THEN transform(sequence(1, length(t) - 1),
+              |    i -> substr(t, i, 2))
+              |  ELSE array() END""".stripMargin)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("nb"))
+        val merged = readPtr() match {
+          case None => big
+          case Some(p) =>
+            spark.read.parquet(p).unionByName(big)
+              .groupBy("bg").agg(sum(col("nb")).as("nb"))
+        }
+        val out = s"$base/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        val tmp = java.nio.file.Files.createTempFile(
+          latestFile.getParent, "_latest", ".tmp")
+        java.nio.file.Files.writeString(tmp, out)
+        java.nio.file.Files.move(tmp, latestFile,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p04_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(snap)
+  }
+
+  /** [[incrementalLmModel]] over the documents table, finished with
+    * per-prefix totals and the conditional probability column — the
+    * full model a scorer would broadcast. */
+  def streamingLmModel(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p04").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val model = withStreamPartitions(spark, 8) {
+      incrementalLmModel(docs, base)
+    }
+    val pc = model.groupBy(substring(col("bg"), 1, 1).as("p"))
+      .agg(sum(col("nb")).as("np"))
+    model.join(pc, substring(col("bg"), 1, 1) === col("p"))
+      .select(col("bg"), col("nb"), col("np"),
+        (floor(col("nb") / col("np") * 10000) / 10000).as("prob"))
+      .orderBy("bg")
+  }
+
   /** [[upsertLatestOf]] over the events table: the maintained
     * snapshot is the latest event per user. */
   def streamingUpsertLatest(spark: SparkSession, dir: String): DataFrame = {

@@ -148,4 +148,33 @@ class StreamsSpec extends SparkSuite {
       .map(_.getName).filter(_.startsWith("v"))
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
+
+  test("incremental LM model: multi-batch fold equals batch training") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // arbitrary 3-way chunking — counts merge is a commutative
+    // monoid, so ANY chunking must reproduce batch training exactly
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p04_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p04_spec").toString
+    val got = graft.streaming.Streams.incrementalLmModel(stream, base)
+      .collect()
+      .map(r => r.getAs[String]("bg") -> r.getAs[Long]("nb")).toMap
+    val expect = docs.select(lower(trim(col("text"))).as("t"))
+      .select(explode(expr(
+        """CASE WHEN length(t) >= 2
+          |  THEN transform(sequence(1, length(t) - 1),
+          |    i -> substr(t, i, 2))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("nb"))
+      .collect()
+      .map(r => r.getAs[String]("bg") -> r.getAs[Long]("nb")).toMap
+    assert(got == expect)
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+  }
 }
