@@ -640,6 +640,22 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** q42: canonical-record selection (survivorship): per customer
+    * the best order by (highest total, latest date, max key) via ONE
+    * struct-max hash aggregate — O(1) state per group with map-side
+    * partials, where the window row_number form sorts every group's
+    * rows. The MDM "pick the surviving record" rule; oracle is the
+    * window form (lexicographic struct max = the same DESC order). */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_totalprice"), col("o_orderdate"),
+        col("o_orderkey"))).as("b"))
+      .select(col("o_custkey"), col("b.o_orderkey").as("o_orderkey"),
+        round(col("b.o_totalprice"), 2).as("best_price"),
+        date_format(col("b.o_orderdate"), "yyyy-MM-dd").as("best_date"))
+      .orderBy("o_custkey")
+
   /** q34: the ranking-window family in one pass. Tie-sensitive
     * functions (rank / dense_rank / percent_rank / cume_dist) rank on
     * the date alone — ties are real and both engines must agree on
@@ -891,6 +907,18 @@ object SparkEntry {
     graft.operators.Sampling.hashSplit(
         T(s, dir, "documents").select(col("doc_id")), col("doc_id"))
       .orderBy("doc_id")
+
+  /** t15: grouped weighted sampling — k quality-weighted docs PER
+    * SOURCE via the bounded-heap aggregate
+    * ([[graft.operators.Sampling.groupedWeightedSample]]): no
+    * per-group window sort, no shuffle of the unsampled mass.
+    * Rows-only oracle (float pow keys); window-form parity spec in
+    * SamplingSpec. */
+  private def t15(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.groupedWeightedSample(
+        T(s, dir, "documents"), "source", "doc_id",
+        length(col("text")), 10)
+      .orderBy("source", "rank")
 
   /** n08: Unicode NFC normalization ([[Normalize.nfc]], native
     * codegen expression) — a decomposed accent sequence (e +
@@ -1583,8 +1611,10 @@ object SparkEntry {
     "q39_grouped_topk" -> (q39 _),
     "q40_outlier_audit" -> (q40 _),
     "q41_hourly_dedup" -> (q41 _),
+    "q42_canonical_record" -> (q42 _),
     "t13_stopword_detect" -> (t13 _),
     "t14_train_split" -> (t14 _),
+    "t15_grouped_sample" -> (t15 _),
     "t10_source_mixture" -> (t10 _),
     "t11_hashed_features" -> (t11 _),
     "t12_char_lm_score" -> (t12 _),
@@ -2492,6 +2522,15 @@ object SparkEntry {
         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q42_canonical_record" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice, 2) AS best_price,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS best_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderdate DESC,
+        |      o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "p04_incremental_lm" ->
       // the batch-trained model: the incremental fold must reproduce
       // it exactly (bigram counts are a commutative monoid)

@@ -94,6 +94,34 @@ object Sampling {
       .drop("__wkey")
   }
 
+  /** Grouped weighted sampling without replacement: k rows per
+    * stratum by the same Efraimidis–Spirakis key as
+    * [[weightedSample]], but the per-group top-k runs through the
+    * bounded-heap aggregate ([[graft.plans.TopKPairs]]) — k-row
+    * state per group, map-side partials, no per-group window sort
+    * and no shuffle of the non-sampled mass. The "sample k docs PER
+    * SOURCE, prefer high quality" corpus-mixture draw. Same
+    * exclusions as weightedSample (weight NULL/NaN/<=0). */
+  def groupedWeightedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      weight: Column,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    val u = (pmod(xxhash64(lit(seed), col(idCol)), lit(1L << 40))
+      .cast("double") + 0.5) / lit((1L << 40).toDouble)
+    val key = pow(u, lit(1.0) / weight.cast("double"))
+    df.filter(weight.isNotNull && !isnan(weight.cast("double")) &&
+        weight.cast("double") > 0)
+      .select(col(strataCol), col(idCol), key.as("__wkey"))
+      .groupBy(col(strataCol))
+      .agg(Similarity.topKAgg(col("__wkey"), col(idCol), k).as("top"))
+      .select(col(strataCol), posexplode(col("top")))
+      .select(col(strataCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol))
+  }
+
   /** Exact per-stratum top-N by a deterministic hash order — a fixed
     * BUDGET per stratum rather than a rate (the "take 1M docs per
     * language" shape). One window per stratum partition. */

@@ -93,4 +93,31 @@ class SamplingSpec extends SparkSuite {
       assert(sizes(l) == math.min(30L, n), s"$l: ${sizes(l)}")
     }
   }
+
+  test("groupedWeightedSample equals the per-group window form exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val agg = Sampling.groupedWeightedSample(
+        docs, "source", "doc_id", length(col("text")), 10)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"))).toSet
+    // the window form with the SAME hash-derived keys: heap top-k
+    // must reproduce it bit for bit (ties broken by id in both)
+    val u = (pmod(xxhash64(lit(42L), col("doc_id")), lit(1L << 40))
+      .cast("double") + 0.5) / lit((1L << 40).toDouble)
+    val key = pow(u, lit(1.0) / length(col("text")).cast("double"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("__wkey").desc, col("doc_id"))
+    val win = docs.filter(length(col("text")) > 0)
+      .withColumn("__wkey", key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 10)
+      .select(col("source"), col("__rn").cast("long").as("rank"),
+        col("doc_id"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(agg == win,
+      s"missing=${(win -- agg).take(3)} extra=${(agg -- win).take(3)}")
+  }
 }
