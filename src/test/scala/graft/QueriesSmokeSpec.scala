@@ -31,7 +31,8 @@ class QueriesSmokeSpec extends SparkSuite {
       "s04_knn_topk_agg", "s03_ivf_ann", "s05_ivf_kmeans",
       "t08_tfidf_keywords", "q36_histogram", "t10_source_mixture",
       "s06_quantized_knn", "q35_column_profile", "e15_gap_fill",
-      "t13_stopword_detect", "a04_kmv_set_algebra", "s07_pq_ann")
+      "t13_stopword_detect", "a04_kmv_set_algebra", "s07_pq_ann",
+      "s08_ivfpq_ann")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",
