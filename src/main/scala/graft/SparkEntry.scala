@@ -744,6 +744,29 @@ object SparkEntry {
         .as("approx_users"))
       .orderBy("event_type")
 
+  /** a05: STORED quantile-sketch rollup ([[graft.plans.GkSketch]] /
+    * GkMerge / GkQuery over Spark's Greenwald-Khanna summary): one
+    * tiny sketch per (event_type, day), merged per type — p50/p90/p99
+    * over any date range with NO raw rescan, the quantile analog of
+    * a02's HLL rollup. Rows-only oracle (sketch estimates); accuracy
+    * + mergeability bounds in SketchSpec. */
+  private def a05(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    T(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(Sketches.gkSketch(col("value").cast("double")).as("sk"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        Sketches.gkMerge(col("sk")).as("msk"))
+      .select(col("event_type"), col("n_days"),
+        Sketches.gkQuantiles(col("msk"), Seq(0.5, 0.9, 0.99)).as("__q"))
+      .select(col("event_type"), col("n_days"),
+        round(element_at(col("__q"), 1), 2).as("p50"),
+        round(element_at(col("__q"), 2), 2).as("p90"),
+        round(element_at(col("__q"), 3), 2).as("p99"))
+      .orderBy("event_type")
+  }
+
   /** s06: KNN over int8-quantized embeddings with exact re-scoring
     * ([[Similarity.quantizedKnn]]): integer byte-dot first pass over
     * a 4×-smaller representation, exact cosine on the surviving
@@ -1621,6 +1644,7 @@ object SparkEntry {
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
+    "a05_quantile_rollup" -> (a05 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
     "n02_state_zip" -> (n02 _),

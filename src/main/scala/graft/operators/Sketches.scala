@@ -63,6 +63,34 @@ object Sketches {
   def kmvIntersect(a: Column, b: Column, k: Int): Column =
     kmvJaccard(a, b, k) * kmvEstimate(kmvUnion(a, b, k), k)
 
+  /** Greenwald-Khanna quantile sketch of a double column as a STORED
+    * binary ([[graft.plans.GkSketch]]) — the quantile member of the
+    * stored-sketch family: persist one per day/partition, answer any
+    * range's percentiles later by merging. */
+  def gkSketch(value: Column, relativeError: Double = 0.01): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.GkSketch(GraftBridge.expression(value), relativeError)
+        .toAggregateExpression())
+  }
+
+  /** Merge stored GK sketch binaries ([[graft.plans.GkMerge]]):
+    * rollup aggregate over the binary sketch column. */
+  def gkMerge(sketch: Column, relativeError: Double = 0.01): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.GkMerge(GraftBridge.expression(sketch), relativeError)
+        .toAggregateExpression())
+  }
+
+  /** Quantile estimates from a stored GK sketch binary
+    * ([[graft.plans.GkQuery]]): array<double>, NULL on empty. */
+  def gkQuantiles(sketch: Column, percentiles: Seq[Double]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.GkQuery(GraftBridge.expression(sketch), percentiles))
+  }
+
   /** EXACT top-k heavy hitters without a full-cardinality groupBy:
     * pass 1 aggregates an m-counter Misra–Gries summary (bounded
     * state, map-side partials — the shuffle is m rows, not one per

@@ -111,6 +111,60 @@ class SketchSpec extends SparkSuite {
     assert(s2.getDouble(0) == 100.0)
   }
 
+  test("GK sketch: merged per-day sketches hit exact percentiles within bound") {
+    import graft.operators.Sketches
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("value").cast("double").as("v"))
+    val merged = ev
+      .groupBy("event_type", "day")
+      .agg(Sketches.gkSketch(col("v")).as("sk"))
+      .groupBy("event_type")
+      .agg(Sketches.gkMerge(col("sk")).as("msk"))
+      .select(col("event_type"),
+        Sketches.gkQuantiles(col("msk"), Seq(0.5, 0.99)).as("q"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // GK guarantees RANK error (<= 2*eps after merge), NOT value
+    // error — events.value is heavy-tailed, so p99's value error is
+    // unbounded. Check the empirical rank of each estimate instead:
+    // fraction of values <= estimate must sit within the target
+    // percentile ± (2*eps + slack), eps = 0.01.
+    merged.foreach { case (t, ests) =>
+      Seq(0.5, 0.99).zip(ests).foreach { case (target, est) =>
+        val rank = ev.filter(col("event_type") === t)
+          .agg(avg((col("v") <= est).cast("double")).as("r"))
+          .head.getDouble(0)
+        assert(math.abs(rank - target) <= 0.03,
+          s"$t p$target: estimate $est sits at empirical rank $rank")
+      }
+    }
+  }
+
+  test("GK sketch: merge of splits equals-ish one-shot; serde round-trips") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val xs = (1 to 10000).map(_.toDouble)
+    // one-shot sketch over all values
+    val whole = xs.toDF("v")
+      .agg(Sketches.gkSketch(col("v")).as("sk"))
+      .select(Sketches.gkQuantiles(col("sk"), Seq(0.25, 0.5, 0.75)).as("q"))
+      .head.getSeq[Double](0)
+    // 10 stored split sketches, merged via the binary column
+    val split = xs.zipWithIndex.map { case (v, i) => (i % 10, v) }
+      .toDF("part", "v")
+      .groupBy("part").agg(Sketches.gkSketch(col("v")).as("sk"))
+      .agg(Sketches.gkMerge(col("sk")).as("msk"))
+      .select(Sketches.gkQuantiles(col("msk"), Seq(0.25, 0.5, 0.75)).as("q"))
+      .head.getSeq[Double](0)
+    whole.zip(split).zip(Seq(2500.0, 5000.0, 7500.0)).foreach {
+      case ((w, s), truth) =>
+        // both within 2*eps rank error of truth (eps=0.01 → ±200 ranks)
+        assert(math.abs(w - truth) <= 200, s"one-shot $w vs $truth")
+        assert(math.abs(s - truth) <= 200, s"merged $s vs $truth")
+    }
+  }
+
   test("sketches reject non-positive state sizes at construction") {
     // k=0 / m=0 used to surface as a NoSuchElementException deep in an
     // executor task (buf.last on an empty TreeSet); fail fast instead
