@@ -251,6 +251,52 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("tokensLower matches a JVM split model on hostile whitespace") {
+    import graft.functions.TextFns
+    val inputs = (0 until 300).map(_ => randomUnicode())
+    val got = inputs.toDF("x")
+      .select(col("x"), TextFns.tokensLower(col("x")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    inputs.foreach { s =>
+      // Spark's trim strips ONLY ASCII spaces (0x20); String.trim
+      // would also strip \t\n and silently diverge — model Spark
+      val t = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      // Spark's split keeps empty fields (Java limit=-1): an
+      // all-whitespace string tokenizes to ["", ""], not [] —
+      // default Java split would silently drop the trailing empties
+      val expect = t.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+", -1).toSeq
+      assert(got(s) == expect,
+        s"token mismatch for ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("redactPii matches java.util.regex on randomized PII-laced text") {
+    import graft.functions.TextFns
+    def piiText(): String = {
+      val parts = (0 until rnd.nextInt(6)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => s"u${rnd.nextInt(999)}@ex${rnd.nextInt(99)}.com"
+          case 1 => f"${rnd.nextInt(1000)}%03d-${rnd.nextInt(1000)}%03d-${rnd.nextInt(10000)}%04d"
+          case 2 => randomString()
+          // adversarial near-misses: missing TLD, short groups
+          case _ => Seq("a@b", "12-345-6789", "user@@x.com",
+            "@nodomain", "999-999-99999")(rnd.nextInt(5))
+        }
+      }
+      parts.mkString(" ")
+    }
+    val inputs = (0 until 300).map(_ => piiText())
+    val got = inputs.toDF("x")
+      .select(col("x"), TextFns.redactPii(col("x")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    inputs.foreach { s =>
+      val expect = s.replaceAll(TextFns.EmailRe, "<EMAIL>")
+        .replaceAll(TextFns.PhoneRe, "<PHONE>")
+      assert(got(s) == expect, s"redaction mismatch for '$s'")
+    }
+  }
+
   test("sort-based percentiles match Spark's percentile aggregate (random groups)") {
     val data = (0 until 12).flatMap { g =>
       val n = 1 + rnd.nextInt(50)
