@@ -1149,6 +1149,30 @@ object SparkEntry {
       .orderBy("a_id")
   }
 
+  /** d12: duplicate-cluster resolution, ORACLE-CHECKED connected
+    * components: consecutive-id pairs with token Jaccard >= 0.5 form
+    * multi-hop chains (the adversarial diameter case for label
+    * propagation); [[Dedup.clusterLeaders]]'s distributed min-label
+    * fixpoint assigns every chained doc its component's min id. The
+    * DuckDB oracle re-derives components via recursive-CTE
+    * reachability — the one query where the iterative CC result is
+    * hash-verified exactly, not just property-specced. */
+  private def d12(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val cand = docs.select(col("doc_id").as("a_id"))
+      .withColumn("b_id", col("a_id") + 1)
+      .join(docs.select(col("doc_id").as("b_id")), "b_id")
+    val pairs = Dedup
+      .jaccardOnPairs(cand, docs, col("doc_id"), col("text"))
+      // threshold on the exact rational — identical IEEE division in
+      // both engines; the rounded display column would drift
+      .filter(col("n_inter") / col("n_union") >= 0.5)
+      .select("a_id", "b_id")
+    Dedup.clusterLeaders(pairs)
+      .select(col("doc_id"), col("leader_id").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   /** d04: 64-bit SimHash signatures + banding chunks — rows-only
     * oracle (xxhash64-based). */
   private def d04(s: SparkSession, dir: String): DataFrame =
@@ -1674,6 +1698,7 @@ object SparkEntry {
     "d09_fuzzy_match" -> (d09 _),
     "d10_decontaminate" -> (d10 _),
     "d11_embedding_cluster_dedup" -> (d11 _),
+    "d12_dup_clusters" -> (d12 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
@@ -2365,6 +2390,24 @@ object SparkEntry {
         |    len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY a_id""".stripMargin,
+    "d12_dup_clusters" ->
+      // recursive-CTE reachability with min labels: the exact
+      // ground truth for the distributed min-label fixpoint
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS toks FROM documents),
+        |  p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |    WHERE len(list_intersect(a.toks, b.toks)) /
+        |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+        |  e AS (SELECT a_id AS s, b_id AS d FROM p
+        |    UNION SELECT b_id, a_id FROM p),
+        |  reach AS (
+        |    SELECT s AS node, s AS r FROM e
+        |    UNION
+        |    SELECT r.node, e.d FROM reach r JOIN e ON e.s = r.r)
+        |SELECT node AS doc_id, min(r)::BIGINT AS canonical_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "d09_fuzzy_match" ->
       """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
         |  levenshtein(a.c_name, b.c_name)::BIGINT AS dist
