@@ -1331,6 +1331,21 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** e17: SLIDING-window aggregation (7-day window, 1-day slide) —
+    * overlapping windows, distinct from e02's tumbling buckets: each
+    * event lands in 7 windows via Spark's native `window()` fan-out
+    * (bounded ×size/slide row expansion map-side, then one hash-agg —
+    * never a self-join). Day-aligned slide makes the window starts
+    * engine-derivable: the oracle fans each event out with
+    * generate_series(0,6). */
+  private def e17(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(window(col("ts"), "7 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("win_start", "event_type")
+
   /** e03: as-of join — latest order at-or-before each event for the
     * same user (union-and-carry, one shuffle). */
   private def e03(s: SparkSession, dir: String): DataFrame = {
@@ -1723,6 +1738,7 @@ object SparkEntry {
     "e14_streaming_upsert" -> (e14 _),
     "e15_gap_fill" -> (e15 _),
     "e16_cohort_retention" -> (e16 _),
+    "e17_sliding_window" -> (e17 _),
     "p01_corpus_pipeline" -> (p01 _),
     "p02_preprocess_chain" -> (p02 _),
     "p03_incremental_clean" -> (p03 _),
@@ -2479,6 +2495,15 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "e03_asof_join" -> asofOracleSql,
     "e07_asof_native" -> asofOracleSql, // same semantics as e03
+    "e17_sliding_window" ->
+      // sliding = each event fans out to size/slide day-aligned
+      // windows; Spark's window() aligns to the epoch, which for a
+      // 1-day slide is exactly date_trunc('day') - k days
+      """SELECT strftime(date_trunc('day', ts) - INTERVAL (k) DAY,
+        |    '%Y-%m-%d') AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events CROSS JOIN generate_series(0, 6) AS g(k)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "e04_streaming_counts" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
