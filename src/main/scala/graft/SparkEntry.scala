@@ -767,6 +767,32 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** a06: STORED bloom rollup ([[graft.plans.BloomSketchAgg]] /
+    * BloomMergeAgg): one membership filter per day of events, merged
+    * (bitwise OR — byte-identical to a one-shot build, spec-pinned),
+    * then probed map-side against the customer dimension via the
+    * codegen [[graft.plans.BloomMightContain]] — "which customers
+    * MIGHT have been active, without rescanning events". Rows-only
+    * oracle (bloom bit layout is engine-internal); no-false-negative
+    * + FPR + merge-equality specs in SketchSpec. */
+  private def a06(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val items = 4096L
+    val merged = T(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(graft.operators.Sketches
+        .bloomSketch(col("user_id").cast("long"), items).as("bf"))
+      .agg(graft.operators.Sketches.bloomMerge(col("bf"), items).as("mbf"))
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(merged.head.getAs[Array[Byte]](0))
+    T(s, dir, "customer").select(col("c_custkey"))
+      .withColumn("might_be_active",
+        GraftBridge.column(graft.plans.BloomMightContain(
+          GraftBridge.expression(col("c_custkey").cast("long")), bf))
+          .cast("long"))
+      .orderBy("c_custkey")
+  }
+
   /** s06: KNN over int8-quantized embeddings with exact re-scoring
     * ([[Similarity.quantizedKnn]]): integer byte-dot first pass over
     * a 4×-smaller representation, exact cosine on the surviving
@@ -1684,6 +1710,7 @@ object SparkEntry {
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
     "a05_quantile_rollup" -> (a05 _),
+    "a06_bloom_rollup" -> (a06 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
     "n02_state_zip" -> (n02 _),

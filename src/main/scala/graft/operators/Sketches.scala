@@ -91,6 +91,28 @@ object Sketches {
       graft.plans.GkQuery(GraftBridge.expression(sketch), percentiles))
   }
 
+  /** Bloom membership filter of a long-key column as a STORED binary
+    * ([[graft.plans.BloomSketchAgg]]). */
+  def bloomSketch(key: Column, expectedItems: Long,
+      fpp: Double = 0.01): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.BloomSketchAgg(
+        GraftBridge.expression(key), expectedItems, fpp)
+        .toAggregateExpression())
+  }
+
+  /** Merge stored bloom filter binaries ([[graft.plans.BloomMergeAgg]]);
+    * parameters must match the build side. */
+  def bloomMerge(sketch: Column, expectedItems: Long,
+      fpp: Double = 0.01): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.BloomMergeAgg(
+        GraftBridge.expression(sketch), expectedItems, fpp)
+        .toAggregateExpression())
+  }
+
   /** EXACT top-k heavy hitters without a full-cardinality groupBy:
     * pass 1 aggregates an m-counter Misra–Gries summary (bounded
     * state, map-side partials — the shuffle is m rows, not one per

@@ -165,6 +165,36 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("bloom rollup: merged filters = one-shot bytes; no false negatives; FPR bounded") {
+    import graft.operators.Sketches
+    import org.apache.spark.util.sketch.BloomFilter
+    val items = 4096L
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id").cast("long").as("u"),
+        date_trunc("day", col("ts")).as("day"))
+    // merged per-day filters must be BYTE-identical to one filter
+    // built over all days (merge is bitwise OR over the same layout)
+    val mergedBytes = ev.groupBy("day")
+      .agg(Sketches.bloomSketch(col("u"), items).as("bf"))
+      .agg(Sketches.bloomMerge(col("bf"), items).as("m"))
+      .head.getAs[Array[Byte]](0)
+    val oneShotBytes = ev
+      .agg(Sketches.bloomSketch(col("u"), items).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(mergedBytes, oneShotBytes),
+      "merged per-day filters differ from the one-shot build")
+    val bf = BloomFilter.readFrom(mergedBytes)
+    // no false negatives: every truly active user must probe true
+    val actives = ev.select("u").distinct().collect().map(_.getLong(0))
+    actives.foreach(u => assert(bf.mightContainLong(u),
+      s"false negative for active user $u"))
+    // FPR: non-members flagged at roughly the configured 1%
+    val nonMembers = (1000000L until 1010000L).filterNot(actives.toSet)
+    val fp = nonMembers.count(bf.mightContainLong).toDouble / nonMembers.size
+    info(s"bloom FPR on ${nonMembers.size} non-members = $fp")
+    assert(fp <= 0.05, s"FPR too high: $fp")
+  }
+
   test("sketches reject non-positive state sizes at construction") {
     // k=0 / m=0 used to surface as a NoSuchElementException deep in an
     // executor task (buf.last on an empty TreeSet); fail fast instead
