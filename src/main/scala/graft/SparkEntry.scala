@@ -793,6 +793,21 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** m03: overlapping payload chunking ([[Multimodal.chunkPayload]],
+    * window 256 / stride 128) — the audio-segmentation shape with
+    * VARIABLE per-row expansion (vs m02's fixed k), streamed through
+    * the partition-wise flatMap. Oracle re-derives the offset
+    * arithmetic with generate_series and per-chunk byte means via
+    * ascii() (the synthetic corpus is pure ASCII, so char i = byte
+    * i). */
+  private def m03(s: SparkSession, dir: String): DataFrame =
+    Multimodal.chunkPayload(T(s, dir, "documents"), "doc_id", "text",
+        window = 256, stride = 128)
+      .select(col("doc_id"), col("chunk_idx"), col("byte_start"),
+        col("n_chunk_bytes"),
+        (floor(col("mean_byte") * 10000) / 10000).as("mean_byte"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** s06: KNN over int8-quantized embeddings with exact re-scoring
     * ([[Similarity.quantizedKnn]]): integer byte-dot first pass over
     * a 4×-smaller representation, exact cosine on the surviving
@@ -1771,6 +1786,7 @@ object SparkEntry {
     "p03_incremental_clean" -> (p03 _),
     "p04_incremental_lm" -> (p04 _),
     "m01_binary_meta" -> (m01 _),
+    "m03_chunk_payload" -> (m03 _),
     "m02_frame_sample" -> (m02 _)
   )
 
@@ -2433,6 +2449,25 @@ object SparkEntry {
         |    len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY a_id""".stripMargin,
+    "m03_chunk_payload" ->
+      // same offset arithmetic as chunkPayload; pure-ASCII corpus
+      // makes char i = byte i, so ascii() reads the byte values
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |  c AS (SELECT doc_id, text, n,
+        |      unnest(generate_series(0, CASE WHEN n <= 256 THEN 0
+        |        ELSE (n - 256 + 127) // 128 END)) AS chunk_idx FROM d),
+        |  b AS (SELECT doc_id, text, chunk_idx,
+        |      chunk_idx * 128 AS byte_start,
+        |      least(chunk_idx * 128 + 256, n) - chunk_idx * 128 AS len
+        |    FROM c),
+        |  p AS (SELECT doc_id, chunk_idx, byte_start, len,
+        |      unnest(generate_series(1, len)) AS gi, text FROM b),
+        |  m AS (SELECT doc_id, chunk_idx, byte_start, len,
+        |      avg(ascii(substr(text, byte_start + gi, 1))) AS mb
+        |    FROM p GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, chunk_idx, byte_start, len::BIGINT AS n_chunk_bytes,
+        |  floor(mb * 10000) / 10000 AS mean_byte
+        |FROM m ORDER BY doc_id, chunk_idx""".stripMargin,
     "d12_dup_clusters" ->
       // recursive-CTE reachability with min labels: the exact
       // ground truth for the distributed min-label fixpoint

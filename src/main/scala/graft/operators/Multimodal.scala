@@ -92,4 +92,56 @@ object Multimodal {
       }
     }(Encoders.product[Frame]).toDF()
   }
+
+  /** One overlapping chunk of a payload — the audio-segmentation
+    * record (offset bookkeeping is what a real STT/embedding stage
+    * consumes alongside the bytes). */
+  case class Chunk(
+      doc_id: Long, chunk_idx: Long, byte_start: Long, n_chunk_bytes: Long,
+      mean_byte: Double)
+
+  /** Overlapping payload chunking — the audio-pipeline shape (fixed
+    * window, fixed stride, tail kept): chunk i covers bytes
+    * [i·stride, i·stride + window), the last chunk may be short, and
+    * a payload shorter than one window still yields exactly one
+    * chunk. VARIABLE per-row expansion (⌈max(n−window,0)/stride⌉+1 —
+    * unlike [[sampleFrames]]' fixed k), streamed through the same
+    * partition-wise flatMap: bytes out ≈ bytes in × window/stride,
+    * bounded regardless of payload count.
+    *
+    * A real implementation would resample PCM and hand chunks to an
+    * encoder; the STUB derives the per-chunk mean byte so the
+    * variable expansion plumbing is exercised and oracle-checkable
+    * (generate_series over the same offset arithmetic). */
+  def chunkPayload(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window: window=$window stride=$stride")
+    val withBlob = df.select(col(idCol).cast("long").as("id"),
+      encode(col(payloadCol), "UTF-8").as("blob"))
+    val ds: Dataset[(Long, Array[Byte])] =
+      withBlob.as[(Long, Array[Byte])](
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { it: Iterator[(Long, Array[Byte])] =>
+      it.flatMap { case (id, blob) =>
+        val n = blob.length
+        val nChunks = if (n <= window) 1
+          else ((n - window + stride - 1) / stride) + 1
+        (0 until nChunks).iterator.map { c =>
+          val start = c * stride
+          val end = math.min(start + window, n)
+          val len = math.max(end - start, 0)
+          var sum = 0L
+          var i = start
+          while (i < end) { sum += (blob(i) & 0xff); i += 1 }
+          Chunk(id, c.toLong, start.toLong, len.toLong,
+            if (len == 0) 0.0 else sum.toDouble / len)
+        }
+      }
+    }(Encoders.product[Chunk]).toDF()
+  }
 }

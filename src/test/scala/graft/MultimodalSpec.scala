@@ -40,4 +40,33 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.filter(col("n_frame_bytes") > 0 &&
       (col("mean_byte") < 32 || col("mean_byte") >= 127)).count() == 0)
   }
+
+  test("chunkPayload: stride-overlapping chunks cover every byte, tail kept") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val (window, stride) = (100, 60)
+    val chunks = Multimodal.chunkPayload(docs, "doc_id", "text",
+      window, stride)
+    val meta = Multimodal.decodeFeatures(docs, "doc_id", "text")
+    val agg = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), max("byte_start").as("last_start"),
+        max(col("byte_start") + col("n_chunk_bytes")).as("covered_to"),
+        min("n_chunk_bytes").as("min_len"), max("n_chunk_bytes").as("max_len"))
+      .join(meta, "doc_id")
+    // chunk count matches the closed form; coverage reaches the end
+    val bad = agg.filter(
+      col("k") =!= when(col("n_bytes") <= window, 1L)
+        .otherwise(floor((col("n_bytes") - window + stride - 1) / stride) + 1)
+      || col("covered_to") =!= col("n_bytes")
+      || col("max_len") > window)
+    assert(bad.count() == 0, bad.limit(3).collect().mkString("; "))
+    // every byte position is inside at least one chunk: consecutive
+    // starts differ by stride < window, so [0, covered_to) is gapless
+    val gaps = chunks.select(col("doc_id"), col("byte_start"))
+      .withColumn("gap", col("byte_start") -
+        lag(col("byte_start"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("byte_start")))
+    assert(gaps.filter(col("gap") > stride).count() == 0)
+  }
 }
