@@ -58,6 +58,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
+      // Isolate queries from each other: cached frames left behind by
+      // earlier queries (dedup/LM pipelines cache intermediates) otherwise
+      // accumulate until the block manager evicts under pressure, and the
+      // eviction/GC cost lands on whichever query runs next — round-3's
+      // "unexplained d06 3.6x jump" was exactly this.
+      spark.catalog.clearCache()
       once()
       val t0 = System.nanoTime()
       val ok = once()
