@@ -25,9 +25,10 @@ object Bench {
     "q39_grouped_topk", "q41_hourly_dedup",
     "s01_knn_brute", "s02_lsh_ann", "s03_ivf_ann", "s05_ivf_kmeans",
     "s06_quantized_knn", "s07_pq_ann", "s08_ivfpq_ann",
+    "s09_mips_brute", "s10_mips_ann",
     "t01_token_stats", "t03_lang_id", "t07_repetition_signals",
     "t08_tfidf_keywords", "t12_char_lm_score", "t13_stopword_detect",
-    "t14_train_split")
+    "t14_train_split", "t16_sequence_pack", "t17_lang_affinity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

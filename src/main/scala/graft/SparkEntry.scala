@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextFns}
-import graft.operators.{Dedup, Multimodal, Quality, Relational, Similarity, Temporal}
+import graft.operators.{Dedup, Multimodal, Packing, Quality, Relational, Similarity, Temporal}
 import graft.streaming.Streams
 
 /** Driver contract — queries keyed by SURVEY.md §2, each with a DuckDB
@@ -841,6 +841,29 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** s09: exact maximum-inner-product top-5 (MIPS —
+    * [[Similarity.mipsBruteAgg]]): dot-product scoring where
+    * magnitude matters, bounded-heap top-k, codegen dot loop.
+    * Oracle: DuckDB list_inner_product window form. */
+  private def s09(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.mipsBruteAgg(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** s10: approximate MIPS via the norm-augmentation reduction
+    * ([[Similarity.mipsAnn]]): every corpus vector padded to norm M
+    * so cosine LSH order equals inner-product order — the existing
+    * hyperplane index machinery reused unchanged in dim+1. Rows-only
+    * oracle; recall vs s09 asserted in SimilaritySpec. */
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.mipsAnn(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** a03: EXACT top-10 words via the Misra–Gries heavy-hitter
     * sketch + exact verify ([[graft.operators.Sketches]]): pass 1 is
     * a bounded-state aggregate (m counters, map-side partials — the
@@ -983,6 +1006,55 @@ object SparkEntry {
         T(s, dir, "documents"), "source", "doc_id",
         length(col("text")), 10)
       .orderBy("source", "rank")
+
+  /** t16: training-sequence packing ([[Packing.packSequences]]) —
+    * greedy sequential fill of 512-token sequences per source. The
+    * data-dependent fill reset is inexpressible as a window function:
+    * one hash shuffle on source, an ordered O(1)-state scan per
+    * group. Oracle re-derives the fill chain with a recursive CTE. */
+  private def t16(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    Packing.packSequences(docs, "source", "doc_id", "n_tok", 512L)
+      .orderBy("doc_id")
+  }
+
+  /** t17: corpus-trained language-affinity classifier (naive-Bayes-
+    * shaped): add-one-smoothed token|class probabilities over the
+    * corpus's own (token, lang) counts, each doc scored by the mean
+    * smoothed likelihood per class, argmax with deterministic ties
+    * (score DESC, lang ASC). The class-token matrix is
+    * |vocab|×|classes| — broadcast here; at open-vocabulary scale the
+    * model feeds through the hashing trick (t11) to stay bounded.
+    * Scores truncated at 1e-6 on both engines before the argmax. */
+  private def t17(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFns.tokensLower(col("text")).as("__toks"))
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(col("__toks")).as("t"))
+      .cache()
+    val cl = tok.groupBy("lang", "t").agg(count(lit(1)).as("c"))
+    val lc = cl.groupBy("lang").agg(sum("c").as("n"))
+    val vocab = tok.select("t").distinct()
+    val v = vocab.agg(count(lit(1)).as("v"))
+    val mat = docs.select("lang").distinct()
+      .join(lc, "lang")
+      .crossJoin(vocab).crossJoin(broadcast(v))
+      .join(cl, Seq("lang", "t"), "left")
+      .select(col("lang").as("m_lang"), col("t"),
+        ((coalesce(col("c"), lit(0L)) + 1) / (col("n") + col("v"))).as("p"))
+    val sc = tok.join(broadcast(mat), Seq("t"))
+      .groupBy(col("doc_id"), col("m_lang"))
+      .agg((floor(avg(col("p")) * 1000000) / 1000000).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("m_lang").asc)
+    sc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("m_lang").as("pred_lang"), col("score"))
+      .orderBy("doc_id")
+  }
 
   /** n08: Unicode NFC normalization ([[Normalize.nfc]], native
     * codegen expression) — a decomposed accent sequence (e +
@@ -1718,6 +1790,8 @@ object SparkEntry {
     "t13_stopword_detect" -> (t13 _),
     "t14_train_split" -> (t14 _),
     "t15_grouped_sample" -> (t15 _),
+    "t16_sequence_pack" -> (t16 _),
+    "t17_lang_affinity" -> (t17 _),
     "t10_source_mixture" -> (t10 _),
     "t11_hashed_features" -> (t11 _),
     "t12_char_lm_score" -> (t12 _),
@@ -1764,6 +1838,8 @@ object SparkEntry {
     "s06_quantized_knn" -> (s06 _),
     "s07_pq_ann" -> (s07 _),
     "s08_ivfpq_ann" -> (s08 _),
+    "s09_mips_brute" -> (s09 _),
+    "s10_mips_ann" -> (s10 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_counts" -> (e02 _),
     "e03_asof_join" -> (e03 _),
@@ -2311,6 +2387,51 @@ object SparkEntry {
         |       WHEN bk < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "t16_sequence_pack" ->
+      // the greedy fill chain is a data-dependent running reset —
+      // re-derived row by row via a recursive CTE walking each
+      // source's docs in doc_id order
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT source, rn, doc_id, n_tok, 0::BIGINT AS seq_id,
+        |    n_tok AS seq_fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn, t.doc_id, t.n_tok,
+        |    CASE WHEN rec.seq_fill + t.n_tok > 512
+        |      THEN rec.seq_id + 1 ELSE rec.seq_id END,
+        |    CASE WHEN rec.seq_fill + t.n_tok > 512
+        |      THEN t.n_tok ELSE rec.seq_fill + t.n_tok END
+        |  FROM rec JOIN t ON t.source = rec.source AND t.rn = rec.rn + 1)
+        |SELECT doc_id, source, n_tok, seq_id, seq_fill FROM rec
+        |ORDER BY doc_id""".stripMargin,
+    "t17_lang_affinity" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |cl AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |lc AS (SELECT lang, sum(c) AS n FROM cl GROUP BY 1),
+        |vocab AS (SELECT DISTINCT t FROM tok),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |mat AS (SELECT l.lang AS m_lang, vo.t,
+        |    (coalesce(cl.c, 0) + 1)::DOUBLE / (lc.n + vs.v) AS p
+        |  FROM (SELECT DISTINCT lang FROM documents) l
+        |  JOIN lc ON lc.lang = l.lang
+        |  CROSS JOIN vocab vo CROSS JOIN vs
+        |  LEFT JOIN cl ON cl.lang = l.lang AND cl.t = vo.t),
+        |sc AS (SELECT tok.doc_id, mat.m_lang,
+        |    floor(avg(mat.p) * 1000000) / 1000000 AS score
+        |  FROM tok JOIN mat ON mat.t = tok.t GROUP BY 1, 2),
+        |r AS (SELECT doc_id, m_lang, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, m_lang) AS rn
+        |  FROM sc)
+        |SELECT doc_id, m_lang AS pred_lang, score FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "n08_nfc_normalize" ->
       // chr(769) = the combining acute the Spark side injects as
       // "́"; nfc_normalize and the JDK normalizer share the
@@ -2535,6 +2656,17 @@ object SparkEntry {
     // (SimilaritySpec asserts parity with knnBruteAgg) — so the
     // exact-KNN oracle applies verbatim
     "s06_quantized_knn" -> knnOracleSql,
+    "s09_mips_brute" ->
+      """SELECT q_id, rank, cand_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_inner_product(q.v, c.v) DESC, c.vec_id)
+        |      AS rank
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |    WHERE vec_id < 10) q
+        |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c
+        |    ON c.vec_id != q.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "e01_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -122,6 +122,61 @@ object Similarity {
         col("col.id").as("cand_id"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS): retrieval/recommender
+    * scoring where vector MAGNITUDE carries signal — cosine's
+    * normalization deliberately NOT applied (a long high-engagement
+    * item vector should outscore a short one at the same angle).
+    * Identical plan shape to [[knnBruteAgg]]: queries broadcast,
+    * bounded-heap top-k aggregate, map-side partials, no window
+    * sort; the score is the fused-codegen [[dotNative]] loop. */
+  def mipsBruteAgg(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    c.join(q, col("cand_id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(topKAgg(dotNative(col("qv"), col("cv")), col("cand_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cand_id"))
+  }
+
+  /** Approximate MIPS via the norm-augmentation reduction to cosine
+    * ANN (Bachrach et al., RecSys'14 / Shrivastava & Li, NIPS'14):
+    * append sqrt(M² − ‖x‖²) to each corpus vector (M = max corpus
+    * norm, one scalar agg broadcast) and 0 to each query — every
+    * augmented corpus vector then has norm exactly M, so
+    * cos(q', x') = q·x / (‖q‖·M) and cosine order IS inner-product
+    * order. The whole existing LSH machinery ([[lshAnn]]: seeded
+    * hyperplanes, multi-probe, exact re-rank) applies unchanged in
+    * dim+1. Corpus-side cost is one extra map pass — no new shuffle
+    * beyond the index build it reuses. */
+  def mipsAnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 5,
+      dim: Int = 64,
+      seed: Long = 42L,
+      probeBits: Int = 2): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val mRow = broadcast(c0.agg(max(l2norm(col("v"))).as("__m")))
+    val caug = c0.crossJoin(mRow).select(col("id"),
+      concat(col("v"), array(sqrt(greatest(lit(0.0),
+        col("__m") * col("__m") - dot(col("v"), col("v")))))).as("va"))
+    val qaug = queries
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), concat(col("v"), array(lit(0.0))).as("va"))
+    lshAnn(caug, qaug, "id", "va", k, numPlanes, dim + 1, seed, probeBits)
+  }
+
   /** Deterministic ±1 random hyperplanes (seeded). */
   private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new Random(seed)

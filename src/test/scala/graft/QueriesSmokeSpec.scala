@@ -32,7 +32,12 @@ class QueriesSmokeSpec extends SparkSuite {
       "t08_tfidf_keywords", "q36_histogram", "t10_source_mixture",
       "s06_quantized_knn", "q35_column_profile", "e15_gap_fill",
       "t13_stopword_detect", "a04_kmv_set_algebra", "s07_pq_ann",
-      "s08_ivfpq_ann")
+      "s08_ivfpq_ann",
+      // s09 is the inequality-join MIPS baseline (same shape as s01);
+      // s10 cross-joins the ONE-row max-corpus-norm aggregate into the
+      // augmentation map; t17 cross-joins the |classes|-row (=5) class
+      // totals over the vocab to build the bounded model matrix
+      "s09_mips_brute", "s10_mips_ann", "t17_lang_affinity")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",

@@ -154,6 +154,60 @@ class SimilaritySpec extends SparkSuite {
         s"missing=${exact -- quant} extra=${quant -- exact}")
   }
 
+  test("mipsBruteAgg equals the window-form inner-product reference") {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qv")))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip").desc, col("cand_id"))
+    val win = c.join(q, col("cand_id") =!= col("q_id"))
+      .withColumn("ip", Similarity.dotNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank").toLong,
+        r.getAs[Long]("cand_id"))).toSet
+    val agg = Similarity.mipsBruteAgg(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"))).toSet
+    assert(agg == win)
+  }
+
+  test("MIPS order is NOT cosine order (magnitude matters)") {
+    // The test corpus is unit-normalized (MIPS == cosine there), so
+    // build the discriminating case: candidate 11 aligns better with
+    // the query but candidate 12 is 6x longer — cosine must pick 11
+    // first, inner product must pick 12.
+    import spark.implicits._
+    val df = Seq(
+      (10L, Seq(1.0f, 0.0f)),   // query
+      (11L, Seq(0.99f, 0.14f)), // unit-ish, well aligned: ip ~ 0.99
+      (12L, Seq(5.0f, 4.0f)))   // cos ~ 0.78 but ip = 5.0
+      .toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 10L)
+    val mips1 = Similarity.mipsBruteAgg(df, q, "vec_id", "embedding", 1)
+      .head.getAs[Long]("cand_id")
+    val cos1 = Similarity.knnBruteAgg(df, q, "vec_id", "embedding", 1)
+      .head.getAs[Long]("cand_id")
+    assert(mips1 == 12L, s"MIPS ignored magnitude: picked $mips1")
+    assert(cos1 == 11L, s"cosine followed magnitude: picked $cos1")
+  }
+
+  test("mipsAnn recall vs exact MIPS") {
+    // The augmented dimension sqrt(M^2 - |x|^2) is large for
+    // small-norm vectors, which compresses the angular spread the
+    // hyperplanes see — recall on near-random vectors sits below the
+    // plain-cosine LSH floor by construction. Floor tuned like the
+    // other ANN specs: a drop means a regression, not noise.
+    val exact = resultSet(
+      Similarity.mipsBruteAgg(emb, queries, "vec_id", "embedding", 5))
+    val ann = resultSet(
+      Similarity.mipsAnn(emb, queries, "vec_id", "embedding", 5))
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    info(s"MIPS-ANN recall@5 (norm augmentation, default LSH) = $recall")
+    assert(recall >= 0.5, s"MIPS-ANN recall too low: $recall")
+  }
+
   test("byteDot: integer dot, NULL on length mismatch") {
     import spark.implicits._
     // Seq[Byte] encodes as array<tinyint> (Array[Byte] would be binary)
