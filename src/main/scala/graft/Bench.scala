@@ -15,6 +15,7 @@ object Bench {
     "d11_embedding_cluster_dedup", "d12_dup_clusters",
     "e01_sessionize", "e03_asof_join", "e07_asof_native",
     "e09_stream_stream_join", "e12_incremental_rollup", "e13_range_join",
+    "e18_disorder_audit", "p05_incremental_ann",
     "m01_binary_meta", "m03_chunk_payload",
     "n01_clean_text", "n05_date_parse", "n07_pii_redact",
     "p01_corpus_pipeline", "p03_incremental_clean",

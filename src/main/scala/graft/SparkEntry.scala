@@ -1459,6 +1459,30 @@ object SparkEntry {
         col("event_type"), col("n"), col("total_value"))
       .orderBy("win_start", "event_type")
 
+  /** e18: event-time DISORDER audit — the measurement that tunes
+    * every watermark in the e-family: per event type, how far behind
+    * the running event-time maximum (in ingest order = event_id) do
+    * late events arrive? `withWatermark("ts", X)` silently drops
+    * anything later than X, so X is chosen FROM this profile, not
+    * guessed. One keyed window shuffle, all-integer micros arithmetic
+    * (exact hash vs the oracle). */
+  private def e18(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("late_us",
+        when(max(col("us")).over(w) > col("us"),
+          max(col("us")).over(w) - col("us")).otherwise(lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_disorder_us"),
+        sum(col("late_us")).as("total_disorder_us"))
+      .orderBy("event_type")
+  }
+
   /** e03: as-of join — latest order at-or-before each event for the
     * same user (union-and-carry, one shuffle). */
   private def e03(s: SparkSession, dir: String): DataFrame = {
@@ -1720,6 +1744,15 @@ object SparkEntry {
   private def p04(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingLmModel(s, dir)
 
+  /** p05: incremental ANN-index maintenance — frozen coarse
+    * quantizer, map-side cell assignment folded over an embedding
+    * stream ([[graft.streaming.Streams.incrementalIvfIndex]]); the
+    * maintained (vec_id, cell) index equals the batch kmeansCells
+    * build under any chunking (replay spec). Rows-only oracle
+    * (k-means cells aren't SQL-expressible). */
+  private def p05(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingIvfIndex(s, dir)
+
   // ---------------------------------------------------------------
   // Multimodal
   // ---------------------------------------------------------------
@@ -1857,10 +1890,12 @@ object SparkEntry {
     "e15_gap_fill" -> (e15 _),
     "e16_cohort_retention" -> (e16 _),
     "e17_sliding_window" -> (e17 _),
+    "e18_disorder_audit" -> (e18 _),
     "p01_corpus_pipeline" -> (p01 _),
     "p02_preprocess_chain" -> (p02 _),
     "p03_incremental_clean" -> (p03 _),
     "p04_incremental_lm" -> (p04 _),
+    "p05_incremental_ann" -> (p05 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m02_frame_sample" -> (m02 _)
@@ -2667,6 +2702,20 @@ object SparkEntry {
         |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c
         |    ON c.vec_id != q.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "e18_disorder_audit" ->
+      """WITH x AS (SELECT event_type, epoch_us(ts) AS us,
+        |    max(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM events),
+        |y AS (SELECT event_type,
+        |    CASE WHEN runmax > us THEN runmax - us ELSE 0 END AS late_us
+        |  FROM x)
+        |SELECT event_type, count(*) AS n_events,
+        |  sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+        |  max(late_us) AS max_disorder_us,
+        |  sum(late_us)::BIGINT AS total_disorder_us
+        |FROM y GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e01_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

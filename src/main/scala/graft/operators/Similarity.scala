@@ -250,6 +250,73 @@ object Similarity {
         col("cand_id"))
   }
 
+  /** Nearest-centroid column against FROZEN centroids (embedded as
+    * literals — pure map-side): argmax cosine via struct max, ties
+    * toward the smaller cell id. */
+  private def nearestCellCol(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, typedLit(c)).as("sim"), lit(-i).as("negCell"))
+    }
+    (-array_max(array(scored: _*)).getField("negCell")).as("cell")
+  }
+
+  /** Assign every row to its nearest frozen centroid — the maintenance
+    * half of an IVF index: assignment is a per-row map (no shuffle, no
+    * corpus rescan), so new vectors fold into a stored index batch by
+    * batch ([[graft.streaming.Streams.incrementalIvfIndex]]). */
+  def assignCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "assignCells needs at least one centroid")
+    df.select(col(idCol), nearestCellCol(col(vecCol), centroids))
+  }
+
+  /** The trained coarse centroids themselves (the same deterministic
+    * seeded Lloyd loop [[kmeansCells]] runs), exposed so a quantizer
+    * can be FROZEN and reused across incremental index maintenance —
+    * retraining is a separate offline decision, as in production ANN
+    * services. Driver state is k·dim doubles; per-iteration work is
+    * one distributed assignment + mean pass. */
+  def trainCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIter: Int = 10,
+      seed: Long = 42L): Seq[Seq[Double]] = {
+    require(k > 0, s"k must be positive: $k")
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // seeded deterministic init: k hash-ordered rows
+    var centroids: Array[Seq[Double]] = v
+      .orderBy(xxhash64(col("__id"), lit(seed)), col("__id")).limit(k)
+      .select(transform(col("__v"), _.cast("double")).as("c"))
+      .collect().map(_.getSeq[Double](0))
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val means = v
+        .select(col("__v"), nearestCellCol(col("__v"), centroids.toSeq))
+        .select(col("cell"), posexplode(col("__v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      val next = centroids.zipWithIndex.map { case (old, i) =>
+        means.getOrElse(i, old) // empty cell keeps its centroid
+      }
+      moved = centroids.zip(next).exists { case (a, b) =>
+        a.zip(b).exists { case (x, y) => math.abs(x - y) > 1e-12 }
+      }
+      centroids = next
+      iter += 1
+    }
+    centroids.toSeq
+  }
+
   /** K-means cell assignment — trains the IVF coarse codebook when no
     * natural partition column exists (a real IVF index quantizes; it
     * doesn't assume labels).
@@ -277,45 +344,9 @@ object Similarity {
       vecCol: String,
       k: Int,
       maxIter: Int = 10,
-      seed: Long = 42L): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
-    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    // seeded deterministic init: k hash-ordered rows
-    var centroids: Array[Seq[Double]] = v
-      .orderBy(xxhash64(col("__id"), lit(seed)), col("__id")).limit(k)
-      .select(transform(col("__v"), _.cast("double")).as("c"))
-      .collect().map(_.getSeq[Double](0))
-    def assignCol: Column = {
-      // argmax cosine via struct max: (sim, -cell) orders ties toward
-      // the smaller cell id
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        struct(cosine(col("__v"), typedLit(c)).as("sim"),
-          lit(-i).as("negCell"))
-      }
-      (-array_max(array(scored: _*)).getField("negCell")).as("cell")
-    }
-    var iter = 0
-    var moved = true
-    while (iter < maxIter && moved) {
-      val means = v.select(col("__v"), assignCol)
-        .select(col("cell"), posexplode(col("__v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      val next = centroids.zipWithIndex.map { case (old, i) =>
-        means.getOrElse(i, old) // empty cell keeps its centroid
-      }
-      moved = centroids.zip(next).exists { case (a, b) =>
-        a.zip(b).exists { case (x, y) => math.abs(x - y) > 1e-12 }
-      }
-      centroids = next
-      iter += 1
-    }
-    v.select(col("__id").as(idCol), assignCol)
-  }
+      seed: Long = 42L): DataFrame =
+    assignCells(df, idCol, vecCol,
+      trainCentroids(df, idCol, vecCol, k, maxIter, seed))
 
   /** Integer dot product over int8-quantized vectors
     * ([[graft.plans.ByteDot]]): all-integer multiply-accumulate in

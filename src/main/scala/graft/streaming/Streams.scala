@@ -412,6 +412,85 @@ object Streams {
       .orderBy("bg")
   }
 
+  /** p05: incremental ANN-index maintenance — the coarse quantizer is
+    * FROZEN (trained once on the base corpus — the "yesterday's
+    * index" regime) and each micro-batch of new vectors is assigned
+    * to its nearest cell MAP-SIDE
+    * ([[graft.operators.Similarity.assignCells]]: broadcast-literal
+    * centroids, codegen cosine, no shuffle) and folded into the
+    * stored (vec_id, cell) index via versioned dirs + atomic pointer
+    * (as e14/p03/p04). Assignment against frozen centroids is a pure
+    * per-row function, so the maintained index EQUALS the batch-built
+    * index over the same rows under ANY micro-batch chunking (replay
+    * spec in IncrementalStreamSpec) and maintenance cost is O(batch),
+    * never O(corpus) — at 100 TB the index rebuild is the cost being
+    * amortized. Re-TRAINING the quantizer on drift is a separate
+    * offline decision, exactly as in production ANN serving. The
+    * min(cell) merge makes replayed ids idempotent (assignment is
+    * deterministic, so min = the value). */
+  def incrementalIvfIndex(
+      stream: DataFrame,
+      centroids: Seq[Seq[Double]],
+      base: String): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val assigned = graft.operators.Similarity
+          .assignCells(batch.toDF(), "vec_id", "embedding", centroids)
+        val merged = readPtr() match {
+          case None => assigned
+          case Some(p) =>
+            spark.read.parquet(p).unionByName(assigned)
+              .groupBy("vec_id").agg(min(col("cell")).as("cell"))
+        }
+        val out = s"$base/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        val tmp = java.nio.file.Files.createTempFile(
+          latestFile.getParent, "_latest", ".tmp")
+        java.nio.file.Files.writeString(tmp, out)
+        java.nio.file.Files.move(tmp, latestFile,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p05_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(snap)
+  }
+
+  /** [[incrementalIvfIndex]] over the embeddings table: quantizer
+    * trained on the batch corpus, index maintained over the same rows
+    * streamed — output is the (vec_id, cell) index plus per-cell
+    * occupancy, which must equal the batch kmeansCells assignment. */
+  def streamingIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p05").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.operators.Similarity
+      .trainCentroids(emb, "vec_id", "embedding", 10)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val idx = withStreamPartitions(spark, 8) {
+      incrementalIvfIndex(stream, cents, base)
+    }
+    val occ = idx.groupBy("cell").agg(count(lit(1)).as("cell_size"))
+    idx.join(occ, "cell")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("cell_size"))
+      .orderBy("vec_id")
+  }
+
   /** [[upsertLatestOf]] over the events table: the maintained
     * snapshot is the latest event per user. */
   def streamingUpsertLatest(spark: SparkSession, dir: String): DataFrame = {

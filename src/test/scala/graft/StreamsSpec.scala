@@ -177,4 +177,39 @@ class StreamsSpec extends SparkSuite {
       .map(_.getName).filter(_.startsWith("v"))
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
+
+  test("incremental IVF index: multi-batch fold equals batch assignment") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // quantizer frozen on the full corpus; the stream then delivers
+    // the same rows in an arbitrary 3-way chunking — frozen-centroid
+    // assignment is per-row, so the maintained index must equal the
+    // batch build exactly, and re-delivered ids must stay idempotent
+    val cents = graft.operators.Similarity
+      .trainCentroids(emb, "vec_id", "embedding", 10)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p05_src").toString
+    emb.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p05_spec").toString
+    val got = graft.streaming.Streams
+      .incrementalIvfIndex(stream, cents, base)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val expect = graft.operators.Similarity
+      .assignCells(emb, "vec_id", "embedding", cents)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(got == expect)
+    // and the frozen-quantizer batch assignment IS kmeansCells' output
+    val km = graft.operators.Similarity
+      .kmeansCells(emb, "vec_id", "embedding", 10)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(got == km)
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+  }
 }
