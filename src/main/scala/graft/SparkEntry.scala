@@ -1286,6 +1286,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** d13: asymmetric containment verify
+    * ([[Dedup.containmentOnPairs]], bigram shingles) — the
+    * quote-expansion/boilerplate-wrap dedup class Jaccard misses;
+    * consecutive-id pairs keep the verification oracle-exact. */
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = docs.select(col("doc_id").as("a_id"))
+      .withColumn("b_id", col("a_id") + 1)
+      .join(docs.select(col("doc_id").as("b_id")), "b_id")
+    Dedup.containmentOnPairs(pairs, docs, col("doc_id"), col("text"))
+      .select("a_id", "b_id", "n_a", "n_inter", "containment")
+      .orderBy("a_id")
+  }
+
   /** d04: 64-bit SimHash signatures + banding chunks — rows-only
     * oracle (xxhash64-based). */
   private def d04(s: SparkSession, dir: String): DataFrame =
@@ -1744,6 +1758,23 @@ object SparkEntry {
   private def p04(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingLmModel(s, dir)
 
+  /** m04: modality-mixture report — the multimodal twin of t10's
+    * source mixture: per stub-decoded modality (first payload byte
+    * stands in for the container magic a real decoder reads), item
+    * counts and byte budgets. One scan + one tiny hash-agg; the
+    * report drives modality sampling weights exactly as t10 drives
+    * source weights. */
+  private def m04(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(T(s, dir, "documents"), "doc_id", "text")
+      .withColumn("modality",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (((col("width") - 256) % 3) + 1).cast("int")))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        trunc4(avg(col("n_bytes"))).as("avg_bytes"))
+      .orderBy("modality")
+
   /** p05: incremental ANN-index maintenance — frozen coarse
     * quantizer, map-side cell assignment folded over an embedding
     * stream ([[graft.streaming.Streams.incrementalIvfIndex]]); the
@@ -1863,6 +1894,7 @@ object SparkEntry {
     "d10_decontaminate" -> (d10 _),
     "d11_embedding_cluster_dedup" -> (d11 _),
     "d12_dup_clusters" -> (d12 _),
+    "d13_containment" -> (d13 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
@@ -1898,6 +1930,7 @@ object SparkEntry {
     "p05_incremental_ann" -> (p05 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
+    "m04_modality_mixture" -> (m04 _),
     "m02_frame_sample" -> (m02 _)
   )
 
@@ -2605,6 +2638,33 @@ object SparkEntry {
         |    len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY a_id""".stripMargin,
+    "d13_containment" ->
+      // bigram shingles: tk[i:i+1] is DuckDB's INCLUSIVE 1-based
+      // slice = elements i, i+1 — same pair wordNgrams(toks, 2) joins
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 1, 0)),
+        |    i -> array_to_string(tk[i:i+1], ' '))) AS bg
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |    FROM documents))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(a.bg)::BIGINT AS n_a,
+        |  len(list_intersect(a.bg, b.bg))::BIGINT AS n_inter,
+        |  CASE WHEN len(a.bg) > 0 THEN
+        |    round(len(list_intersect(a.bg, b.bg)) / len(a.bg), 4)
+        |  END AS containment
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a_id""".stripMargin,
+    "m04_modality_mixture" ->
+      // ascii(first char) = first payload byte on the pure-ASCII
+      // corpus (same trick as m03); modality = byte % 3
+      """WITH m AS (SELECT doc_id, length(text)::BIGINT AS n_bytes,
+        |    ascii(substr(text, 1, 1)) % 3 AS mi FROM documents)
+        |SELECT CASE mi WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  count(*) AS n_items, sum(n_bytes)::BIGINT AS total_bytes,
+        |  floor(avg(n_bytes) * 10000) / 10000 AS avg_bytes
+        |FROM m GROUP BY 1 ORDER BY modality""".stripMargin,
     "m03_chunk_payload" ->
       // same offset arithmetic as chunkPayload; pure-ASCII corpus
       // makes char i = byte i, so ascii() reads the byte values

@@ -246,6 +246,35 @@ object Dedup {
       .drop("ta", "tb")
   }
 
+  /** ASYMMETRIC containment verify on candidate pairs:
+    * |ngrams(A) ∩ ngrams(B)| / |ngrams(A)| — how much of A sits inside
+    * B. Catches the dedup class symmetric Jaccard structurally misses:
+    * a short doc fully quoted inside a long one (boilerplate wrap,
+    * quote expansion, header/footer framing) has Jaccard ≈ |A|/|B| → 0
+    * but containment 1.0. Same join shape as [[jaccardOnPairs]]
+    * (verification is pair-bounded, never all-pairs); docs with fewer
+    * than `ngram` tokens have no shingles → containment NULL. */
+  def containmentOnPairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      ngram: Int = 2): DataFrame = {
+    val toks =
+      if (ngram <= 1) array_distinct(TextFns.tokensLower(textCol))
+      else array_distinct(TextFns.wordNgrams(TextFns.tokensLower(textCol), ngram))
+    val t = docs.select(idCol.as("doc_id"), toks.as("toks"))
+    pairs
+      .join(t.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
+      .withColumn("n_a", size(col("ta")).cast("long"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("containment",
+        when(col("n_a") > 0, round(col("n_inter") / col("n_a"), 4)))
+      .drop("ta", "tb")
+  }
+
   /** Resolve near-dup candidate pairs into clusters: every doc maps
     * to the smallest id reachable through the pair graph (connected
     * components). Min-label message passing with pointer doubling,

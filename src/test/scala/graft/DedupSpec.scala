@@ -187,4 +187,29 @@ class DedupSpec extends SparkSuite {
     info(s"decontaminate: $hits/$total corpus docs contaminated")
     assert(total == docs.filter(col("doc_id") % 20 =!= 0).count())
   }
+
+  test("containment finds a doc quoted inside a longer one where Jaccard fails") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words then alpha beta gamma delta and then " +
+        "much more unrelated framing text around the quoted core"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val c = Dedup.containmentOnPairs(pairs, docs, col("doc_id"), col("text"))
+      .head.getAs[Double]("containment")
+    assert(c == 1.0, s"full quote not detected: containment=$c")
+    val j = Dedup.jaccardOnPairs(pairs, docs, col("doc_id"), col("text"),
+        ngram = 2).head.getAs[Double]("jaccard")
+    assert(j < 0.5, s"Jaccard unexpectedly high ($j) — test not discriminating")
+  }
+
+  test("containment is NULL when the left doc has no shingles") {
+    import spark.implicits._
+    val docs = Seq((1L, "single"), (2L, "two tokens here"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val r = Dedup.containmentOnPairs(pairs, docs, col("doc_id"), col("text")).head
+    assert(r.isNullAt(r.fieldIndex("containment")))
+  }
 }
