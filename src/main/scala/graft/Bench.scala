@@ -12,7 +12,7 @@ object Bench {
     "a01_approx_sketch", "a03_heavy_hitters", "a05_quantile_rollup",
     "d01_exact_dedup", "d02_minhash_pairs", "d05_embedding_neardup",
     "d06_neardup_pipeline", "d07_embedding_neardup_lsh", "d10_decontaminate",
-    "d11_embedding_cluster_dedup", "d12_dup_clusters",
+    "d11_embedding_cluster_dedup", "d12_dup_clusters", "d13_containment",
     "e01_sessionize", "e03_asof_join", "e07_asof_native",
     "e09_stream_stream_join", "e12_incremental_rollup", "e13_range_join",
     "e18_disorder_audit", "p05_incremental_ann",
