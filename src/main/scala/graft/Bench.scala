@@ -10,6 +10,7 @@ object Bench {
     */
   private val headline: Set[String] = Set(
     "a01_approx_sketch", "a03_heavy_hitters", "a05_quantile_rollup",
+    "a07_cms_rollup",
     "d01_exact_dedup", "d02_minhash_pairs", "d05_embedding_neardup",
     "d06_neardup_pipeline", "d07_embedding_neardup_lsh", "d10_decontaminate",
     "d11_embedding_cluster_dedup", "d12_dup_clusters", "d13_containment",

@@ -793,6 +793,32 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** a07: STORED count-min frequency rollup — the frequency member of
+    * the stored-sketch family: per-day CMS of user activity
+    * ([[graft.operators.Sketches.cmsSketch]]), merged across the full
+    * range by counter linearity ([[Sketches.cmsMerge]] — byte-
+    * identical to a one-shot build, spec-pinned), probed map-side via
+    * the codegen [[graft.plans.CmsEstimate]]. Answers "how often did
+    * key X appear over any day range" without rescanning a single
+    * day. Rows-only oracle; never-undercount + error-bound +
+    * split-merge specs in SketchSpec. */
+  private def a07(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val merged = T(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(graft.operators.Sketches
+        .cmsSketch(col("user_id").cast("long")).as("cms"))
+      .agg(graft.operators.Sketches.cmsMerge(col("cms")).as("m"))
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(merged.head.getAs[Array[Byte]](0))
+    T(s, dir, "customer").select(col("c_custkey"))
+      .filter(col("c_custkey") < 50)
+      .withColumn("est_events",
+        GraftBridge.column(graft.plans.CmsEstimate(
+          GraftBridge.expression(col("c_custkey").cast("long")), cms)))
+      .orderBy("c_custkey")
+  }
+
   /** m03: overlapping payload chunking ([[Multimodal.chunkPayload]],
     * window 256 / stride 128) — the audio-segmentation shape with
     * VARIABLE per-row expansion (vs m02's fixed k), streamed through
@@ -1864,6 +1890,7 @@ object SparkEntry {
     "a04_kmv_set_algebra" -> (a04 _),
     "a05_quantile_rollup" -> (a05 _),
     "a06_bloom_rollup" -> (a06 _),
+    "a07_cms_rollup" -> (a07 _),
     "a01_approx_sketch" -> (a01 _),
     "n01_clean_text" -> (n01 _),
     "n02_state_zip" -> (n02 _),

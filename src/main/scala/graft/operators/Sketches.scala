@@ -113,6 +113,28 @@ object Sketches {
         .toAggregateExpression())
   }
 
+  /** Count-min frequency sketch of a long-key column as a STORED
+    * binary ([[graft.plans.CmsSketchAgg]]): point-frequency estimates
+    * that never undercount, mergeable by counter linearity. */
+  def cmsSketch(key: Column, eps: Double = 0.001,
+      confidence: Double = 0.99): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.CmsSketchAgg(GraftBridge.expression(key), eps, confidence)
+        .toAggregateExpression())
+  }
+
+  /** Merge stored count-min sketch binaries
+    * ([[graft.plans.CmsMergeAgg]]); parameters must match the build
+    * side — merged counters are byte-identical to a one-shot build. */
+  def cmsMerge(sketch: Column, eps: Double = 0.001,
+      confidence: Double = 0.99): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.CmsMergeAgg(GraftBridge.expression(sketch), eps, confidence)
+        .toAggregateExpression())
+  }
+
   /** EXACT top-k heavy hitters without a full-cardinality groupBy:
     * pass 1 aggregates an m-counter Misra–Gries summary (bounded
     * state, map-side partials — the shuffle is m rows, not one per

@@ -195,6 +195,36 @@ class SketchSpec extends SparkSuite {
     assert(fp <= 0.05, s"FPR too high: $fp")
   }
 
+  test("CMS rollup: merged = one-shot bytes; never undercounts; error bounded") {
+    import graft.operators.Sketches
+    import org.apache.spark.util.sketch.CountMinSketch
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id").cast("long").as("u"),
+        date_trunc("day", col("ts")).as("day"))
+    // counter linearity: merged per-day sketches must serialize
+    // byte-identically to one sketch built over all days
+    val mergedBytes = ev.groupBy("day")
+      .agg(Sketches.cmsSketch(col("u")).as("cms"))
+      .agg(Sketches.cmsMerge(col("cms")).as("m"))
+      .head.getAs[Array[Byte]](0)
+    val oneShotBytes = ev
+      .agg(Sketches.cmsSketch(col("u")).as("cms"))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(mergedBytes, oneShotBytes),
+      "merged per-day sketches differ from the one-shot build")
+    val cms = CountMinSketch.readFrom(mergedBytes)
+    val exact = ev.groupBy("u").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    exact.foreach { case (u, n) =>
+      val est = cms.estimateCount(java.lang.Long.valueOf(u))
+      assert(est >= n, s"CMS undercounted user $u: $est < $n")
+      // eps = 0.001 → overestimate ≤ eps·N whp; 3× slack for the tail
+      assert(est - n <= math.max(3, 0.003 * total),
+        s"CMS overestimate too large for $u: $est vs $n (N=$total)")
+    }
+  }
+
   test("sketches reject non-positive state sizes at construction") {
     // k=0 / m=0 used to surface as a NoSuchElementException deep in an
     // executor task (buf.last on an empty TreeSet); fail fast instead
