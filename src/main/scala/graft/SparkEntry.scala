@@ -656,6 +656,31 @@ object SparkEntry {
         date_format(col("b.o_orderdate"), "yyyy-MM-dd").as("best_date"))
       .orderBy("o_custkey")
 
+  /** q43: key-skew profile — the measurement that decides when
+    * [[graft.operators.Scale.saltedJoin]] (and AQE skew-join tuning)
+    * is worth it: the top-20 hottest join keys with their absolute
+    * and cumulative share of the fact table. One hash-agg + top-N
+    * (TakeOrderedAndProject) + a one-row total broadcast; the
+    * cumulative window runs over the 20 surviving rows only — global
+    * by construction, never over the fact table. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val tot = ev.agg(count(lit(1)).as("t"))
+    val top = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(20)
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("pct", trunc4(col("n") / col("t")))
+      .withColumn("cum_pct", trunc4(
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) / col("t")))
+      .select("rank", "user_id", "n", "pct", "cum_pct")
+      .orderBy("rank")
+  }
+
   /** q34: the ranking-window family in one pass. Tie-sensitive
     * functions (rank / dense_rank / percent_rank / cume_dist) rank on
     * the date alone — ties are real and both engines must agree on
@@ -1877,6 +1902,7 @@ object SparkEntry {
     "q40_outlier_audit" -> (q40 _),
     "q41_hourly_dedup" -> (q41 _),
     "q42_canonical_record" -> (q42 _),
+    "q43_skew_profile" -> (q43 _),
     "t13_stopword_detect" -> (t13 _),
     "t14_train_split" -> (t14 _),
     "t15_grouped_sample" -> (t15 _),
@@ -2953,6 +2979,18 @@ object SparkEntry {
         |      o_orderkey DESC) AS rn
         |  FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q43_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM events),
+        |top AS (SELECT user_id, n FROM c
+        |  ORDER BY n DESC, user_id LIMIT 20),
+        |r AS (SELECT row_number() OVER (ORDER BY n DESC, user_id)
+        |    AS rank, user_id, n FROM top)
+        |SELECT r.rank, r.user_id, r.n,
+        |  floor(r.n / tot.t * 10000) / 10000 AS pct,
+        |  floor(sum(r.n) OVER (ORDER BY r.rank ROWS UNBOUNDED PRECEDING)
+        |    / tot.t * 10000) / 10000 AS cum_pct
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
     "p04_incremental_lm" ->
       // the batch-trained model: the incremental fold must reproduce
       // it exactly (bigram counts are a commutative monoid)

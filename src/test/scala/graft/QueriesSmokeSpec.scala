@@ -36,8 +36,10 @@ class QueriesSmokeSpec extends SparkSuite {
       // s09 is the inequality-join MIPS baseline (same shape as s01);
       // s10 cross-joins the ONE-row max-corpus-norm aggregate into the
       // augmentation map; t17 cross-joins the |classes|-row (=5) class
-      // totals over the vocab to build the bounded model matrix
-      "s09_mips_brute", "s10_mips_ann", "t17_lang_affinity")
+      // totals over the vocab to build the bounded model matrix; q43
+      // cross-joins the ONE-row total onto the 20 surviving top keys
+      "s09_mips_brute", "s10_mips_ann", "t17_lang_affinity",
+      "q43_skew_profile")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",
