@@ -297,6 +297,61 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("wordNgrams matches a JVM sliding-window model (300 random docs)") {
+    import graft.functions.TextFns
+    // random word-ish docs incl. empty / single-token / repeated-token
+    def doc(): String = (0 until rnd.nextInt(8))
+      .map(_ => Seq("aa", "bb", "cc", "dd")(rnd.nextInt(4))).mkString(" ")
+    val inputs = (0 until 300).map(_ => doc())
+    (2 to 3).foreach { n =>
+      val got = inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "x")
+        .select(col("id"),
+          TextFns.wordNgrams(TextFns.tokensLower(col("x")), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      inputs.zipWithIndex.foreach { case (s, i) =>
+        val toks = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+          .reverse.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).toSeq
+        val expect =
+          if (toks.size >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+          else Seq.empty
+        assert(got(i.toLong) == expect, s"n=$n mismatch for '$s'")
+      }
+    }
+  }
+
+  test("containment and jaccard on pairs match JVM set models (100 random pairs)") {
+    import graft.operators.Dedup
+    def doc(): String = (0 until rnd.nextInt(12))
+      .map(_ => Seq("w1", "w2", "w3", "w4", "w5")(rnd.nextInt(5)))
+      .mkString(" ")
+    val docs = (0 until 200).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+    val pairs = (0 until 100).map(i => (2L * i, 2L * i + 1)).toDF("a_id", "b_id")
+    def bigrams(s: String): Set[String] = {
+      val t = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+        .reverse.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).toSeq
+      if (t.size >= 2) t.sliding(2).map(_.mkString(" ")).toSet else Set.empty
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gotC = Dedup.containmentOnPairs(pairs, docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_inter")))
+      .toMap
+    val gotJ = Dedup.jaccardOnPairs(pairs, docs, col("doc_id"), col("text"),
+        ngram = 2)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        (r.getAs[Long]("n_inter"), r.getAs[Long]("n_union")))
+      .toMap
+    (0 until 100).foreach { i =>
+      val (a, b) = (2L * i, 2L * i + 1)
+      val (ba, bb) = (bigrams(texts(a)), bigrams(texts(b)))
+      assert(gotC((a, b)) == ((ba.size.toLong, (ba & bb).size.toLong)),
+        s"containment counts diverge for pair ($a,$b)")
+      assert(gotJ((a, b)) == (((ba & bb).size.toLong, (ba | bb).size.toLong)),
+        s"jaccard counts diverge for pair ($a,$b)")
+    }
+  }
+
   test("sort-based percentiles match Spark's percentile aggregate (random groups)") {
     val data = (0 until 12).flatMap { g =>
       val n = 1 + rnd.nextInt(50)
