@@ -1107,6 +1107,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** t18: n-gram NOVELTY score — per doc, the fraction of its
+    * distinct bigrams whose FIRST corpus occurrence (by doc_id) is in
+    * this doc: the contribution/diversity signal curation pipelines
+    * weigh against quality (a perfect-quality doc repeating known
+    * text adds nothing). First-seen is one min-agg over the bigram
+    * table (vocabulary-sized shuffle with map-side partials, never
+    * broadcast — t08's regime); scoring is one shuffle join back on
+    * the bigram key. Docs under 2 tokens have no bigrams and drop. */
+  private def t18(s: SparkSession, dir: String): DataFrame = {
+    val bg = T(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokensLower(col("text")).as("__tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.wordNgrams(col("__tk"), 2))).as("bg"))
+      .cache() // both the first-seen agg and the scoring join consume it
+    val first = bg.groupBy("bg").agg(min("doc_id").as("first_doc"))
+    bg.join(first, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty", trunc4(col("n_novel") / col("n_bigrams")))
+      .orderBy("doc_id")
+  }
+
   /** n08: Unicode NFC normalization ([[Normalize.nfc]], native
     * codegen expression) — a decomposed accent sequence (e +
     * combining acute) is injected into a deterministic subset (the
@@ -1908,6 +1932,7 @@ object SparkEntry {
     "t15_grouped_sample" -> (t15 _),
     "t16_sequence_pack" -> (t16 _),
     "t17_lang_affinity" -> (t17 _),
+    "t18_ngram_novelty" -> (t18 _),
     "t10_source_mixture" -> (t10 _),
     "t11_hashed_features" -> (t11 _),
     "t12_char_lm_score" -> (t12 _),
@@ -2552,6 +2577,21 @@ object SparkEntry {
         |      ORDER BY score DESC, m_lang) AS rn
         |  FROM sc)
         |SELECT doc_id, m_lang AS pred_lang, score FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "t18_ngram_novelty" ->
+      """WITH b AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 1, 0)),
+        |    i -> array_to_string(tk[i:i+1], ' ')))) AS bg
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |    FROM documents)),
+        |f AS (SELECT bg, min(doc_id) AS first_doc FROM b GROUP BY 1)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_novel,
+        |  floor(sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+        |    / count(*) * 10000) / 10000 AS novelty
+        |FROM b JOIN f USING (bg) GROUP BY b.doc_id
         |ORDER BY doc_id""".stripMargin,
     "n08_nfc_normalize" ->
       // chr(769) = the combining acute the Spark side injects as
