@@ -30,7 +30,8 @@ object Bench {
     "s09_mips_brute", "s10_mips_ann",
     "t01_token_stats", "t03_lang_id", "t07_repetition_signals",
     "t08_tfidf_keywords", "t12_char_lm_score", "t13_stopword_detect",
-    "t14_train_split", "t16_sequence_pack", "t17_lang_affinity")
+    "t14_train_split", "t16_sequence_pack", "t17_lang_affinity",
+    "t18_ngram_novelty", "q43_skew_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
