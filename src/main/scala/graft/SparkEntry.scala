@@ -915,6 +915,17 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** s11: exact Euclidean (L2) top-5 ([[Similarity.l2Knn]]) —
+    * completes the metric family (cosine s01, inner product s09);
+    * heap on negative squared distance, sqrt-free. Oracle: DuckDB
+    * list_distance window form. */
+  private def s11(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.l2Knn(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** a03: EXACT top-10 words via the Misra–Gries heavy-hitter
     * sketch + exact verify ([[graft.operators.Sketches]]): pass 1 is
     * a bounded-state aggregate (m counters, map-side partials — the
@@ -1983,6 +1994,7 @@ object SparkEntry {
     "s08_ivfpq_ann" -> (s08 _),
     "s09_mips_brute" -> (s09 _),
     "s10_mips_ann" -> (s10 _),
+    "s11_l2_knn" -> (s11 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_counts" -> (e02 _),
     "e03_asof_join" -> (e03 _),
@@ -2850,6 +2862,16 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_inner_product(q.v, c.v) DESC, c.vec_id)
         |      AS rank
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |    WHERE vec_id < 10) q
+        |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c
+        |    ON c.vec_id != q.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "s11_l2_knn" ->
+      """SELECT q_id, rank, cand_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_distance(q.v, c.v) ASC, c.vec_id) AS rank
         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |    WHERE vec_id < 10) q
         |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c

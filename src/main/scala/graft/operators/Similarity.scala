@@ -146,6 +146,34 @@ object Similarity {
         col("col.id").as("cand_id"))
   }
 
+  /** Exact Euclidean (L2) top-k — completes the metric family (cosine
+    * [[knnBruteAgg]], inner product [[mipsBruteAgg]]): the bounded
+    * heap ranks on NEGATIVE squared distance (monotone with distance;
+    * sqrt never computed). Left-to-right double accumulation of
+    * (a−b)² orders identically to DuckDB's list_distance — sqrt is
+    * monotone and tie-preserving — so the oracle hash-matches. Same
+    * scalable plan shape: queries broadcast, map-side k-row heaps. */
+  def l2Knn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val negD2 = -aggregate(
+      zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _)
+    c.join(q, col("cand_id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(topKAgg(negD2, col("cand_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cand_id"))
+  }
+
   /** Approximate MIPS via the norm-augmentation reduction to cosine
     * ANN (Bachrach et al., RecSys'14 / Shrivastava & Li, NIPS'14):
     * append sqrt(M² − ‖x‖²) to each corpus vector (M = max corpus

@@ -38,7 +38,7 @@ class QueriesSmokeSpec extends SparkSuite {
       // augmentation map; t17 cross-joins the |classes|-row (=5) class
       // totals over the vocab to build the bounded model matrix; q43
       // cross-joins the ONE-row total onto the 20 surviving top keys
-      "s09_mips_brute", "s10_mips_ann", "t17_lang_affinity",
+      "s09_mips_brute", "s10_mips_ann", "s11_l2_knn", "t17_lang_affinity",
       "q43_skew_profile")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
