@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout straight through (no sbt "[info] "
+// log decoration): the bench harness parses the LAST bare JSON line of
+// stdout, and six rounds of BENCH_rN carried an `[info] `-prefixed line
+// the parser rejected.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

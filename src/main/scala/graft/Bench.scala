@@ -97,8 +97,11 @@ object Bench {
       line = lineFor(keys)
     }
     // Stop Spark BEFORE printing so its shutdown chatter cannot land after
-    // the result line; the line must be the last thing on stdout.
-    spark.stop()
+    // the result line; the line must be the last thing on stdout. stop()
+    // failures (leaked streaming query, shutdown-hook error) must not eat
+    // the result line — all timings already succeeded at this point.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     println(line)
   }
 }

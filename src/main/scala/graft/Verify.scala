@@ -20,6 +20,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Isolate queries from each other (mirrors Bench): cached frames
+      // left behind by dedup/LM pipelines otherwise accumulate across
+      // all 127+ queries until block-manager eviction/GC churn taxes
+      // whichever query runs next.
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -297,61 +297,113 @@ object Dedup {
     *      non-increasing, the correctness invariant below),
     *  (b) every graph neighbor's label (one join against the edge
     *      list), and
-    *  (c) its label's label (pointer doubling — labels ⋈ labels —
-    *      which collapses already-labeled regions in one hop and
-    *      bounds pathological chains to O(log diameter) rounds).
+    *  (c) its label's label, applied THREE times per round (pointer
+    *      doubling — labels ⋈ labels — which collapses already-labeled
+    *      regions in one hop; chaining extra doubling steps inside the
+    *      round multiplies the path-compression exponent, so
+    *      adversarial consecutive-id chains converge in ~⅓ the rounds
+    *      for two extra label-sized shuffle stages — stages inside an
+    *      existing job are far cheaper than extra rounds, each of
+    *      which pays job scheduling plus a full edge join).
     *
     * Scale posture: the symmetric edge list — the one table that is
     * large — is hash-partitioned by sender and cached ONCE; the
     * per-round join re-uses that partitioning, so each round shuffles
-    * only label-sized data (2 small exchanges), never the edges.
-    * `localCheckpoint` truncates the growing lineage each round.
-    * Convergence is one tiny aggregate on the checkpointed labels:
-    * labels only ever decrease, so an unchanged label sum (exact
-    * decimal — no overflow) ⟺ fixpoint.
+    * only label-sized data, never the edges. Each round runs exactly
+    * ONE Spark job: the round-start label rides through the round's
+    * aggregate (tagged self message), so the single action that
+    * materializes the round's cache also answers convergence — labels
+    * only ever decrease, so "no row decreased" ⟺ fixpoint; there is
+    * no separate convergence pass (at local scale the per-JOB fixed
+    * cost of scheduling + materialization is what dominates this
+    * loop, so the knobs are rounds and jobs-per-round, not stages).
+    * The pointer chain joins only ever touch the PREVIOUS round's
+    * materialized label map — cheap in-memory scans, never a
+    * recompute of the edge join — and lineage is truncated each round
+    * by re-wrapping the cached RDD in a fresh one-node LogicalRDD
+    * plan (labels appear ~4× in the next round's tree; without
+    * truncation the logical plan grows exponentially in rounds).
     *
     * Output: (doc_id, leader_id) for every doc appearing in pairs;
     * keep rows where doc_id == leader_id, drop the rest. */
-  def clusterLeaders(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def clusterLeaders(
+      pairs: DataFrame,
+      maxIter: Int = 50,
+      maxChainHops: Int = 8): DataFrame = {
     // symmetric (receiver, sender) edges: recv adopts labels[send]
     val edges = pairs
       .select(col("a_id").as("recv"), col("b_id").as("send"))
       .union(pairs.select(col("b_id").as("recv"), col("a_id").as("send")))
       .repartition(col("send"))
       .cache()
-    var labels = edges
+    val idType = pairs.schema("a_id").dataType
+    // truncate lineage: a one-node LogicalRDD plan over the cached rows
+    def rewrap(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftBridge.rewrapInternal(
+        df.select(col("doc_id"), col("leader_id")))
+    // round 0: min(self, neighbors), materialized with its own job
+    val init = edges
       .groupBy(col("recv").as("doc_id"))
       .agg(min(col("send")).as("__mn"))
       .select(col("doc_id"),
         least(col("__mn"), col("doc_id")).as("leader_id"))
-      .localCheckpoint()
-    def labelSum(l: DataFrame): java.math.BigDecimal = {
-      val d = l.agg(sum(col("leader_id").cast("decimal(38,0)"))).head()
-      if (d.isNullAt(0)) java.math.BigDecimal.ZERO else d.getDecimal(0)
-    }
-    var prevSum = labelSum(labels)
+      .cache()
+    init.count()
+    var labels = rewrap(init)
+    var prevCache: DataFrame = init
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
+      val roundT0 = System.nanoTime()
       val bySender = labels
         .select(col("doc_id").as("send"), col("leader_id").as("lbl"))
       // (b) neighbor labels — the only join that touches the edges,
       // and it reuses their cached sender-partitioning
       val nbr = edges.join(bySender, Seq("send"))
-        .select(col("recv").as("doc_id"), col("lbl"))
-      // (c) pointer doubling: doc adopts labels[labels[doc]]
-      val dbl = labels
-        .join(bySender, labels("leader_id") === bySender("send"))
-        .select(labels("doc_id"), col("lbl"))
-      // (a) self message keeps monotonicity (and isolated rows alive)
-      val self = labels.select(col("doc_id"), col("leader_id").as("lbl"))
-      val next = nbr.union(dbl).union(self)
-        .groupBy(col("doc_id")).agg(min(col("lbl")).as("leader_id"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+        .select(col("recv").as("doc_id"), col("lbl"),
+          lit(null).cast(idType).as("own"))
+      // (c) pointer chain: doc adopts labels^(hops+1)[doc] — each hop
+      // is one label-sized join against the PREVIOUS round's
+      // materialized map (left + coalesce: every label value is a
+      // member doc id, but stay total under any caller-supplied
+      // graph). Hops grow geometrically with the round index: typical
+      // shallow near-dup graphs converge in 2-3 rounds paying only
+      // 1-2 extra label-sized joins, while adversarial
+      // consecutive-id chains (which are what force many rounds) get
+      // a compounding path-compression exponent — and rounds, not
+      // stages, are the dominant cost of this loop.
+      val hops = math.min(2 << i, maxChainHops)
+      // (a) the chase starts from the node's own round-start label and
+      // only ever decreases, so it doubles as the self message (keeps
+      // monotonicity and isolated rows alive) and carries the
+      // round-start label (exactly one `own` row per doc) so
+      // convergence falls out of the same aggregate
+      var chase = labels.select(col("doc_id"), col("leader_id").as("lbl"),
+        col("leader_id").as("own"))
+      (0 until hops).foreach { _ =>
+        val m = labels
+          .select(col("doc_id").as("__s"), col("leader_id").as("__l2"))
+        chase = chase.join(m, chase("lbl") === m("__s"), "left")
+          .select(chase("doc_id"),
+            least(chase("lbl"), coalesce(col("__l2"), chase("lbl")))
+              .as("lbl"),
+            chase("own"))
+      }
+      val cand = nbr.union(chase)
+        .groupBy(col("doc_id"))
+        .agg(min(col("lbl")).as("leader_id"), min(col("own")).as("old_label"))
+        .cache()
+      // the ONE action of the round: populates cand's cache AND returns
+      // whether any label decreased (false ⟺ fixpoint)
+      val row = cand
+        .agg(max(col("leader_id") < col("old_label")).as("changed")).head()
+      converged = row.isNullAt(0) || !row.getBoolean(0)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round=$i hops=$hops converged=$converged" +
+          f" t=${(System.nanoTime() - roundT0) / 1e9}%.2fs")
+      labels = rewrap(cand)
+      prevCache.unpersist(blocking = false)
+      prevCache = cand
       i += 1
     }
     edges.unpersist(blocking = false)

@@ -20,4 +20,20 @@ object GraftBridge {
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-wrap a DataFrame as a one-node LogicalRDD plan over its own
+    * (lazy) internal-row RDD — the lineage-truncation half of
+    * `localCheckpoint`, without the eager materialization job and
+    * without `df.rdd`'s InternalRow↔Row round-trip. Unlike
+    * `createDataFrame(df.rdd, schema)`, `LogicalRDD.fromDataset`
+    * also carries the origin's statistics forward, so joins against
+    * the wrapped frame can still plan broadcast when it is small.
+    * Used by iterative drivers (connected components) that must stop
+    * the logical plan growing across rounds. */
+  def rewrapInternal(df: Dataset[Row]): DataFrame = {
+    val cd = df.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(cd.sparkSession,
+      execution.LogicalRDD.fromDataset(
+        cd.queryExecution.toRdd, cd, isStreaming = false))
+  }
 }
