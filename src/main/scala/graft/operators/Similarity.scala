@@ -611,11 +611,12 @@ object Similarity {
     * than raw vectors.
     *
     * Index: assign each corpus vector to its cell; store cell id +
-    * `numSub` byte codes over the residual + one exact float norm.
+    * `numSub` byte codes over the residual (against the cell's OWN
+    * codebooks — trained per cell, falling back to global books for
+    * undersampled cells) + one exact float norm.
     * Query: rank cells by centroid cosine, probe the top `nprobe`;
-    * per query ONE set of ADC tables (dot(q_s, c_j) decomposes over
-    * the query's own subvectors, so tables are cell-independent) and
-    * per probed cell one scalar `q·centroid`. Approx dot =
+    * per (query, probed cell) one set of ADC tables against that
+    * cell's books and one scalar `q·centroid`. Approx dot =
     * q·centroid + Σ_s table_s[code_s]; approx cosine divides by the
     * stored exact norm. The probe join is a hash equi-join on cell —
     * a probe touches nprobe/numCells of the index, and the ADC state
@@ -656,35 +657,72 @@ object Similarity {
         zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
           (a, b) => a - b).as("__res"))
       .cache()
-    // ---- PQ codebooks Lloyd-trained on a bounded residual sample
-    val sample = withRes
+    // ---- PQ codebooks Lloyd-trained PER CELL on bounded residual
+    // samples (Jégou et al. §IV: "local" codebooks per Voronoi cell):
+    // residual distributions differ across cells, so per-cell books
+    // quantize finer at the same budget than one global set. Cells
+    // whose sample cannot support codebookK centers fall back to
+    // global books trained on the pooled sample (also what keeps tiny
+    // corpora working). The books travel as a broadcast-JOINED table
+    // keyed by cell — bounded driver/broadcast state
+    // (numCells × numSub × codebookK × subDim doubles), and unlike a
+    // plan literal it scales to large cell counts without bloating
+    // the plan. The per-row books array in the encode projection is
+    // map-side-transient: dropped before any shuffle.
+    val perCellN = math.max(codebookK * 2, sampleN / numCells)
+    val ws = Window.partitionBy(col("cell"))
       .orderBy(xxhash64(col("cand_id"), lit(seed + 1)), col("cand_id"))
-      .limit(sampleN)
-      .select(col("__res")).collect().map(_.getSeq[Double](0).toArray)
-    require(sample.length >= codebookK,
-      s"residual sample ${sample.length} < codebookK $codebookK")
-    val books: Array[Array[Array[Double]]] = (0 until numSub).map { s =>
-      lloydEuclid(
-        sample.map(_.slice(s * subDim, (s + 1) * subDim)),
-        codebookK, trainIters)
-    }.toArray
-    val bookNormSq: Array[Array[Double]] =
-      books.map(_.map(c => c.map(x => x * x).sum))
-    // ---- encode: argmin-L2 residual codes (looped literal codebook,
-    // as in pqKnn — unrolled struct argmax blows janino limits) +
-    // the exact vector norm (one float; IP/cosine IVF-PQ keeps it)
+    val sampleRows = withRes
+      .withColumn("__rn", row_number().over(ws))
+      .filter(col("__rn") <= perCellN)
+      .select(col("cell"), col("__res"))
+      .collect()
+    val pooled = sampleRows.map(_.getSeq[Double](1).toArray)
+    require(pooled.length >= codebookK,
+      s"residual sample ${pooled.length} < codebookK $codebookK")
+    def trainBooks(rs: Array[Array[Double]]): Array[Array[Array[Double]]] =
+      (0 until numSub).map { s =>
+        lloydEuclid(rs.map(_.slice(s * subDim, (s + 1) * subDim)),
+          codebookK, trainIters)
+      }.toArray
+    val globalBooks = trainBooks(pooled)
+    // per-cell Lloyd runs are independent — train them concurrently on
+    // the driver (numCells × numSub small k-means fits; serial, this
+    // dominates index build time)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val booksRows: Seq[(Int, Seq[Seq[(Seq[Double], Double)]])] =
+      Await.result(
+        Future.traverse(sampleRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)) {
+          case (c, rows) => Future {
+            val rs = rows.map(_.getSeq[Double](1).toArray)
+            val bks =
+              if (rs.length >= codebookK) trainBooks(rs) else globalBooks
+            (c, bks.toSeq.map(_.toSeq.map(cent =>
+              (cent.toSeq, cent.map(x => x * x).sum))))
+          }
+        }, Duration.Inf)
+    val session = corpus.sparkSession
+    import session.implicits._
+    val booksDf = broadcast(booksRows.toDF("cell", "__books"))
+    // ---- encode: argmin-L2 residual codes against the OWN cell's
+    // books (codegen transform loop, as in pqKnn — unrolled struct
+    // argmax blows janino limits) + the exact vector norm (one float;
+    // IP/cosine IVF-PQ keeps it)
+    // subvectors projected BEFORE the books join: the wide per-cell
+    // books column then flows through exactly one projection (the
+    // scoring select drops it) instead of being row-copied twice
     val withSubs = withRes.select(
       (col("cell") +: col("cand_id") +: col("cv") +:
         l2norm(transform(col("cv"), _.cast("double"))).as("__cnorm") +:
         (0 until numSub).map(s =>
           slice(col("__res"), s * subDim + 1, subDim).as(s"__s$s"))): _*)
+      .join(booksDf, Seq("cell"))
     val withScores = withSubs.select(
       (col("cell") +: col("cand_id") +: col("cv") +: col("__cnorm") +:
         (0 until numSub).map { s =>
-          val packed = typedLit(books(s).zipWithIndex.map { case (c, j) =>
-            (c.toSeq, bookNormSq(s)(j))
-          }.toSeq)
-          transform(packed, e =>
+          transform(element_at(col("__books"), s + 1), e =>
             dotNative(col(s"__s$s"), e.getField("_1")) -
               e.getField("_2") / 2).as(s"__sc$s")
         }): _*)
@@ -705,17 +743,21 @@ object Similarity {
       .select(col("q_id"), col("qv"), col("cell"),
         dotNative(transform(col("qv"), _.cast("double")), col("centroid"))
           .as("__qdotc"))
-    val qd = probed
+    val qd = probed.join(booksDf, Seq("cell"))
       .select((col("q_id") +: col("qv") +: col("cell") +: col("__qdotc") +:
+        col("__books") +:
         l2norm(transform(col("qv"), _.cast("double"))).as("__qnorm") +:
         (0 until numSub).map(s =>
           slice(transform(col("qv"), _.cast("double")),
             s * subDim + 1, subDim).as(s"__qs$s"))): _*)
+      // per-(query, probed-cell) ADC tables against THAT cell's books
+      // — dot(q_s, c_j) no longer decomposes cell-independently once
+      // books are local, so tables live on the (q, cell) probe row
       .select((col("q_id") +: col("cell") +: col("__qdotc") +:
         col("__qnorm") +:
         (0 until numSub).map { s =>
-          transform(typedLit(books(s).map(_.toSeq).toSeq),
-            c => dotNative(col(s"__qs$s"), c)).as(s"__t$s")
+          transform(element_at(col("__books"), s + 1),
+            e => dotNative(col(s"__qs$s"), e.getField("_1"))).as(s"__t$s")
         }): _*)
     val approx = (col("__qdotc") +
       (0 until numSub).map(s =>

@@ -102,7 +102,9 @@ class SimilaritySpec extends SparkSuite {
       emb, queries, "vec_id", "embedding", 5, numCells = 10, nprobe = 5))
     val recall = (run1 intersect brute).size.toDouble / brute.size
     info(s"IVF-PQ recall@5 (10 cells, nprobe=5, 8x32 residual PQ) = $recall")
-    assert(recall >= 0.6, s"IVF-PQ recall too low: $recall")
+    // floor raised 0.6 -> 0.7 when the residual books went per-cell
+    // (same probe budget; measured 0.8 on the seeded fixture)
+    assert(recall >= 0.7, s"IVF-PQ recall too low: $recall")
     // trained index, but every stage is seeded/hash-ordered: rerun
     // must reproduce the exact same result set
     val run2 = resultSet(Similarity.ivfPqKnn(
