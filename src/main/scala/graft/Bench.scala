@@ -51,8 +51,16 @@ object Bench {
     // warmup: pay JVM/codegen/session init outside the timings
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY=q22_json_struct,d12_dup_clusters runs just those
+    // keys — for isolating one query's cost from the full sweep. The
+    // BENCH_FULL.json dump is skipped in that mode so a filtered run can
+    // never masquerade as a full one.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // noop sink materializes every output column (count() would let
       // Catalyst prune the plan); first run pays codegen compilation,
       // second run is the steady-state measurement
@@ -80,8 +88,9 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_FULL.json"), fullLine + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_FULL.json"), fullLine + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     def lineFor(keys: Set[String]): String = {
       val qs = results.collect { case (k, v) if keys(k) => f""""$k":$v%.3f""" }
         .mkString("{", ",", "}")
