@@ -918,7 +918,7 @@ object SparkEntry {
   /** s11: exact Euclidean (L2) top-5 ([[Similarity.l2Knn]]) —
     * completes the metric family (cosine s01, inner product s09);
     * heap on negative squared distance, sqrt-free. Oracle: DuckDB
-    * list_distance window form. */
+    * squared-distance window form (sqrt-free on both sides). */
   private def s11(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     Similarity.l2Knn(emb, emb.filter(col("vec_id") < 10),
@@ -2868,10 +2868,16 @@ object SparkEntry {
         |    ON c.vec_id != q.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "s11_l2_knn" ->
+      // rank on the SQUARED distance (sum of squared element diffs),
+      // not list_distance: IEEE sqrt can round two distinct squared
+      // distances to the same double, creating ties the oracle would
+      // break by cand_id that Spark (which never computes the sqrt)
+      // does not see
       """SELECT q_id, rank, cand_id FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
         |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_distance(q.v, c.v) ASC, c.vec_id) AS rank
+        |      ORDER BY list_sum(list_transform(list_zip(q.v, c.v),
+        |        x -> (x[1]-x[2])*(x[1]-x[2]))) ASC, c.vec_id) AS rank
         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |    WHERE vec_id < 10) q
         |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c

@@ -149,9 +149,10 @@ object Similarity {
   /** Exact Euclidean (L2) top-k — completes the metric family (cosine
     * [[knnBruteAgg]], inner product [[mipsBruteAgg]]): the bounded
     * heap ranks on NEGATIVE squared distance (monotone with distance;
-    * sqrt never computed). Left-to-right double accumulation of
-    * (a−b)² orders identically to DuckDB's list_distance — sqrt is
-    * monotone and tie-preserving — so the oracle hash-matches. Same
+    * sqrt never computed). The oracle ranks on the same sum of
+    * squared element diffs — NOT list_distance, whose IEEE sqrt can
+    * round two distinct squared distances to the same double and
+    * manufacture ties Spark never sees. Same
     * scalable plan shape: queries broadcast, map-side k-row heaps. */
   def l2Knn(
       corpus: DataFrame,

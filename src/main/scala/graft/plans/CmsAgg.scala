@@ -96,8 +96,20 @@ case class CmsMergeAgg(
 
   override def update(buf: CountMinSketch, input: InternalRow): CountMinSketch = {
     val v = child.eval(input)
-    if (v != null) buf.mergeInPlace(
-      CountMinSketch.readFrom(v.asInstanceOf[Array[Byte]]))
+    if (v != null) {
+      val in = CountMinSketch.readFrom(v.asInstanceOf[Array[Byte]])
+      // fail fast with the parameter mismatch spelled out: Spark's own
+      // mergeInPlace throws IncompatibleMergeException deep in a task
+      // with only the dimension numbers, which doesn't tell the caller
+      // WHICH stored column was built under different (eps, confidence)
+      if (in.depth != buf.depth || in.width != buf.width)
+        throw new IllegalArgumentException(
+          s"cms_merge: stored sketch has depth=${in.depth} width=${in.width} " +
+            s"but this merge expects depth=${buf.depth} width=${buf.width} " +
+            s"(eps=$eps, confidence=$confidence, seed=$seed) — stored sketches " +
+            "must be built with the same parameters they are merged under")
+      buf.mergeInPlace(in)
+    }
     buf
   }
 

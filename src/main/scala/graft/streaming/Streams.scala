@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import scala.jdk.CollectionConverters._
+
 /** Structured Streaming jobs over the events table.
   *
   * The parquet directory drives the stream (file source); for
@@ -29,6 +31,26 @@ object Streams {
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, prev)
+  }
+
+  /** Atomically publish a snapshot pointer: temp file + ATOMIC_MOVE so
+    * readers see the old path or the new, never a truncated one. The
+    * temp file is removed if the move fails (deleteIfExists is a no-op
+    * after a successful move — the temp no longer exists) so a failing
+    * sink can't strew `_latest*.tmp` files beside the pointer. */
+  private def writePointerAtomic(
+      latestFile: java.nio.file.Path, value: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      latestFile.getParent, "_latest", ".tmp")
+    try {
+      java.nio.file.Files.writeString(tmp, value)
+      java.nio.file.Files.move(tmp, latestFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp)
+      ()
+    }
   }
 
   /** Load the events stream. The raw file carries TIMESTAMP(NANOS),
@@ -226,16 +248,8 @@ object Streams {
         merged.write.mode("overwrite").parquet(out)
         // written AFTER the snapshot commits: a crash between the two
         // re-runs the batch against the previous pointer (idempotent —
-        // latest-per-key of the same input), never serves a half-write.
-        // Temp-file + ATOMIC_MOVE so a crash mid-write can't leave a
-        // truncated pointer — readers see old contents or new, never a
-        // partial path.
-        val tmp = java.nio.file.Files.createTempFile(
-          latestFile.getParent, "_latest", ".tmp")
-        java.nio.file.Files.writeString(tmp, out)
-        java.nio.file.Files.move(tmp, latestFile,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // latest-per-key of the same input), never serves a half-write
+        writePointerAtomic(latestFile, out)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -301,12 +315,7 @@ object Streams {
         }
         val out = s"$base/v$id"
         merged.write.mode("overwrite").parquet(out)
-        val tmp = java.nio.file.Files.createTempFile(
-          latestFile.getParent, "_latest", ".tmp")
-        java.nio.file.Files.writeString(tmp, out)
-        java.nio.file.Files.move(tmp, latestFile,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        writePointerAtomic(latestFile, out)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -374,12 +383,7 @@ object Streams {
         }
         val out = s"$base/v$id"
         merged.write.mode("overwrite").parquet(out)
-        val tmp = java.nio.file.Files.createTempFile(
-          latestFile.getParent, "_latest", ".tmp")
-        java.nio.file.Files.writeString(tmp, out)
-        java.nio.file.Files.move(tmp, latestFile,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        writePointerAtomic(latestFile, out)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -427,36 +431,69 @@ object Streams {
     * amortized. Re-TRAINING the quantizer on drift is a separate
     * offline decision, exactly as in production ANN serving. The
     * min(cell) merge makes replayed ids idempotent (assignment is
-    * deterministic, so min = the value). */
+    * deterministic, so min = the value).
+    *
+    * Storage is LSM-shaped so the per-batch write really is O(batch):
+    * each micro-batch APPENDS its assigned rows as one part dir
+    * (`parts/b<id>`, overwritten on checkpoint replay — idempotent),
+    * and every `compactEvery` batches the accumulated parts are folded
+    * into the compacted snapshot (versioned dir + atomic pointer) and
+    * the parts removed. Compaction is O(index) but amortized 1/compactEvery
+    * per batch; between compactions readers pay a groupBy over
+    * (compacted ∪ ≤compactEvery parts). Every crash window is safe:
+    * parts replay by batch id; a compaction that died before the
+    * pointer move left the old pointer + intact parts; one that died
+    * after the move but before cleanup leaves duplicate rows that the
+    * min(cell) fold collapses (assignment is deterministic). */
   def incrementalIvfIndex(
       stream: DataFrame,
       centroids: Seq[Seq[Double]],
-      base: String): DataFrame = {
+      base: String,
+      compactEvery: Int = 8): DataFrame = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1: $compactEvery")
     val spark = stream.sparkSession
     val latestFile = java.nio.file.Paths.get(base, "_latest")
+    val partsRoot = java.nio.file.Paths.get(base, "parts")
     def readPtr(): Option[String] =
       if (java.nio.file.Files.exists(latestFile))
         Some(java.nio.file.Files.readString(latestFile).trim)
           .filter(_.nonEmpty)
       else None
+    def listParts(): Seq[String] =
+      if (java.nio.file.Files.isDirectory(partsRoot)) {
+        val s = java.nio.file.Files.list(partsRoot)
+        try s.iterator().asScala.filter(p =>
+            p.getFileName.toString.startsWith("b"))
+          .map(_.toString).toList.sorted
+        finally s.close()
+      } else Nil
+    def currentView(): Option[DataFrame] = {
+      val srcs = readPtr().toSeq ++ listParts()
+      if (srcs.isEmpty) None
+      else Some(srcs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .groupBy("vec_id").agg(min(col("cell")).as("cell")))
+    }
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val assigned = graft.operators.Similarity
           .assignCells(batch.toDF(), "vec_id", "embedding", centroids)
-        val merged = readPtr() match {
-          case None => assigned
-          case Some(p) =>
-            spark.read.parquet(p).unionByName(assigned)
-              .groupBy("vec_id").agg(min(col("cell")).as("cell"))
+        // O(batch): append this batch's rows as one part dir, keyed by
+        // batch id so a checkpoint replay overwrites instead of duplicating
+        assigned.write.mode("overwrite").parquet(s"$base/parts/b$id")
+        if ((id + 1) % compactEvery == 0) currentView().foreach { view =>
+          val out = s"$base/v$id"
+          view.write.mode("overwrite").parquet(out)
+          writePointerAtomic(latestFile, out)
+          // only after the pointer is durable; a crash here leaves
+          // duplicates the min(cell) fold collapses
+          listParts().foreach { p =>
+            val dir = java.nio.file.Paths.get(p)
+            val files = java.nio.file.Files.walk(dir)
+            try files.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+            finally files.close()
+          }
         }
-        val out = s"$base/v$id"
-        merged.write.mode("overwrite").parquet(out)
-        val tmp = java.nio.file.Files.createTempFile(
-          latestFile.getParent, "_latest", ".tmp")
-        java.nio.file.Files.writeString(tmp, out)
-        java.nio.file.Files.move(tmp, latestFile,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -464,9 +501,8 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val snap = readPtr().getOrElse(
+    currentView().getOrElse(
       sys.error("no snapshot: stream produced no batches and none recorded"))
-    spark.read.parquet(snap)
   }
 
   /** [[incrementalIvfIndex]] over the embeddings table: quantizer

@@ -208,8 +208,48 @@ class StreamsSpec extends SparkSuite {
       .collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
     assert(got == km)
+    // multi-batch delivery evidence: one LSM part dir per micro-batch
+    // (default compactEvery=8 means no compaction ran for 3 batches)
+    val parts = new java.io.File(s"$base/parts").listFiles()
+      .map(_.getName).filter(_.startsWith("b"))
+    assert(parts.length > 1, s"expected multiple batch parts: ${parts.toSeq}")
+  }
+
+  test("incremental IVF index: compaction folds parts, result unchanged") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = graft.operators.Similarity
+      .trainCentroids(emb, "vec_id", "embedding", 10)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p05c_src").toString
+    emb.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p05c_spec").toString
+    // compactEvery=2 forces at least one compaction across 3 batches
+    val got = graft.streaming.Streams
+      .incrementalIvfIndex(stream, cents, base, compactEvery = 2)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val expect = graft.operators.Similarity
+      .assignCells(emb, "vec_id", "embedding", cents)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(got == expect)
+    // compaction evidence: a versioned snapshot exists, the durable
+    // pointer names it, and the compacted parts were removed
     val versions = new java.io.File(base).listFiles()
       .map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+    assert(versions.nonEmpty, "expected a compacted snapshot dir")
+    val ptr = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(base, "_latest")).trim
+    assert(versions.map(v => s"$base/$v").contains(ptr), s"pointer $ptr")
+    val parts = Option(new java.io.File(s"$base/parts").listFiles())
+      .map(_.map(_.getName).count(_.startsWith("b"))).getOrElse(0)
+    assert(parts < 3, s"expected compacted parts to be removed, found $parts")
+    // and no temp pointer litter beside the pointer (move succeeded)
+    val litter = new java.io.File(base).listFiles()
+      .map(_.getName).filter(n => n.startsWith("_latest") && n.endsWith(".tmp"))
+    assert(litter.isEmpty, s"temp pointer files left behind: ${litter.toSeq}")
   }
 }
