@@ -1844,6 +1844,17 @@ object SparkEntry {
   private def p04(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingLmModel(s, dir)
 
+  /** p06: the FULL incremental preprocess chain — p03's decontaminate
+    * → exact-dedup front extended with per-doc quality scoring (t02)
+    * and PII redaction (n07) computed on each micro-batch's accepted
+    * survivors only
+    * ([[graft.streaming.Streams.incrementalCleanScore]]): per-row
+    * finishing commutes with first-arrival dedup, so the snapshot
+    * equals the one-shot batch chain under any chunking (replay spec
+    * in StreamsSpec; whole-chain DuckDB oracle). */
+  private def p06(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingScoredCorpus(s, dir)
+
   /** m04: modality-mixture report — the multimodal twin of t10's
     * source mixture: per stub-decoded modality (first payload byte
     * stands in for the container magic a real decoder reads), item
@@ -2018,6 +2029,7 @@ object SparkEntry {
     "p03_incremental_clean" -> (p03 _),
     "p04_incremental_lm" -> (p04 _),
     "p05_incremental_ann" -> (p05 _),
+    "p06_incremental_quality" -> (p06 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),
@@ -3094,6 +3106,47 @@ object SparkEntry {
         |  SELECT clean.*, row_number() OVER (PARTITION BY fp
         |    ORDER BY doc_id) AS rn FROM clean)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "p06_incremental_quality" ->
+      // the batch form of the full incremental chain: p03's
+      // decontaminate → keep-min-per-fingerprint front, finished with
+      // t02's quality score and n07's inject-then-redact per survivor
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |  ng AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 7, 0)),
+        |    i -> array_to_string(tk[i:i+7], ' ')))) AS g FROM tok),
+        |  bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
+        |  hits AS (SELECT n.doc_id, count(*)::BIGINT AS n_overlap
+        |    FROM ng n JOIN bench USING (g)
+        |    WHERE n.doc_id % 20 <> 0 GROUP BY 1),
+        |  clean AS (SELECT d.doc_id, d.source, d.text,
+        |      md5(lower(trim(d.text))) AS fp
+        |    FROM documents d LEFT JOIN hits h USING (doc_id)
+        |    WHERE d.doc_id % 20 <> 0 AND coalesce(h.n_overlap, 0) = 0),
+        |  keep AS (SELECT doc_id, source, text FROM (
+        |    SELECT clean.*, row_number() OVER (PARTITION BY fp
+        |      ORDER BY doc_id) AS rn FROM clean) WHERE rn = 1),
+        |  x AS (SELECT doc_id, source, length(text) AS char_len,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','and','of','to','in'))) AS stop_hits,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' ||
+        |      doc_id || '@example.com or 555-123-4567'
+        |    ELSE text END AS tt
+        |  FROM keep)
+        |SELECT doc_id, source,
+        |  floor((least(1.0, char_len / 500.0) *
+        |    (0.7 + 0.3 * (stop_hits / n_toks))) * 10000) / 10000 AS quality,
+        |  len(regexp_extract_all(tt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+        |    AS n_emails,
+        |  len(regexp_extract_all(tt, '\d{3}-\d{3}-\d{4}'))::BIGINT
+        |    AS n_phones,
+        |  regexp_replace(regexp_replace(tt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g'), '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+        |FROM x ORDER BY doc_id""".stripMargin,
     "p02_preprocess_chain" ->
       """WITH tok AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS tk

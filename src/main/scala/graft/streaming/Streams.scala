@@ -346,6 +346,111 @@ object Streams {
     snap.orderBy("doc_id")
   }
 
+  /** p06: the FULL incremental preprocess chain — [[incrementalClean]]'s
+    * decontaminate → exact-dedup front EXTENDED with the per-doc
+    * finishing stages of the batch pipeline: quality scoring (t02's
+    * length/stopword features) and PII redaction (n07's shared
+    * cross-engine patterns), both computed inside the micro-batch on
+    * that batch's accepted survivors only. Per-row finishing commutes
+    * with the first-arrival-wins dedup, so the final snapshot equals
+    * the one-shot batch chain decontaminate → dedup → score → redact
+    * under any micro-batch chunking (replay spec in StreamsSpec;
+    * whole-chain DuckDB oracle). Scoring cost is O(batch survivors)
+    * per trigger — accepted docs are never re-scored, which is the
+    * point at 100 TB: the expensive per-doc finishing runs once per
+    * document over the corpus's whole ingest lifetime. */
+  def incrementalCleanScore(
+      stream: DataFrame,
+      benchmark: DataFrame,
+      base: String,
+      n: Int = 8): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    def trunc4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF()
+        val flags = graft.operators.Dedup.decontaminate(
+          b, benchmark, col("doc_id"), col("text"), n)
+        val clean = b.join(
+          flags.filter(col("n_overlap") === 0).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val withFp = clean.select(col("doc_id"), col("source"), col("text"),
+          md5(lower(trim(col("text")))).as("fp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        val keepB = withFp.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        // finishing stages, batch-survivors only: t02's quality score
+        // and n07's inject-then-redact (both pure per-row functions)
+        val injected = when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-123-4567")))
+          .otherwise(col("text"))
+        val scored = keepB
+          .select(col("doc_id"), col("source"), col("fp"),
+            graft.functions.TextFns.tokensLower(col("text")).as("__toks"),
+            length(col("text")).as("__len"), injected.as("__t"))
+          .select(col("doc_id"), col("source"), col("fp"),
+            trunc4(least(lit(1.0), col("__len") / 500.0) *
+              (lit(0.7) + lit(0.3) *
+                (graft.functions.TextFns.wordSetHits(col("__toks"),
+                  Seq("the", "a", "and", "of", "to", "in")) /
+                  size(col("__toks"))))).as("quality"),
+            size(regexp_extract_all(col("__t"),
+              lit(graft.functions.TextFns.EmailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("__t"),
+              lit(graft.functions.TextFns.PhoneRe), lit(0)))
+              .cast("long").as("n_phones"),
+            graft.functions.TextFns.redactPii(col("__t")).as("redacted"))
+        val merged = readPtr() match {
+          case None => scored
+          case Some(p) =>
+            val st = spark.read.parquet(p)
+            st.unionByName(
+              scored.join(st.select("fp"), Seq("fp"), "left_anti"))
+        }
+        val out = s"$base/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        writePointerAtomic(latestFile, out)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p06_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(snap)
+  }
+
+  /** [[incrementalCleanScore]] over the documents table: the same
+    * corpus/benchmark split as p03 (doc_id % 20), finished columns
+    * ordered for the oracle. */
+  def streamingScoredCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p06").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 20 =!= 0)
+    val bench = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 20 === 0)
+    val snap = withStreamPartitions(spark, 8) {
+      incrementalCleanScore(docs, bench, base)
+    }
+    snap.select(col("doc_id"), col("source"), col("quality"),
+        col("n_emails"), col("n_phones"), col("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** p04: incremental LM model maintenance — the char-bigram counts
     * behind t12's fluency score folded over a document stream via
     * foreachBatch. Bigram counts form a commutative monoid (merge =

@@ -149,6 +149,76 @@ class StreamsSpec extends SparkSuite {
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
 
+  test("incremental clean+score chain: replay equals batch chain") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    // same forced id-ordered 3-file replay as the p03 spec: the
+    // cross-batch anti-join AND the batch-local finishing must compose
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p06_src").toString
+    val ids = corpus.select(max(col("doc_id"))).head.getLong(0)
+    val cut1 = ids / 3; val cut2 = 2 * ids / 3
+    Seq(
+      corpus.filter(col("doc_id") <= cut1),
+      corpus.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      corpus.filter(col("doc_id") > cut2)
+    ).zipWithIndex.foreach { case (part, i) =>
+      part.coalesce(1).write.mode("overwrite").parquet(f"$srcDir/part$i%02d")
+    }
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part*")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p06_spec").toString
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("quality"), r.getAs[Long]("n_emails"),
+        r.getAs[Long]("n_phones"), r.getAs[String]("redacted"))
+    val got = graft.streaming.Streams
+      .incrementalCleanScore(stream, bench, base)
+      .collect().map(key).toSet
+    // batch form: the one-shot clean front, then the same per-row
+    // finishing over ALL survivors at once
+    val flags = graft.operators.Dedup.decontaminate(
+      corpus, bench, col("doc_id"), col("text"), 8)
+    val clean = corpus.join(
+      flags.filter(col("n_overlap") === 0).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("text"),
+        md5(lower(trim(col("text")))).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    val keep = clean.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val injected = when(col("doc_id") % 10 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-123-4567")))
+      .otherwise(col("text"))
+    val expect = keep
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFns.tokensLower(col("text")).as("__toks"),
+        length(col("text")).as("__len"), injected.as("__t"))
+      .select(col("doc_id"), col("source"),
+        (floor(least(lit(1.0), col("__len") / 500.0) *
+          (lit(0.7) + lit(0.3) *
+            (graft.functions.TextFns.wordSetHits(col("__toks"),
+              Seq("the", "a", "and", "of", "to", "in")) /
+              size(col("__toks")))) * 10000) / 10000).as("quality"),
+        size(regexp_extract_all(col("__t"),
+          lit(graft.functions.TextFns.EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("__t"),
+          lit(graft.functions.TextFns.PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        graft.functions.TextFns.redactPii(col("__t")).as("redacted"))
+      .collect().map(key).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(2)} extra=${(got -- expect).take(2)}")
+    // every 10th surviving doc got PII injected and scrubbed
+    assert(got.exists(t => t._1 % 10 == 0 && t._6.contains("<EMAIL>")))
+  }
+
   test("incremental LM model: multi-batch fold equals batch training") {
     val docs = Tables.load(spark, sfDir, "documents")
     // arbitrary 3-way chunking — counts merge is a commutative
