@@ -37,6 +37,11 @@ object Cli {
       |  status                        snapshot date, age, row counts
       |  sql <query>                   ad-hoc SQL over registry views
       |  search <n-number>             N-number lookup w/ owner
+      |  index-fts                     materialize the owner FTS index
+      |                                (bucketed on token) for fast fts
+      |  fts <term> [term...]          owner full-text search, all
+      |                                terms must match (probes the
+      |                                written index when present)
       |  fleet <owner> [--state ST] [--limit N]
       |  diff <otherDataRoot> [table]  what changed vs another
       |                                snapshot's publish (default
@@ -101,6 +106,14 @@ object Cli {
       case "sql" :: q :: Nil => Some(reg.query(q))
 
       case "search" :: n :: Nil => Some(reg.search(n))
+
+      case "index-fts" :: Nil =>
+        reg.writeFtsIndex()
+        warningSink(s"fts index written: ${Registry.FtsTable}")
+        None
+
+      case "fts" :: terms if terms.nonEmpty =>
+        Some(reg.searchOwnersFts(terms))
 
       case "fleet" :: owner :: rest =>
         // strict flag parse: a flag without a value, a non-numeric

@@ -170,11 +170,35 @@ class Registry(
       .filter(length(col("token")) > 0)
       .distinct()
 
+  /** Materialize [[ownersFtsIndex]] once, bucketed AND sorted on
+    * token (the [[graft.operators.Dedup.writeBandedLayout]] pattern):
+    * repeated searches then probe the written layout — bucket pruning
+    * reads 1/numBuckets of the index per term, no re-explode of the
+    * owners table per call. At 100 TB the explode+shuffle is paid
+    * once per snapshot publish instead of once per search. */
+  def writeFtsIndex(
+      tableName: String = Registry.FtsTable, numBuckets: Int = 32): Unit =
+    ownersFtsIndex.write.bucketBy(numBuckets, "token").sortBy("token")
+      .mode("overwrite").saveAsTable(tableName)
+
   /** All-terms FTS match (AND semantics like FTS5 default): one
-    * semi-join per term against the inverted index. */
-  def searchOwnersFts(terms: Seq[String]): DataFrame = {
+    * semi-join per term against the inverted index — the written
+    * bucketed layout when present (or named explicitly), else the
+    * lazy explode form. */
+  def searchOwnersFts(
+      terms: Seq[String], indexTable: Option[String] = None): DataFrame = {
     require(terms.nonEmpty, "searchOwnersFts needs at least one term")
-    val idx = ownersFtsIndex
+    val written = indexTable.orElse(
+      Some(Registry.FtsTable).filter(spark.catalog.tableExists))
+    // Keep the bucketed scan for point probes: the planner's
+    // DisableUnnecessaryBucketedScan rule only credits exchange
+    // elimination (joins/aggs on the bucket key), not bucket PRUNING,
+    // so it would silently fall back to scanning all buckets for a
+    // token = 'X' lookup — the exact read this layout exists to avoid.
+    if (written.isDefined)
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val idx = written.map(spark.table).getOrElse(ownersFtsIndex)
     val hits = terms.map(t =>
         idx.filter(col("token") === t.toUpperCase)
           .select(col("owner_id")))
@@ -212,4 +236,7 @@ object Registry {
     * moment a table is added). */
   val tableNames: Seq[String] = Seq("aircraft", "registrations", "owners",
     "aircraft_make_model", "engines")
+
+  /** Default saved-table name for the materialized FTS index. */
+  val FtsTable: String = "graft_owners_fts"
 }

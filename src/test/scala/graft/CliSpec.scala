@@ -73,6 +73,24 @@ class CliSpec extends SparkSuite {
     assert(rows.head.getAs[String]("owner_name") == "LOS ANGELES POLICE DEPT")
   }
 
+  test("index-fts materializes the index and fts probes it") {
+    var msgs = List.empty[String]
+    assert(Cli.run(spark, dataRoot, Seq("index-fts"), msgs ::= _).isEmpty)
+    assert(msgs.exists(_.contains(graft.registry.Registry.FtsTable)))
+    try {
+      val df = Cli.run(spark, dataRoot,
+        Seq("fts", "POLICE", "ANGELES"), _ => ()).get
+      // the search really reads the written layout, not a re-explode
+      assert(!df.queryExecution.executedPlan.toString.contains("Generate"))
+      val rows = df.collect()
+      assert(rows.length == 1 &&
+        rows.head.getAs[String]("owner_name_std") == "LOS ANGELES POLICE DEPT")
+      assert(Cli.run(spark, dataRoot,
+        Seq("fts", "POLICE", "CHICAGO"), _ => ()).get.count() == 0)
+    } finally
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.registry.Registry.FtsTable}")
+  }
+
   test("fleet honors --state and --limit flags") {
     val ca = Cli.run(spark, dataRoot,
       Seq("fleet", "POLICE|UNITED", "--state", "CA"), _ => ()).get.collect()

@@ -96,6 +96,29 @@ class RegistrySpec extends SparkSuite {
     assert(registry.searchOwnersFts(Seq("POLICE", "CHICAGO")).count() == 0)
   }
 
+  test("materialized FTS index: probe matches lazy form, prunes buckets") {
+    registry.writeFtsIndex(numBuckets = 8)
+    try {
+      // written-index probe returns the same owners as the lazy form
+      val written = registry
+        .searchOwnersFts(Seq("POLICE", "ANGELES"),
+          indexTable = Some(graft.registry.Registry.FtsTable))
+        .collect().map(_.getAs[String]("n_number")).toSet
+      assert(written == Set("221LA"))
+      // with the table present, the default path auto-probes it: the
+      // plan scans the bucketed table (no explode/Generate of owners)
+      val df = registry.searchOwnersFts(Seq("POLICE"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate"),
+        s"expected the written index (no explode) in:\n$plan")
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket pruning for the single-term probe in:\n$plan")
+      assert(df.collect().map(_.getAs[String]("n_number")).toSet ==
+        Set("221LA"))
+    } finally
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.registry.Registry.FtsTable}")
+  }
+
   test("query runs ad-hoc SQL over registered views") {
     val df = registry.query(
       "SELECT maker, count(*) AS n FROM aircraft_decoded GROUP BY maker ORDER BY maker")
