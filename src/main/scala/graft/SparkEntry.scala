@@ -362,11 +362,14 @@ object SparkEntry {
 
   /** q24: skew-salted join — the explicit hot-key recipe
     * ([[operators.Scale.saltedJoin]]: deterministic salt on the big
-    * side, small side replicated numSalts×, join on (key, salt)).
-    * Results are provably identical to the plain inner join, which IS
-    * the oracle — the salting must be invisible in the output. */
+    * side, small side replicated numSalts×, join on (key, salt)),
+    * with the salt factor DERIVED from the measured key-skew profile
+    * ([[operators.Scale.autoSaltedJoin]] — q43's measurement wired to
+    * its remedy; balanced keys degrade to the plain join). Results
+    * are provably identical to the plain inner join, which IS the
+    * oracle — the salting must be invisible in the output. */
   private def q24(s: SparkSession, dir: String): DataFrame =
-    operators.Scale.saltedJoin(
+    operators.Scale.autoSaltedJoin(
         T(s, dir, "orders"),
         T(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
           col("c_name"), col("c_mktsegment")),

@@ -36,6 +36,56 @@ object Scale {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Derive [[saltedJoin]]'s salt factor from a MEASURED skew profile
+    * — the wiring from measurement (the q43 hot-key report) to remedy.
+    * The hottest key's reducer would receive `hot` rows where the
+    * average shuffle partition receives `total / parallelism`; the
+    * salt factor is the number of ways the hot key must split so its
+    * slice matches an average partition's load, clamped to
+    * [1, maxSalts]. 1 means the keys are balanced and salting would
+    * only add replication cost. One cheap two-level aggregate job
+    * (map-side partials; the shuffle carries one row per distinct
+    * key, the second level collapses to a single row).
+    *
+    * @param parallelism target reducer count; <= 0 reads
+    *   spark.sql.shuffle.partitions (the count the real join will use)
+    */
+  def suggestNumSalts(
+      big: DataFrame,
+      key: String,
+      maxSalts: Int = 64,
+      parallelism: Int = 0): Int = {
+    val p = if (parallelism > 0) parallelism
+      else big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val row = big.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("hot"), sum(col("n")).as("total")).head()
+    if (row.isNullAt(0)) 1
+    else {
+      val hot = row.getLong(0)
+      val avgPerPartition = math.max(1.0, row.getLong(1).toDouble / p)
+      math.max(1, math.min(maxSalts,
+        math.ceil(hot / avgPerPartition).toInt))
+    }
+  }
+
+  /** [[saltedJoin]] with the salt factor derived from the measured
+    * profile ([[suggestNumSalts]]): balanced keys take the plain join
+    * (no replication cost), skewed keys split by exactly the multiple
+    * the measurement says they need. The measurement job scans only
+    * the key column — at 100 TB it's a fraction of the join it tunes,
+    * and in a recurring pipeline the factor can be measured once per
+    * snapshot and passed to [[saltedJoin]] directly. */
+  def autoSaltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltSource: Column,
+      maxSalts: Int = 64): DataFrame = {
+    val n = suggestNumSalts(big, key, maxSalts)
+    if (n <= 1) big.join(small, Seq(key))
+    else saltedJoin(big, small, key, saltSource, n)
+  }
+
   /** Bloom-pruned equi-join: semi-join reduction for the case where
     * the small side is too big to BROADCAST but its key set fits a
     * bloom filter. The filter is built distributed over the small

@@ -20,6 +20,38 @@ class ScaleSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("autoSaltedJoin: measured skew picks the salt factor") {
+    import spark.implicits._
+    // pathological fixture: one key carries 5000 rows, 50 keys carry
+    // 10 each — the hot key alone exceeds the average partition load
+    val big = ((1 to 5000).map(i => (1L, i.toLong)) ++
+      (1 to 50).flatMap(k => (1 to 10).map(i => (k + 1L, i.toLong))))
+      .toDF("k", "row_id")
+    val small = (1L to 51L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val n = Scale.suggestNumSalts(big, "k", maxSalts = 64)
+    assert(n > 1, s"skewed fixture must trigger salting, got $n")
+    // the derived factor actually balances the hot key: max rows any
+    // (key, salt) reducer sees is ~hot/n, not hot
+    val maxBucket = big.filter(col("k") === 1)
+      .groupBy(pmod(xxhash64(col("row_id")), lit(n)))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    assert(maxBucket < 5000 / n * 2,
+      s"hot key split unbalanced: $maxBucket rows in one of $n buckets")
+    // and the result is provably the plain join
+    val plain = big.join(small, Seq("k"))
+      .groupBy("name").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val auto = Scale.autoSaltedJoin(big, small, "k", col("row_id"))
+      .groupBy("name").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(auto == plain)
+    // balanced keys: no salting, no replication cost
+    val flat = (1 to 1000).map(i => (i.toLong % 50, i.toLong))
+      .toDF("k", "row_id")
+    assert(Scale.suggestNumSalts(flat, "k", maxSalts = 64) == 1)
+  }
+
   test("bloomPrunedJoin returns identical results to a plain join") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val urgent = Tables.load(spark, sfDir, "orders")
