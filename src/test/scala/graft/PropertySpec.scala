@@ -352,6 +352,151 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("langId + wordSetHits match a JVM argmax model on salted token streams") {
+    import graft.functions.TextFns
+    // docs salted with real stopwords from several languages (forcing
+    // ties and near-ties), hostile unicode words, and empty tokens
+    val allStops = TextFns.LangStopwords.flatMap(_._2)
+    def doc(): String = (0 until rnd.nextInt(14)).map { _ =>
+      rnd.nextInt(3) match {
+        case 0 => allStops(rnd.nextInt(allStops.size))
+        case 1 => randomUnicode().replaceAll("\\s", "") match {
+          case "" => "x"
+          case w => w
+        }
+        case _ => "word" + rnd.nextInt(5)
+      }
+    }.mkString(" ")
+    val inputs = (0 until 300).map(_ => doc())
+    val got = inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "x")
+      .select(col("id"),
+        TextFns.langId(TextFns.tokensLower(col("x"))).as("lang"),
+        TextFns.wordSetHits(TextFns.tokensLower(col("x")),
+          TextFns.LangStopwords.head._2).as("en_hits"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    inputs.zipWithIndex.foreach { case (s, i) =>
+      val toks = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+        .reverse.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).toSeq
+      val hits = TextFns.LangStopwords.map { case (l, ws) =>
+        l -> toks.count(ws.contains) }
+      // argmax with ties resolving to the EARLIER language; all-zero -> und
+      val expect =
+        if (hits.forall(_._2 == 0)) "und"
+        else hits.maxBy(_._2)._1 // stable maxBy = first max, same rule
+      val (gl, ge) = got(i.toLong)
+      assert(gl == expect, s"langId mismatch for '$s': $gl vs $expect")
+      assert(ge == hits.head._2, s"wordSetHits mismatch for '$s'")
+    }
+  }
+
+  test("tokensBpeish matches java.util.regex split on punctuation-dense text") {
+    import graft.functions.TextFns
+    def doc(): String = (0 until rnd.nextInt(30)).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => ".,!?;:".charAt(rnd.nextInt(6)).toString
+        case 1 => " "
+        case 2 => ('a' + rnd.nextInt(26)).toChar.toString
+        case _ => (0xc0 + rnd.nextInt(0x100)).toChar.toString
+      }
+    }.mkString
+    val inputs = (0 until 300).map(_ => doc())
+    val got = inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "x")
+      .select(col("id"), TextFns.tokensBpeish(col("x")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    inputs.zipWithIndex.foreach { case (s, i) =>
+      // Spark trim strips ASCII space only; split keeps empty fields
+      val t = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val expect = t.split("\\s+|(?=[.,!?;:])|(?<=[.,!?;:])", -1).toSeq
+      assert(got(i.toLong) == expect,
+        s"bpeish mismatch for '$s': ${got(i.toLong)} vs $expect")
+    }
+  }
+
+  test("topElementCount matches a JVM max-multiplicity model (400 arrays)") {
+    import graft.functions.TextFns
+    def arr(): Seq[String] = (0 until rnd.nextInt(12)).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => "" // empty-string elements exercise the init sentinel
+        case 1 => "é" + rnd.nextInt(3)
+        case _ => "w" + rnd.nextInt(4)
+      }
+    }
+    val inputs = (0 until 400).map(_ => arr())
+    val got = inputs.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "a")
+      .select(col("id"), TextFns.topElementCount(col("a")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    inputs.zipWithIndex.foreach { case (a, i) =>
+      val expect =
+        if (a.isEmpty) 0 else a.groupBy(identity).values.map(_.size).max
+      assert(got(i.toLong) == expect,
+        s"topElementCount mismatch for $a: ${got(i.toLong)} vs $expect")
+    }
+  }
+
+  test("punct count stays code-point correct under surrogate pairs") {
+    // t02's punct feature: length(x) - length(regexp_replace(x, cls, ''))
+    // Spark length() counts CODE POINTS; a JVM model using String.length
+    // (UTF-16 units) diverges on emoji — model with codePointCount.
+    def doc(): String = (0 until rnd.nextInt(20)).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => ".,!?;:".charAt(rnd.nextInt(6)).toString
+        case 1 => new String(Character.toChars(0x1F600 + rnd.nextInt(48)))
+        case 2 => ('a' + rnd.nextInt(26)).toChar.toString
+        case _ => "é"
+      }
+    }.mkString
+    val inputs = (0 until 300).map(_ => doc())
+    val got = inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "x")
+      .select(col("id"),
+        (length(col("x")) -
+          length(regexp_replace(col("x"), "[.,!?;:]", ""))).as("p"),
+        length(col("x")).as("len"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    inputs.zipWithIndex.foreach { case (s, i) =>
+      val punct = s.codePoints().toArray.count(".,!?;:".map(_.toInt).contains)
+      val cps = s.codePointCount(0, s.length)
+      assert(got(i.toLong) == ((punct, cps)),
+        s"punct/len mismatch for '$s': ${got(i.toLong)} vs ($punct, $cps)")
+    }
+  }
+
+  test("trunc4 rounding matches the JVM IEEE model on adversarial doubles") {
+    // floor(x*10000)/10000 is the cross-engine rounding convention in
+    // nearly every oracle. FOUND BY THIS FUZZ: Spark's floor(double)
+    // returns BIGINT, so the result CLAMPS at ±Long.Max — beyond
+    // |x| ≈ 9.2e14 Spark diverges from DuckDB's double-typed floor.
+    // The convention is only ever applied to ratios/averages/prices
+    // (far inside the boundary), and the JVM model below mirrors the
+    // clamp so the boundary stays documented and pinned.
+    val inputs = (0 until 500).map { _ =>
+      rnd.nextInt(5) match {
+        case 0 => (rnd.nextInt(20000) - 10000) / 10000.0 // exact 1e-4 grid
+        case 1 => rnd.nextDouble() * 1e-8
+        case 2 => -rnd.nextDouble()
+        case 3 => rnd.nextDouble() * 1e12
+        case _ => java.lang.Double.longBitsToDouble(rnd.nextLong()) match {
+          case d if d.isNaN || d.isInfinite => 0.56789999
+          case d => d
+        }
+      }
+    }
+    val got = inputs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), (floor(col("v") * 10000) / 10000).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    inputs.zipWithIndex.foreach { case (v, i) =>
+      // Spark: Math.floor to double, cast to long (clamping), then
+      // long/int division promotes to double
+      val expect = math.floor(v * 10000).toLong.toDouble / 10000.0
+      assert(java.lang.Double.compare(got(i.toLong), expect) == 0,
+        s"trunc4 mismatch for $v: ${got(i.toLong)} vs $expect")
+    }
+  }
+
   test("sort-based percentiles match Spark's percentile aggregate (random groups)") {
     val data = (0 until 12).flatMap { g =>
       val n = 1 + rnd.nextInt(50)
