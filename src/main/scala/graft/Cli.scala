@@ -29,6 +29,10 @@ object Cli {
 
   val usage: String =
     """usage: graft.Cli <dataRoot> <command> [args]
+      |  fetch <zip> [snapshotDate] [--sha256 HEX]
+      |                                verify + ingest a downloaded
+      |                                snapshot zip (the download
+      |                                itself happens out of band)
       |  update <zip> [snapshotDate]   unzip + normalize + manifest
       |  normalize <rawDir> [snapshotDate]   normalize an unpacked
       |                                snapshot dir + manifest
@@ -64,6 +68,33 @@ object Cli {
     import spark.implicits._
     lazy val reg = new Registry(spark, s"$dataRoot/publish", warningSink)
     args.toList match {
+      case "fetch" :: src :: rest =>
+        // the reference's fetch stage (pipelines/fetch.py:66-148)
+        // downloads with retry + checksum; in a no-egress environment
+        // the download happens out of band, and this subcommand owns
+        // the remaining contract: integrity check, then the same
+        // unzip -> normalize -> manifest path as `update`.
+        if (src.startsWith("http://") || src.startsWith("https://"))
+          throw new IllegalArgumentException(
+            "fetch: no network egress in this environment — download " +
+              s"the snapshot out of band and pass the local zip path\n$usage")
+        val (dates, flags) = rest.span(_ != "--sha256")
+        flags match {
+          case "--sha256" :: hex :: Nil =>
+            val got = sha256Of(src)
+            if (!got.equalsIgnoreCase(hex))
+              throw new IllegalArgumentException(
+                s"fetch: checksum mismatch for $src\n  expected $hex\n  got      $got")
+          case Nil => ()
+          case bad => throw new IllegalArgumentException(
+            s"bad fetch arguments: ${bad.mkString(" ")}\n$usage")
+        }
+        val date = dates.headOption.getOrElse(
+          java.time.LocalDate.now.toString)
+        val pub = Ingest.fromZip(spark, src, dataRoot, date)
+        warningSink(s"fetch complete: $pub (snapshot $date)")
+        None
+
       case "update" :: zip :: rest =>
         val date = rest.headOption.getOrElse(
           java.time.LocalDate.now.toString)
@@ -180,6 +211,56 @@ object Cli {
     }
   }
 
+  private def sha256Of(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Human-formatted table rendering — the cli.py:225-257
+    * `format_cell_value` + cli.py:427 `format_date` conventions:
+    * nulls render empty, midnight timestamps shed their ' 00:00:00',
+    * dates render as 'Mon dd, yyyy', columns align, output caps at
+    * `maxRows` with a "showing first N of M" footer. */
+  def formatTable(df: org.apache.spark.sql.DataFrame,
+      maxRows: Int = 100): String = {
+    val total = df.count()
+    val rows = df.take(maxRows)
+    val dateFmt = java.time.format.DateTimeFormatter
+      .ofPattern("MMM dd, yyyy", java.util.Locale.ROOT)
+    def cell(v: Any): String = v match {
+      case null => ""
+      case d: java.sql.Date => d.toLocalDate.format(dateFmt)
+      case t: java.sql.Timestamp =>
+        val s = t.toString
+        if (s.endsWith(" 00:00:00.0")) s.dropRight(11)
+        else s.stripSuffix(".0")
+      case other => other.toString
+    }
+    val header = df.columns.toSeq
+    val body = rows.map(r => header.indices.map(i => cell(r.get(i))))
+    val widths = header.indices.map(i =>
+      (header(i).length +: body.map(_(i).length)).max)
+    def line(cells: Seq[String]): String =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }
+        .mkString("  ").stripTrailing()
+    val sep = line(widths.map("-" * _))
+    val out = new StringBuilder
+    out ++= line(header) += '\n'
+    out ++= sep += '\n'
+    body.foreach(b => { out ++= line(b) += '\n' })
+    if (total > maxRows)
+      out ++= s"showing first $maxRows of $total rows\n"
+    else
+      out ++= s"$total rows\n"
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val spark = SparkSession.builder()
@@ -191,7 +272,7 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, args.head, args.tail.toSeq)
-      .foreach(_.show(100, truncate = false))
+      .foreach(df => println(formatTable(df)))
     finally spark.stop()
   }
 }

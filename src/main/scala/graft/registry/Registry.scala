@@ -31,7 +31,8 @@ import graft.operators.Relational
 class Registry(
     spark: SparkSession,
     dataDir: String,
-    warningSink: String => Unit = Console.err.println(_)) {
+    warningSink: String => Unit = Console.err.println(_),
+    readOnly: Boolean = true) {
 
   val tableNames: Seq[String] = Registry.tableNames
 
@@ -142,9 +143,29 @@ class Registry(
       Seq(col("n_number")), limit)
   }
 
-  /** Ad-hoc SQL over the registered registry views (api.py:274). */
+  /** Ad-hoc SQL over the registered registry views (api.py:274).
+    *
+    * Default is READ-ONLY — the api.py:308-336 `get_connection(
+    * read_only=True)` contract: command statements (CREATE/DROP/
+    * INSERT/...) are rejected BEFORE execution by inspecting the
+    * parsed plan, so a passthrough query can never mutate the
+    * session catalog or write data. `new Registry(..., readOnly =
+    * false)` is the explicit escape hatch. */
   def query(sql: String): DataFrame = {
     warnIfStale()
+    if (readOnly) {
+      val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+      val isCommand = parsed.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Command] ||
+        parsed.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement] ||
+        parsed.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.ParsedStatement]
+      if (isCommand)
+        throw new IllegalArgumentException(
+          s"read-only registry: refusing non-query statement " +
+            s"'${sql.take(60)}'. Open with readOnly=false for DDL/DML.")
+    }
     registerAll()
     spark.sql(sql)
   }

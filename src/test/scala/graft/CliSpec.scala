@@ -73,6 +73,68 @@ class CliSpec extends SparkSuite {
     assert(rows.head.getAs[String]("owner_name") == "LOS ANGELES POLICE DEPT")
   }
 
+  test("fetch verifies the checksum then ingests like update") {
+    val root = Files.createTempDirectory("graft_cli_fetch").toString
+    val zip = s"$root/snapshot.zip"
+    writeZip(zip, Map(
+      "MASTER.txt" -> master, "ACFTREF.txt" -> acftref,
+      "ENGINE.txt" -> engine))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(Files.readAllBytes(java.nio.file.Paths.get(zip)))
+      .map("%02x".format(_)).mkString
+    var msgs = List.empty[String]
+    Cli.run(spark, root,
+      Seq("fetch", zip, "2026-01-01", "--sha256", hex), msgs ::= _)
+    assert(msgs.exists(_.contains("fetch complete")))
+    assert(Cli.run(spark, root, Seq("search", "N221LA"), _ => ())
+      .get.count() == 1)
+    // wrong checksum refuses before touching anything
+    val bad = intercept[IllegalArgumentException] {
+      Cli.run(spark, root,
+        Seq("fetch", zip, "--sha256", "00" * 32), _ => ())
+    }
+    assert(bad.getMessage.contains("checksum mismatch"))
+    // URLs are rejected with the out-of-band instruction (no egress)
+    val url = intercept[IllegalArgumentException] {
+      Cli.run(spark, root,
+        Seq("fetch", "https://example.invalid/x.zip"), _ => ())
+    }
+    assert(url.getMessage.contains("out of band"))
+  }
+
+  test("sql passthrough is read-only: commands refused, selects fine") {
+    val err = intercept[IllegalArgumentException] {
+      Cli.run(spark, dataRoot,
+        Seq("sql", "DROP TABLE aircraft"), _ => ())
+    }
+    assert(err.getMessage.contains("read-only"))
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, dataRoot,
+        Seq("sql", "CREATE TABLE t AS SELECT 1 AS x"), _ => ())
+    }
+    assert(Cli.run(spark, dataRoot,
+      Seq("sql", "SELECT count(*) AS n FROM aircraft"), _ => ())
+      .get.head.getLong(0) == 2)
+  }
+
+  test("formatTable renders nulls empty, dates human, and caps rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("x"), Option(java.sql.Date.valueOf("2020-03-05"))),
+      (2L, None, None))
+      .toDF("id", "s", "d")
+    val out = Cli.formatTable(df.orderBy("id"))
+    val lines = out.linesIterator.toSeq
+    assert(lines.head.matches("id\\s+s\\s+d"))
+    assert(lines.exists(_.contains("Mar 05, 2020")))
+    // the null row renders as just the id (empty cells, no 'null')
+    assert(lines.exists(l => l.trim == "2"), out)
+    assert(lines.last == "2 rows")
+    val many = (1 to 150).map(i => (i, s"v$i")).toDF("a", "b")
+    assert(Cli.formatTable(many).linesIterator.toSeq.last ==
+      "showing first 100 of 150 rows")
+  }
+
   test("index-fts materializes the index and fts probes it") {
     var msgs = List.empty[String]
     assert(Cli.run(spark, dataRoot, Seq("index-fts"), msgs ::= _).isEmpty)
