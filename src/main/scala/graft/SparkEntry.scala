@@ -1858,6 +1858,16 @@ object SparkEntry {
   private def p06(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingScoredCorpus(s, dir)
 
+  /** p07: INCREMENTAL document-frequency model — (token, df) + corpus
+    * doc count folded per micro-batch as commutative monoids
+    * ([[graft.streaming.Streams.incrementalDfModel]]): the state
+    * behind both t13's stopword list and t08's idf, maintained at
+    * ingest with no corpus rescan. Finished as the t13 stopword
+    * report, which must reproduce the batch-derived list exactly
+    * (replay spec; t13's DuckDB oracle form). */
+  private def p07(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingStopwords(s, dir)
+
   /** m04: modality-mixture report — the multimodal twin of t10's
     * source mixture: per stub-decoded modality (first payload byte
     * stands in for the container magic a real decoder reads), item
@@ -2033,6 +2043,7 @@ object SparkEntry {
     "p04_incremental_lm" -> (p04 _),
     "p05_incremental_ann" -> (p05 _),
     "p06_incremental_quality" -> (p06 _),
+    "p07_incremental_df" -> (p07 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),
@@ -3109,6 +3120,18 @@ object SparkEntry {
         |  SELECT clean.*, row_number() OVER (PARTITION BY fp
         |    ORDER BY doc_id) AS rn FROM clean)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "p07_incremental_df" ->
+      // the batch form of the incrementally-maintained df model,
+      // finished as the t13 stopword report
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(
+        |    string_split_regex(lower(trim(text)), '\s+'))) AS token
+        |  FROM documents),
+        |  d AS (SELECT token, count(*)::BIGINT AS df FROM t GROUP BY 1),
+        |  n AS (SELECT count(*)::DOUBLE AS total FROM documents)
+        |SELECT token, df,
+        |  floor((df / total) * 10000) / 10000 AS doc_frac
+        |FROM d CROSS JOIN n WHERE df / total > 0.5
+        |ORDER BY token""".stripMargin,
     "p06_incremental_quality" ->
       // the batch form of the full incremental chain: p03's
       // decontaminate → keep-min-per-fingerprint front, finished with

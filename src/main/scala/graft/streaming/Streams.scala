@@ -521,6 +521,78 @@ object Streams {
       .orderBy("bg")
   }
 
+  /** p07: incremental DOCUMENT-FREQUENCY model maintenance — the
+    * (token, df) counts plus the corpus doc count folded over a
+    * document stream. Both are commutative monoids (df merge = sum
+    * per token, N merge = sum), so the maintained model EQUALS the
+    * batch-derived one under any chunking — and df is the state
+    * behind BOTH the corpus-derived stopword list (t13: df/N > 0.5)
+    * and TF-IDF's idf (t08): maintain it once at ingest, derive
+    * either report without a corpus rescan. State is vocabulary-
+    * sized: (token, df) rows + a one-row doc count (versioned dirs +
+    * atomic pointer, as p04). */
+  def incrementalDfModel(stream: DataFrame, base: String): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF()
+        // same distinct-(doc, token) shape as t13's batch form
+        val delta = b
+          .select(col("doc_id"), explode(array_distinct(
+            graft.functions.TextFns.tokensLower(col("text")))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val nDelta = b.agg(count(lit(1)).as("n"))
+        val (model, meta) = readPtr() match {
+          case None => (delta, nDelta)
+          case Some(p) =>
+            (spark.read.parquet(s"$p/model").unionByName(delta)
+              .groupBy("token").agg(sum(col("df")).as("df")),
+              spark.read.parquet(s"$p/meta").unionByName(nDelta)
+                .agg(sum(col("n")).as("n")))
+        }
+        val out = s"$base/v$id"
+        model.write.mode("overwrite").parquet(s"$out/model")
+        meta.write.mode("overwrite").parquet(s"$out/meta")
+        writePointerAtomic(latestFile, out)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p07_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(s"$snap/model")
+      .crossJoin(broadcast(spark.read.parquet(s"$snap/meta")))
+  }
+
+  /** [[incrementalDfModel]] over the documents table, finished as the
+    * t13 stopword report (df/N > 0.5) — the maintained model must
+    * reproduce the batch-derived list exactly. */
+  def streamingStopwords(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p07").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val model = withStreamPartitions(spark, 8) {
+      incrementalDfModel(docs, base)
+    }
+    model
+      .filter(col("df") / col("n").cast("double") > 0.5)
+      .select(col("token"), col("df"),
+        (floor(col("df") / col("n").cast("double") * 10000) / 10000)
+          .as("doc_frac"))
+      .orderBy("token")
+  }
+
   /** p05: incremental ANN-index maintenance — the coarse quantizer is
     * FROZEN (trained once on the base corpus — the "yesterday's
     * index" regime) and each micro-batch of new vectors is assigned

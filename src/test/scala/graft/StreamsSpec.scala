@@ -248,6 +248,35 @@ class StreamsSpec extends SparkSuite {
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
 
+  test("incremental df model: multi-batch fold equals batch derivation") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p07_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p07_spec").toString
+    val model = graft.streaming.Streams.incrementalDfModel(stream, base)
+    val got = model.collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("n"))).toMap
+    val expectN = docs.count()
+    val expect = docs
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFns.tokensLower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (tok, (df, n)) =>
+      assert(df == expect(tok), s"df mismatch for '$tok'")
+      assert(n == expectN)
+    }
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+  }
+
   test("incremental IVF index: multi-batch fold equals batch assignment") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     // quantizer frozen on the full corpus; the stream then delivers
