@@ -795,6 +795,81 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
 
+  /** Write the IVF inverted file as a CELL-BUCKETED, cell-sorted
+    * table plus its frozen centroids (`<table>_centroids`) — the ANN
+    * analog of the LSH banded layout and the FTS token layout: train
+    * + assign + shuffle are paid ONCE per corpus snapshot, and every
+    * subsequent probe scans only the probed cells' buckets (bucket
+    * pruning; the index side never shuffles — the bounded query set
+    * broadcasts). At 100 TB the quantizer train/assign pass is the
+    * cost being amortized across every search that follows. */
+  def writeIvfLayout(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      numCells: Int = 16,
+      numBuckets: Int = 16,
+      maxIter: Int = 10,
+      seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, idCol, vecCol, numCells, maxIter, seed)
+    corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .withColumn("cell", nearestCellCol(col("embedding"), cents))
+      .write.bucketBy(numBuckets, "cell").sortBy("cell")
+      .mode("overwrite").saveAsTable(table)
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").saveAsTable(s"${table}_centroids")
+  }
+
+  /** Probe a [[writeIvfLayout]] table: queries rank the STORED frozen
+    * centroids (no corpus aggregate at query time), the probed cell
+    * set — bounded by |queries|·nprobe — prunes the bucketed scan,
+    * and the exact rerank runs only inside the probed cells. Same
+    * candidate semantics as [[ivfAnn]] over the stored assignment. */
+  def ivfAnnFromLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(spark.table(s"${table}_centroids"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cell"))
+    // literal probe-cell set (bounded by |queries|*nprobe) so the
+    // bucketed scan prunes to the probed buckets
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // keep the bucketed scan: the planner only credits exchange
+    // elimination, not bucket pruning (same rationale as the FTS probe)
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    spark.table(table)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("cell"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"))
+  }
+
   /** IVF-style ANN: assign each query to its `nprobe` nearest
     * centroids, search only those cells, exact-rerank. The corpus is
     * pre-partitioned by cell (the inverted file); a probe touches

@@ -80,6 +80,31 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF over trained cells recall too low: $recall")
   }
 
+  test("written IVF layout: pruned probe keeps recall, plan stays bucketed") {
+    Similarity.writeIvfLayout(emb, "vec_id", "embedding",
+      "graft_ivf_spec", numCells = 10, numBuckets = 8, maxIter = 5)
+    try {
+      val df = Similarity.ivfAnnFromLayout(spark, "graft_ivf_spec",
+        queries, "vec_id", "embedding", 5, nprobe = 6)
+      val plan = df.queryExecution.executedPlan.toString
+      // the index side is scanned bucketed (pruned to probed cells)
+      // and joined broadcast — it never enters a shuffle exchange
+      assert(plan.contains("SelectedBucketsCount"),
+        s"expected bucket pruning in:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      val ann = resultSet(df)
+      val recall = (ann intersect brute).size.toDouble / brute.size
+      info(s"IVF-from-layout recall@5 (nprobe=6/10) = $recall")
+      assert(recall >= 0.5, s"layout-probe recall too low: $recall")
+      // determinism: a second probe of the same layout is identical
+      assert(resultSet(Similarity.ivfAnnFromLayout(spark, "graft_ivf_spec",
+        queries, "vec_id", "embedding", 5, nprobe = 6)) == ann)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_spec_centroids")
+    }
+  }
+
   test("ivfAnn recall vs brute force (tuned nprobe)") {
     val ann = resultSet(
       Similarity.ivfAnn(emb, queries, "vec_id", "embedding", "label", 5,
