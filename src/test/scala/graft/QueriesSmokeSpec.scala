@@ -39,7 +39,10 @@ class QueriesSmokeSpec extends SparkSuite {
       // totals over the vocab to build the bounded model matrix; q43
       // cross-joins the ONE-row total onto the 20 surviving top keys
       "s09_mips_brute", "s10_mips_ann", "s11_l2_knn", "t17_lang_affinity",
-      "q43_skew_profile")
+      "q43_skew_profile",
+      // p07 finishes the maintained (token, df) model with the same
+      // ONE-row corpus-count broadcast as its batch form t13
+      "p07_incremental_df")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",
