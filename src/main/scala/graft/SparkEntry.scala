@@ -1145,6 +1145,50 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** t19: shard-export plan ([[Sampling.hashShard]], 16 shards) —
+    * per-shard doc and token budgets for the training-export layout:
+    * the report a writer checks for balance before
+    * `partitionBy("shard")` lays the corpus out. Assignment is
+    * md5-derived (stable under retries/appends), so the whole plan is
+    * oracle-checkable; one map-side hash + one tiny hash-agg. */
+  private def t19(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashShard(
+        T(s, dir, "documents"), col("doc_id"), 16)
+      .select(col("shard"),
+        size(TextFns.tokensLower(col("text"))).cast("long").as("__ntok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("total_tokens"))
+      .orderBy("shard")
+
+  /** t20: mixture rebalance plan — given a half-corpus token budget
+    * split UNIFORMLY across sources, the per-source sampling rate
+    * (capped at 1.0) and the tokens it yields. All derived quantities
+    * use integer arithmetic (rate carried as basis-points-of-basis-
+    * points, r10k ∈ [0, 10000]) so floor-division parity holds
+    * across engines — no float-boundary hazards in the plan a
+    * sampler would execute. One scan + a one-row broadcast. */
+  private def t20(s: SparkSession, dir: String): DataFrame = {
+    val g = T(s, dir, "documents")
+      .select(col("source"),
+        size(TextFns.tokensLower(col("text"))).cast("long").as("__ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("source_tokens"))
+    val tot = g.agg(sum(col("source_tokens")).as("__total"),
+      count(lit(1)).as("__k"))
+    g.join(broadcast(tot))
+      .withColumn("target_tokens",
+        floor(floor(col("__total") / 2) / col("__k")))
+      .withColumn("__r10k",
+        least(lit(10000L),
+          floor(col("target_tokens") * 10000 / col("source_tokens"))))
+      .select(col("source"), col("n_docs"), col("source_tokens"),
+        col("target_tokens"),
+        (col("__r10k") / 10000.0).as("rate"),
+        floor(col("source_tokens") * col("__r10k") / 10000)
+          .as("planned_tokens"))
+      .orderBy("source")
+  }
+
   /** n08: Unicode NFC normalization ([[Normalize.nfc]], native
     * codegen expression) — a decomposed accent sequence (e +
     * combining acute) is injected into a deterministic subset (the
@@ -1388,6 +1432,30 @@ object SparkEntry {
       .select("a_id", "b_id", "n_a", "n_inter", "containment")
       .orderBy("a_id")
   }
+
+  /** d14: embedding-space decontamination
+    * ([[Dedup.semanticDecontaminate]]) — max cosine of every corpus
+    * vector against the held-out eval slice (vec_id % 97 == 0), flag
+    * above 0.35 on the rounded value. The semantic complement of
+    * d10's n-gram screen: eval is the broadcast side, the corpus is
+    * scanned once. */
+  private def d14(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Dedup.semanticDecontaminate(
+        emb.filter(col("vec_id") % 97 =!= 0),
+        emb.filter(col("vec_id") % 97 === 0),
+        col("vec_id"), col("embedding"), 0.35)
+      .orderBy("vec_id")
+  }
+
+  /** d15: pairwise source-corpus overlap ([[Dedup.sourceOverlap]]) —
+    * distinct 5-gram Jaccard between source pairs that share at least
+    * one shingle: which upstream snapshots duplicate each other
+    * before any doc-level dedup runs. Output bounded by |sources|². */
+  private def d15(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(T(s, dir, "documents"),
+        col("source"), col("text"), n = 5)
+      .orderBy("source_a", "source_b")
 
   /** d04: 64-bit SimHash signatures + banding chunks — rows-only
     * oracle (xxhash64-based). */
@@ -1968,6 +2036,8 @@ object SparkEntry {
     "t16_sequence_pack" -> (t16 _),
     "t17_lang_affinity" -> (t17 _),
     "t18_ngram_novelty" -> (t18 _),
+    "t19_shard_plan" -> (t19 _),
+    "t20_mixture_plan" -> (t20 _),
     "t10_source_mixture" -> (t10 _),
     "t11_hashed_features" -> (t11 _),
     "t12_char_lm_score" -> (t12 _),
@@ -2008,6 +2078,8 @@ object SparkEntry {
     "d11_embedding_cluster_dedup" -> (d11 _),
     "d12_dup_clusters" -> (d12 _),
     "d13_containment" -> (d13 _),
+    "d14_semantic_decontam" -> (d14 _),
+    "d15_source_overlap" -> (d15 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
@@ -2631,6 +2703,38 @@ object SparkEntry {
         |    / count(*) * 10000) / 10000 AS novelty
         |FROM b JOIN f USING (bg) GROUP BY b.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "t19_shard_plan" ->
+      // same md5-bucket derivation as t14's split oracle, mod 16
+      """WITH s AS (SELECT
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16)
+        |      AS shard,
+        |    len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+        |      AS ntok
+        |  FROM documents)
+        |SELECT shard, count(*)::BIGINT AS n_docs,
+        |  sum(ntok)::BIGINT AS total_tokens
+        |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
+    "t20_mixture_plan" ->
+      // integer-arithmetic plan: rate carried as r10k in [0, 10000];
+      // the only doubles are IEEE-exact divisions shared by both
+      // engines
+      """WITH g AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split_regex(lower(trim(text)), '\s+')))::BIGINT
+        |      AS source_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(source_tokens)::BIGINT AS total,
+        |    count(*)::BIGINT AS k FROM g),
+        |p AS (SELECT g.*,
+        |    floor(floor(total / 2) / k)::BIGINT AS target_tokens
+        |  FROM g CROSS JOIN t),
+        |r AS (SELECT p.*,
+        |    least(10000, floor(target_tokens * 10000 / source_tokens))::BIGINT
+        |      AS r10k
+        |  FROM p)
+        |SELECT source, n_docs, source_tokens, target_tokens,
+        |  r10k / 10000.0 AS rate,
+        |  floor(source_tokens * r10k / 10000)::BIGINT AS planned_tokens
+        |FROM r ORDER BY source""".stripMargin,
     "n08_nfc_normalize" ->
       // chr(769) = the combining acute the Spark side injects as
       // "́"; nfc_normalize and the JDK normalizer share the
@@ -2786,6 +2890,39 @@ object SparkEntry {
         |  END AS containment
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY a_id""".stripMargin,
+    "d14_semantic_decontam" ->
+      // flag compares the ROUNDED max (as the Spark side does) so the
+      // verdict never hinges on a last-ulp cosine difference
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |ev AS (SELECT v FROM e WHERE vec_id % 97 = 0),
+        |mx AS (SELECT c.vec_id,
+        |    max(list_cosine_similarity(c.v, ev.v)) AS m
+        |  FROM e c CROSS JOIN ev WHERE c.vec_id % 97 <> 0 GROUP BY 1)
+        |SELECT vec_id, round(m, 4) AS max_eval_sim,
+        |  (round(m, 4) > 0.35)::BIGINT AS contaminated
+        |FROM mx ORDER BY vec_id""".stripMargin,
+    "d15_source_overlap" ->
+      // 5-gram shingles: tk[i:i+4] is DuckDB's INCLUSIVE 1-based
+      // slice = 5 elements, the same window wordNgrams(toks, 5) joins
+      """WITH tok AS (SELECT source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source AS src, unnest(list_transform(
+        |    generate_series(1, greatest(len(tk) - 4, 0)),
+        |    i -> array_to_string(tk[i:i+4], ' '))) AS g FROM tok),
+        |c AS (SELECT src, count(*)::BIGINT AS n_grams FROM sh GROUP BY 1),
+        |i AS (SELECT a.src AS source_a, b.src AS source_b,
+        |    count(*)::BIGINT AS n_common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b, ca.n_grams AS n_a,
+        |  cb.n_grams AS n_b, i.n_common,
+        |  floor(i.n_common / (ca.n_grams + cb.n_grams - i.n_common)
+        |    * 10000) / 10000 AS jaccard
+        |FROM i JOIN c ca ON ca.src = i.source_a
+        |  JOIN c cb ON cb.src = i.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "m04_modality_mixture" ->
       // ascii(first char) = first payload byte on the pure-ASCII
       // corpus (same trick as m03); modality = byte % 3

@@ -572,6 +572,80 @@ object Dedup {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Embedding-space decontamination: for every corpus vector, the
+    * max cosine against a (small) eval/benchmark embedding set, plus
+    * a contamination flag — the semantic complement of the n-gram
+    * [[decontaminate]] (paraphrased eval leakage that shares no
+    * 8-gram still lands near the eval point in embedding space).
+    *
+    * Shape at 100 TB: the eval set is the tiny side by construction
+    * (benchmarks are thousands of rows, the corpus is billions), so
+    * it is broadcast and the corpus is scanned ONCE map-side — a
+    * broadcast nested loop whose inner side is |eval|, then a per-id
+    * max partial-aggregated before the one hash shuffle. No corpus
+    * self-join, no index needed; for repeated screening against many
+    * benchmarks, concat the eval sets and tag rows.
+    *
+    * The flag compares the ROUNDED max (4 dp, the same rounding the
+    * output carries) against the threshold so the verdict is
+    * reproducible across engines whose last-ulp cosines differ. */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      threshold: Double): DataFrame = {
+    val ev = eval.select(vecCol.as("__ev"))
+    corpus.select(idCol.as("vec_id"), vecCol.as("__v"))
+      .crossJoin(broadcast(ev))
+      .groupBy("vec_id")
+      .agg(max(Similarity.cosine(col("__v"), col("__ev"))).as("__mx"))
+      .select(col("vec_id"),
+        round(col("__mx"), 4).as("max_eval_sim"),
+        (round(col("__mx"), 4) > threshold).cast("long").as("contaminated"))
+  }
+
+  /** Pairwise corpus overlap between sources: distinct token
+    * `n`-grams per source, then Jaccard over each source pair that
+    * shares at least one shingle — the provenance-level mirror of
+    * doc-level near-dup (which upstream crawl snapshots duplicate
+    * each other, and how much, before any doc-level pass runs).
+    *
+    * Shape at 100 TB: explode → per-source distinct (one hash
+    * shuffle on (source, gram)), then a self-equi-join ON THE GRAM
+    * (never all-pairs across rows) whose output is bounded by
+    * |sources|² — a handful of rows however large the corpus. The
+    * distinct shingle frame is computed once and cached lazily for
+    * its two readers (join sides + per-source counts); blocks are
+    * recomputable and LRU-evicted under pressure. */
+  def sourceOverlap(
+      docs: DataFrame,
+      sourceCol: Column,
+      textCol: Column,
+      n: Int = 5): DataFrame = {
+    val sh = docs
+      .select(sourceCol.as("src"), TextFns.tokensLower(textCol).as("__tk"))
+      .select(col("src"),
+        explode(array_distinct(TextFns.wordNgrams(col("__tk"), n))).as("g"))
+      .distinct()
+      .cache()
+    val counts = sh.groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val inter = sh.select(col("src").as("source_a"), col("g"))
+      .join(sh.select(col("src").as("source_b"), col("g")), Seq("g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.select(col("src").as("source_a"), col("n_grams").as("n_a")),
+        Seq("source_a"))
+      .join(counts.select(col("src").as("source_b"), col("n_grams").as("n_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (floor(col("n_common") / (col("n_a") + col("n_b") - col("n_common"))
+          * 10000) / 10000).as("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold over an
     * id-bounded block. The full-corpus scale path is
     * [[embeddingNearDupPairsBucketed]]; this operator does exact

@@ -122,6 +122,21 @@ object Sampling {
         col("col.id").as(idCol))
   }
 
+  /** Deterministic shard assignment for training-data export: md5 of
+    * the id, mod `numShards` — the same engine-portable derivation as
+    * [[hashSplit]], so a shard is a stable property of the row (safe
+    * under retries, appends, and re-exports) rather than of any
+    * partitioning accident. Map-side only, zero shuffle; feed the
+    * result to `df.write.partitionBy("shard")` (or
+    * [[graft.operators.Scale.partitionedWrite]]) to lay the corpus
+    * out as N self-describing shard directories. */
+  def hashShard(df: DataFrame, idCol: Column, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    df.withColumn("shard",
+      conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+        .cast("long") % numShards)
+  }
+
   /** Exact per-stratum top-N by a deterministic hash order — a fixed
     * BUDGET per stratum rather than a rate (the "take 1M docs per
     * language" shape). One window per stratum partition. */

@@ -212,4 +212,45 @@ class DedupSpec extends SparkSuite {
     val r = Dedup.containmentOnPairs(pairs, docs, col("doc_id"), col("text")).head
     assert(r.isNullAt(r.fieldIndex("containment")))
   }
+
+  test("semanticDecontaminate: max over the eval set, flag on rounded sim") {
+    import spark.implicits._
+    val eval = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)),     // exact eval copy: sim 1.0
+      (2L, Seq(0.6f, 0.8f)), // max(0.6, 0.8) = 0.8 vs the two evals
+      (3L, Seq(1f, -1f))     // max(0.7071, -0.7071) -> contaminated
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDecontaminate(
+        corpus, eval, col("vec_id"), col("embedding"), 0.75)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got(1L) == (1.0, 1L))
+    assert(got(2L) == (0.8, 1L))
+    // 0.7071 < 0.75: near but below the threshold stays clean
+    assert(got(3L) == (0.7071, 0L), s"got ${got(3L)}")
+  }
+
+  test("sourceOverlap: shared shingles counted once, disjoint pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "one two three four five tail_a"),
+      // same 5-gram "one two three four five" appears in BOTH a-docs:
+      // per-source distinct must count it once
+      ("a", "one two three four five other_a"),
+      ("b", "one two three four five tail_b"),
+      ("c", "six seven eight nine ten eleven")
+    ).toDF("source", "text")
+    val rows = Dedup.sourceOverlap(docs, col("source"), col("text"), n = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // a: {one..five, two..tail_a, two..other_a} = 3 distinct shingles
+    // b: {one..five, two..tail_b} = 2; intersection = 1
+    assert(rows.keySet == Set(("a", "b")), s"pairs: ${rows.keySet}")
+    val (nA, nB, nCommon, jac) = rows(("a", "b"))
+    assert((nA, nB, nCommon) == (3L, 2L, 1L))
+    assert(jac == 0.25) // 1 / (3 + 2 - 1)
+  }
 }

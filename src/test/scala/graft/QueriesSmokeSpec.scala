@@ -42,7 +42,11 @@ class QueriesSmokeSpec extends SparkSuite {
       "q43_skew_profile",
       // p07 finishes the maintained (token, df) model with the same
       // ONE-row corpus-count broadcast as its batch form t13
-      "p07_incremental_df")
+      "p07_incremental_df",
+      // d14 broadcasts the tiny eval embedding set over the corpus
+      // scan (eval << corpus by construction); t20 broadcasts the
+      // ONE-row total/source-count aggregate
+      "d14_semantic_decontam", "t20_mixture_plan")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",

@@ -120,4 +120,28 @@ class SamplingSpec extends SparkSuite {
     assert(agg == win,
       s"missing=${(win -- agg).take(3)} extra=${(agg -- win).take(3)}")
   }
+
+  test("hashShard: total, in-range, id-deterministic, roughly balanced") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    val sharded = Sampling.hashShard(docs, col("doc_id"), 16)
+    assert(sharded.count() == n) // map-side: no rows gained or lost
+    val byShard = sharded.groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet.subsetOf((0L until 16L).toSet),
+      s"out-of-range shards: ${byShard.keySet.filterNot((0L until 16L).toSet)}")
+    // md5-derived: the assignment is a pure function of the id, so an
+    // independent recomputation agrees row for row
+    val again = Sampling.hashShard(
+      docs.select("doc_id"), col("doc_id"), 16)
+    val disagree = sharded.select("doc_id", "shard")
+      .join(again.withColumnRenamed("shard", "shard2"), "doc_id")
+      .filter(col("shard") =!= col("shard2")).count()
+    assert(disagree == 0)
+    // balance: no empty shard and no shard above 3x the fair share
+    // (md5 is uniform; 500 ids over 16 shards averages ~31)
+    assert(byShard.size == 16, s"empty shards: ${byShard.size}/16")
+    assert(byShard.values.max <= 3 * n / 16,
+      s"skewed shard: max=${byShard.values.max}, fair=${n / 16}")
+  }
 }
