@@ -1936,6 +1936,16 @@ object SparkEntry {
   private def p07(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingStopwords(s, dir)
 
+  /** p08: INCREMENTAL semantic decontamination
+    * ([[graft.streaming.Streams.incrementalSemanticScreen]]) — d14's
+    * embedding screen folded per micro-batch against the static eval
+    * set: a pure per-row verdict, so the snapshot equals the batch
+    * report under any chunking (replay spec; d14's DuckDB oracle
+    * verbatim). New vectors are screened at ingest, the corpus never
+    * rescanned. */
+  private def p08(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingSemanticScreen(s, dir)
+
   /** m04: modality-mixture report — the multimodal twin of t10's
     * source mixture: per stub-decoded modality (first payload byte
     * stands in for the container magic a real decoder reads), item
@@ -2116,6 +2126,7 @@ object SparkEntry {
     "p05_incremental_ann" -> (p05 _),
     "p06_incremental_quality" -> (p06 _),
     "p07_incremental_df" -> (p07 _),
+    "p08_incremental_screen" -> (p08 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),
@@ -3269,6 +3280,18 @@ object SparkEntry {
         |  floor((df / total) * 10000) / 10000 AS doc_frac
         |FROM d CROSS JOIN n WHERE df / total > 0.5
         |ORDER BY token""".stripMargin,
+    "p08_incremental_screen" ->
+      // the incremental screen must reproduce d14's batch report
+      // verbatim — same oracle
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |ev AS (SELECT v FROM e WHERE vec_id % 97 = 0),
+        |mx AS (SELECT c.vec_id,
+        |    max(list_cosine_similarity(c.v, ev.v)) AS m
+        |  FROM e c CROSS JOIN ev WHERE c.vec_id % 97 <> 0 GROUP BY 1)
+        |SELECT vec_id, round(m, 4) AS max_eval_sim,
+        |  (round(m, 4) > 0.35)::BIGINT AS contaminated
+        |FROM mx ORDER BY vec_id""".stripMargin,
     "p06_incremental_quality" ->
       // the batch form of the full incremental chain: p03's
       // decontaminate → keep-min-per-fingerprint front, finished with

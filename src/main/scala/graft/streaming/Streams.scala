@@ -593,6 +593,80 @@ object Streams {
       .orderBy("token")
   }
 
+  /** p08: incremental semantic decontamination — d14's
+    * embedding-space screen
+    * ([[graft.operators.Dedup.semanticDecontaminate]]) run per
+    * micro-batch against the STATIC eval/benchmark embedding set.
+    * The verdict is a pure per-row function of the frozen eval
+    * vectors (broadcast inner loop, per-id max), so the maintained
+    * snapshot EQUALS the batch screen over the same rows under ANY
+    * micro-batch chunking (replay spec in StreamsSpec) and each
+    * batch costs O(batch × |eval|) map-side work — new vectors are
+    * screened once at ingest, the accumulated corpus is never
+    * rescanned. Replayed ids collapse through the first-arrival
+    * anti-join (verdicts are deterministic, so keep-first is
+    * idempotent). Versioned snapshot dirs + atomic pointer, as
+    * p03/p04. A NEW eval set is a different screen: run a fresh
+    * instance against the accumulated corpus (one batch pass), it
+    * does not invalidate this one's state. */
+  def incrementalSemanticScreen(
+      stream: DataFrame,
+      eval: DataFrame,
+      base: String,
+      threshold: Double): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val verdicts = graft.operators.Dedup.semanticDecontaminate(
+          batch.toDF(), eval, col("vec_id"), col("embedding"), threshold)
+        val merged = readPtr() match {
+          case None => verdicts
+          case Some(p) =>
+            val st = spark.read.parquet(p)
+            st.unionByName(
+              verdicts.join(st.select("vec_id"), Seq("vec_id"), "left_anti"))
+        }
+        val out = s"$base/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        writePointerAtomic(latestFile, out)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p08_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(snap)
+  }
+
+  /** [[incrementalSemanticScreen]] over the embeddings table —
+    * corpus/eval split and threshold exactly as d14, so the snapshot
+    * must reproduce d14's batch report (and its DuckDB oracle)
+    * verbatim. */
+  def streamingSemanticScreen(
+      spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p08").toString
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val vecs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 97 =!= 0)
+    val eval = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 97 === 0)
+    val snap = withStreamPartitions(spark, 8) {
+      incrementalSemanticScreen(vecs, eval, base, 0.35)
+    }
+    snap.orderBy("vec_id")
+  }
+
   /** p05: incremental ANN-index maintenance — the coarse quantizer is
     * FROZEN (trained once on the base corpus — the "yesterday's
     * index" regime) and each micro-batch of new vectors is assigned

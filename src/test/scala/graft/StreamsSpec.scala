@@ -277,6 +277,34 @@ class StreamsSpec extends SparkSuite {
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
 
+  test("incremental semantic screen: multi-batch replay equals batch d14") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 97 =!= 0)
+    val eval = emb.filter(col("vec_id") % 97 === 0)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p08_src").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p08_spec").toString
+    val got = graft.streaming.Streams
+      .incrementalSemanticScreen(stream, eval, base, 0.35)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("max_eval_sim"), r.getAs[Long]("contaminated")))
+      .toMap
+    val expect = graft.operators.Dedup.semanticDecontaminate(
+        corpus, eval, col("vec_id"), col("embedding"), 0.35)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("max_eval_sim"), r.getAs[Long]("contaminated")))
+      .toMap
+    assert(got == expect,
+      s"diverged: ${(expect.toSet -- got.toSet).take(3)}")
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+  }
+
   test("incremental IVF index: multi-batch fold equals batch assignment") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     // quantizer frozen on the full corpus; the stream then delivers
