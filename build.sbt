@@ -31,5 +31,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The default 240 MB code cache overflows across the bench's ~266
+  // warm+measure codegen compilations (133 queries × 2 runs), and the
+  // JIT starts flushing compiled code mid-sweep: the d-family measured
+  // ~2x its isolated-rerun cost until this was raised (full sweep
+  // 91.9 -> 84.8 s from the code cache alone, -> 77.0 s with the
+  // heap headroom above).
+  "-XX:ReservedCodeCacheSize=512m",
 )
