@@ -1457,6 +1457,16 @@ object SparkEntry {
         col("source"), col("text"), n = 5)
       .orderBy("source_a", "source_b")
 
+  /** d16: per-doc duplicated-span profile
+    * ([[Dedup.duplicatedSpanProfile]], 8-token windows) — the
+    * exact-substring-dedup signal: the share of each doc covered by
+    * window text occurring at ≥2 positions corpus-wide. The
+    * position-level complement of t18's first-seen novelty. */
+  private def d16(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpanProfile(T(s, dir, "documents"),
+        col("doc_id"), col("text"), w = 8)
+      .orderBy("doc_id")
+
   /** d04: 64-bit SimHash signatures + banding chunks — rows-only
     * oracle (xxhash64-based). */
   private def d04(s: SparkSession, dir: String): DataFrame =
@@ -2090,6 +2100,7 @@ object SparkEntry {
     "d13_containment" -> (d13 _),
     "d14_semantic_decontam" -> (d14 _),
     "d15_source_overlap" -> (d15 _),
+    "d16_dup_spans" -> (d16 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
@@ -2934,6 +2945,23 @@ object SparkEntry {
         |FROM i JOIN c ca ON ca.src = i.source_a
         |  JOIN c cb ON cb.src = i.source_b
         |ORDER BY source_a, source_b""".stripMargin,
+    "d16_dup_spans" ->
+      // 8-token windows: tk[i:i+7] is DuckDB's INCLUSIVE 1-based
+      // slice = 8 elements; count POSITIONS per window (not distinct
+      // docs) — a within-doc repeat is duplicated text too
+      """WITH w AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(tk) - 7, 0)),
+        |    i -> array_to_string(tk[i:i+7], ' '))) AS g
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |    FROM documents)),
+        |c AS (SELECT g, count(*)::BIGINT AS cnt FROM w GROUP BY 1)
+        |SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+        |  sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  floor(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)
+        |    / count(*) * 10000) / 10000 AS dup_frac
+        |FROM w JOIN c USING (g) GROUP BY w.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "m04_modality_mixture" ->
       // ascii(first char) = first payload byte on the pure-ASCII
       // corpus (same trick as m03); modality = byte % 3

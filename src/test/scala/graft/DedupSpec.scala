@@ -213,6 +213,27 @@ class DedupSpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("containment")))
   }
 
+  test("duplicatedSpanProfile: cross-doc and within-doc repeats both count") {
+    import spark.implicits._
+    val docs = Seq(
+      // 10 tokens -> 3 windows; shares exactly [a..h] with doc 2
+      (1L, "a b c d e f g h u1 u2"),
+      (2L, "p0 a b c d e f g h u3"),
+      // disjoint vocabulary: zero duplicated windows
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+      // the same 8-token window at positions 1 and 9 (within-doc
+      // repeat): 16 tokens -> 9 windows, 2 of them duplicated
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanProfile(docs, col("doc_id"), col("text"), 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (3L, 1L), s"doc1: ${got(1L)}")
+    assert(got(2L) == (3L, 1L), s"doc2: ${got(2L)}")
+    assert(got(3L) == (3L, 0L), s"doc3: ${got(3L)}")
+    assert(got(4L) == (9L, 2L), s"doc4: ${got(4L)}")
+  }
+
   test("semanticDecontaminate: max over the eval set, flag on rounded sim") {
     import spark.implicits._
     val eval = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)))
