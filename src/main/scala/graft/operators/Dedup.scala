@@ -683,6 +683,62 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Persist the corpus-wide window-position counts behind
+    * [[duplicatedSpanProfile]] as a window-bucketed, window-sorted
+    * table — the dedup-signal member of the write-once/probe-many
+    * layout family ([[writeBandedLayout]], the FTS and IVF layouts):
+    * the explode + count shuffle over the corpus is paid once per
+    * publish, and every later scoring pass probes the layout with a
+    * bucketed equi-join instead of recounting the corpus. */
+  def writeSpanIndex(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      table: String,
+      w: Int = 8,
+      numBuckets: Int = 32): Unit =
+    docs.select(TextFns.tokensLower(textCol).as("__tk"))
+      .select(explode(TextFns.wordNgrams(col("__tk"), w)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n_pos"))
+      .write.bucketBy(numBuckets, "g").sortBy("g")
+      .mode("overwrite").saveAsTable(table)
+
+  /** Score docs against a published [[writeSpanIndex]] layout.
+    * `minCount = 2` (default) scores MEMBERS of the indexed corpus
+    * and reproduces [[duplicatedSpanProfile]] exactly (a member's
+    * own window contributes one position, so duplication needs a
+    * second). `minCount = 1` screens EXTERNAL docs: any window
+    * present in the published corpus at all is duplicated text —
+    * incremental span screening without an index rebuild (rebuild
+    * cadence is a publish decision, exactly as for the IVF layout's
+    * quantizer). Only the probe side shuffles; the index side is a
+    * bucketed scan with no exchange. */
+  def dupSpansFromIndex(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      table: String,
+      w: Int = 8,
+      minCount: Long = 2L): DataFrame = {
+    val wins = docs
+      .select(idCol.as("doc_id"), TextFns.tokensLower(textCol).as("__tk"))
+      .select(col("doc_id"),
+        explode(TextFns.wordNgrams(col("__tk"), w)).as("g"))
+    // keep the bucketed scan: the planner only credits exchange
+    // elimination it can prove globally (same rationale as FTS/IVF)
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    wins.join(spark.table(table), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(coalesce(col("n_pos"), lit(0L)) >= minCount, 1L)
+          .otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        (floor(col("n_dup") / col("n_windows") * 10000) / 10000)
+          .as("dup_frac"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold over an
     * id-bounded block. The full-corpus scale path is
     * [[embeddingNearDupPairsBucketed]]; this operator does exact

@@ -234,6 +234,40 @@ class DedupSpec extends SparkSuite {
     assert(got(4L) == (9L, 2L), s"doc4: ${got(4L)}")
   }
 
+  test("span index layout: probe reproduces the profile, screens external docs") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, sfDir, "documents")
+    Dedup.writeSpanIndex(corpus, col("doc_id"), col("text"),
+      "graft_span_idx_spec", w = 8, numBuckets = 8)
+    // members of the indexed corpus: probe == direct profile, exactly
+    val direct = Dedup.duplicatedSpanProfile(
+        corpus, col("doc_id"), col("text"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val probe = Dedup.dupSpansFromIndex(spark, corpus,
+        col("doc_id"), col("text"), "graft_span_idx_spec", 8)
+    val probed = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed == direct,
+      s"missing=${(direct -- probed).take(3)} extra=${(probed -- direct).take(3)}")
+    // index side is a bucketed scan — no exchange feeds the join from
+    // the layout
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"expected a bucketed index scan in:\n$plan")
+    // external screening (minCount = 1): a doc sharing one 8-token
+    // window with the corpus is flagged even though the corpus holds
+    // that window only once
+    val firstText = corpus.orderBy("doc_id").select("text")
+      .head.getString(0)
+    val span8 = firstText.trim.split("\\s+").take(8).mkString(" ")
+    val external = Seq((9001L, span8 + " zz1 zz2 zz3")).toDF("doc_id", "text")
+    val screened = Dedup.dupSpansFromIndex(spark, external,
+        col("doc_id"), col("text"), "graft_span_idx_spec", 8, minCount = 1L)
+      .head
+    assert(screened.getLong(2) >= 1L,
+      s"external doc sharing a corpus window not flagged: $screened")
+  }
+
   test("semanticDecontaminate: max over the eval set, flag on rounded sim") {
     import spark.implicits._
     val eval = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)))
