@@ -1956,6 +1956,15 @@ object SparkEntry {
   private def p08(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingSemanticScreen(s, dir)
 
+  /** m05: payload dedup on the perceptual-signature stub
+    * ([[Multimodal.payloadDedup]], first-32-byte md5 standing in for
+    * pHash/chromaprint): near-identical media collapse on the
+    * signature, keeper = min doc id; only 16-byte signatures
+    * shuffle, never payload bytes. */
+  private def m05(s: SparkSession, dir: String): DataFrame =
+    Multimodal.payloadDedup(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** m04: modality-mixture report — the multimodal twin of t10's
     * source mixture: per stub-decoded modality (first payload byte
     * stands in for the container magic a real decoder reads), item
@@ -2141,6 +2150,7 @@ object SparkEntry {
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),
+    "m05_payload_dedup" -> (m05 _),
     "m02_frame_sample" -> (m02 _)
   )
 
@@ -2972,6 +2982,16 @@ object SparkEntry {
         |  count(*) AS n_items, sum(n_bytes)::BIGINT AS total_bytes,
         |  floor(avg(n_bytes) * 10000) / 10000 AS avg_bytes
         |FROM m GROUP BY 1 ORDER BY modality""".stripMargin,
+    "m05_payload_dedup" ->
+      // pure-ASCII corpus: substr by chars = slice by bytes, so
+      // DuckDB's md5(substr) equals Spark's md5 over the blob prefix
+      """WITH f AS (SELECT doc_id, md5(substr(text, 1, 32)) AS fp
+        |    FROM documents),
+        |g AS (SELECT fp, count(*)::BIGINT AS n_copies,
+        |    min(doc_id) AS keeper FROM f GROUP BY 1)
+        |SELECT f.doc_id, f.fp, g.n_copies,
+        |  (f.doc_id = g.keeper)::BIGINT AS keep
+        |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin,
     "m03_chunk_payload" ->
       // same offset arithmetic as chunkPayload; pure-ASCII corpus
       // makes char i = byte i, so ascii() reads the byte values

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media payloads ride as opaque `binary`
@@ -143,5 +143,37 @@ object Multimodal {
         }
       }
     }(Encoders.product[Chunk]).toDF()
+  }
+
+  /** Media payload dedup on a perceptual-signature STUB: real
+    * pipelines collapse near-identical media on a content signature
+    * a decoder computes (pHash for images, chromaprint for audio) —
+    * byte-exact hashing misses every re-encode. Here the signature
+    * is md5 of the first `prefixBytes` payload bytes (deterministic,
+    * oracle-checkable); swap [[fingerprintStub]] for a real
+    * perceptual hash and the dedup shape is unchanged.
+    *
+    * Shape at 100 TB: one map-side fingerprint per payload (the
+    * bytes never shuffle — only the 16-byte signature does), one
+    * hash-agg on the signature, one signature-keyed join back for
+    * the verdict; AQE broadcasts the group table when it fits.
+    * Keeper = min doc id, as every dedup family member. */
+  def fingerprintStub(payload: Column, prefixBytes: Int): Column =
+    md5(substring(payload, 1, prefixBytes))
+
+  def payloadDedup(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      prefixBytes: Int = 32): DataFrame = {
+    require(prefixBytes > 0, s"prefixBytes must be positive: $prefixBytes")
+    val fp = df.select(col(idCol).cast("long").as("doc_id"),
+      fingerprintStub(encode(col(payloadCol), "UTF-8"), prefixBytes)
+        .as("fp"))
+    val g = fp.groupBy("fp").agg(count(lit(1)).as("n_copies"),
+      min(col("doc_id")).as("__keeper"))
+    fp.join(g, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("n_copies"),
+        (col("doc_id") === col("__keeper")).cast("long").as("keep"))
   }
 }

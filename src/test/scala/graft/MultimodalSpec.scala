@@ -69,4 +69,22 @@ class MultimodalSpec extends SparkSuite {
             .partitionBy("doc_id").orderBy("byte_start")))
     assert(gaps.filter(col("gap") > stride).count() == 0)
   }
+
+  test("payloadDedup collapses shared signatures, keeps the min id") {
+    import spark.implicits._
+    val prefix = "A" * 32
+    val docs = Seq(
+      // same 32-byte prefix, different tails: the "re-encode" pair
+      (10L, prefix + " tail one"),
+      (3L, prefix + " a completely different continuation"),
+      // differs inside the prefix window: distinct signature
+      (5L, "B" + prefix.drop(1) + " tail")
+    ).toDF("doc_id", "text")
+    val got = Multimodal.payloadDedup(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(3L) == (2L, 1L)) // min id of the pair is the keeper
+    assert(got(10L) == (2L, 0L))
+    assert(got(5L) == (1L, 1L)) // singleton keeps itself
+  }
 }
