@@ -237,6 +237,18 @@ class DedupSpec extends SparkSuite {
   test("span index layout: probe reproduces the profile, screens external docs") {
     import spark.implicits._
     val corpus = Tables.load(spark, sfDir, "documents")
+    // a previous JVM's run may have left the managed location behind
+    // (its in-JVM catalog entry died with it): clear both
+    spark.sql("DROP TABLE IF EXISTS graft_span_idx_spec")
+    val orphan = new java.io.File("spark-warehouse/graft_span_idx_spec")
+    if (orphan.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(orphan)
+    }
+    try {
     Dedup.writeSpanIndex(corpus, col("doc_id"), col("text"),
       "graft_span_idx_spec", w = 8, numBuckets = 8)
     // members of the indexed corpus: probe == direct profile, exactly
@@ -266,6 +278,7 @@ class DedupSpec extends SparkSuite {
       .head
     assert(screened.getLong(2) >= 1L,
       s"external doc sharing a corpus window not flagged: $screened")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_span_idx_spec")
   }
 
   test("semanticDecontaminate: max over the eval set, flag on rounded sim") {
