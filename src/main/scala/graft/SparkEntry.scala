@@ -1030,6 +1030,45 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** t21: WORD-level bigram LM fluency score with add-1 smoothing —
+    * t12's char-level filter at token granularity, the perplexity-
+    * filter fidelity step: P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V),
+    * V = corpus vocabulary size; score = mean bigram probability.
+    * Two deliberate contrasts with t12: the word-bigram model is
+    * VOCABULARY-sized, not alphabet²-bounded, so it is never
+    * broadcast — scoring joins model to doc bigrams on the bigram
+    * key (t08's no-broadcast regime); and the model is SMOOTHED —
+    * an unsmoothed MLE assigns probability 0 to any unseen
+    * continuation, which scoring the training corpus itself hides
+    * but a held-out doc would not. Probabilities stay RATIONAL
+    * (integer counts, integer V, one division) so the arithmetic is
+    * engine-identical. */
+  private def t21(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokensLower(col("text")).as("__tk"))
+    // cache (lazy): the model aggregate and the scoring join both
+    // read the exploded bigram frame — uncached, every doc pays the
+    // per-position lambda-dispatched ngram transform twice
+    val big = docs.select(col("doc_id"),
+        explode(TextFns.wordNgrams(col("__tk"), 2)).as("bg"))
+      .cache()
+    val bc = big.groupBy("bg").agg(count(lit(1)).as("nb"))
+    val pc = bc.groupBy(substring_index(col("bg"), " ", 1).as("p"))
+      .agg(sum(col("nb")).as("np"))
+    val vocab = docs.select(explode(col("__tk")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val probs = bc
+      .join(pc, substring_index(col("bg"), " ", 1) === col("p"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        ((col("nb") + 1) / (col("np") + col("v"))).as("prob"))
+    big.join(probs, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(avg(col("prob")) * 1000000) / 1000000).as("fluency"))
+      .orderBy("doc_id")
+  }
+
   /** t13: corpus-derived stopword/boilerplate detection — tokens
     * whose document frequency exceeds half the corpus: the
     * data-driven stopword list a filtering pipeline derives per
@@ -1596,6 +1635,35 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** s12: cross-modal cluster profile
+    * ([[Similarity.clusterProfile]]) — embeddings coarse-quantized by
+    * the s05 seeded k-means, cells joined back to the DOCUMENTS table
+    * (doc_id = vec_id) and profiled: doc count, token budget, mean
+    * quality (the t02 score), language spread, corpus share — the
+    * "what IS this cluster" report a SemDeDup-style prune decision
+    * reads before dropping or downsampling a region of embedding
+    * space. Rows-only oracle (Lloyd cells aren't SQL-expressible);
+    * determinism + coverage specs in SimilaritySpec. */
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    val cells = Similarity.kmeansCells(T(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, maxIter = 5)
+    val feats = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextFns.tokensLower(col("text")).as("__toks"))
+      .select(col("doc_id").as("vec_id"), col("lang"),
+        size(col("__toks")).cast("long").as("__ntok"),
+        (least(lit(1.0), length(col("text")) / 500.0) *
+          (lit(0.7) + lit(0.3) *
+            (TextFns.wordSetHits(col("__toks"),
+              Seq("the", "a", "and", "of", "to", "in")) /
+              size(col("__toks"))))).as("__q"))
+    Similarity.clusterProfile(cells, feats, "vec_id", Seq(
+        sum(col("__ntok")).as("total_tokens"),
+        trunc4(avg(col("__q"))).as("avg_quality"),
+        countDistinct(col("lang")).as("n_langs")))
+      .orderBy("cell")
+  }
+
   /** s04: brute-force top-k via the bounded-heap TypedImperative
     * aggregate — same results as s01 (shares its oracle), but the
     * plan is a partial-aggregating hash agg instead of a window
@@ -1956,6 +2024,17 @@ object SparkEntry {
   private def p08(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingSemanticScreen(s, dir)
 
+  /** p09: incremental span screening
+    * ([[graft.streaming.Streams.incrementalSpanScreen]]) — d16's
+    * exact-substring-dedup signal at INGEST time: external docs
+    * (doc_id % 7 = 0) probed per micro-batch against the span index
+    * published over the rest of the corpus, minCount = 1. Pure
+    * per-row verdict against the frozen index → snapshot equals the
+    * batch screen under any chunking (replay spec); the corpus is
+    * never recounted. */
+  private def p09(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingSpanScreen(s, dir)
+
   /** m05: payload dedup on the perceptual-signature stub
     * ([[Multimodal.payloadDedup]], first-32-byte md5 standing in for
     * pHash/chromaprint): near-identical media collapse on the
@@ -2070,6 +2149,7 @@ object SparkEntry {
     "t10_source_mixture" -> (t10 _),
     "t11_hashed_features" -> (t11 _),
     "t12_char_lm_score" -> (t12 _),
+    "t21_word_lm_score" -> (t21 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
@@ -2121,6 +2201,7 @@ object SparkEntry {
     "s09_mips_brute" -> (s09 _),
     "s10_mips_ann" -> (s10 _),
     "s11_l2_knn" -> (s11 _),
+    "s12_cluster_profile" -> (s12 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_counts" -> (e02 _),
     "e03_asof_join" -> (e03 _),
@@ -2147,6 +2228,7 @@ object SparkEntry {
     "p06_incremental_quality" -> (p06 _),
     "p07_incremental_df" -> (p07 _),
     "p08_incremental_screen" -> (p08 _),
+    "p09_incremental_span_screen" -> (p09 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),
@@ -2666,6 +2748,27 @@ object SparkEntry {
         |  floor(avg(prob) * 10000) / 10000 AS fluency
         |FROM b JOIN pr USING (bg)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "t21_word_lm_score" ->
+      // add-1-smoothed word bigrams: (nb+1)/(np+V), V = vocab size;
+      // integer counts + one division keeps the arithmetic
+      // engine-identical (the t12/t08 rational trick)
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(tk) - 1, 0)),
+        |    i -> array_to_string(tk[i:i+1], ' '))) AS bg FROM d),
+        |bc AS (SELECT bg, count(*)::BIGINT AS nb FROM b GROUP BY 1),
+        |pc AS (SELECT split_part(bg, ' ', 1) AS p, sum(nb)::BIGINT AS np
+        |  FROM bc GROUP BY 1),
+        |vs AS (SELECT count(DISTINCT t)::BIGINT AS v
+        |  FROM (SELECT unnest(tk) AS t FROM d)),
+        |pr AS (SELECT bg, (nb + 1) / (np + v) AS prob FROM bc
+        |  JOIN pc ON split_part(bc.bg, ' ', 1) = pc.p CROSS JOIN vs)
+        |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor(avg(prob) * 1000000) / 1000000 AS fluency
+        |FROM b JOIN pr USING (bg)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "t14_train_split" ->
       """WITH b AS (SELECT doc_id,
         |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)
@@ -2971,6 +3074,30 @@ object SparkEntry {
         |  floor(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)
         |    / count(*) * 10000) / 10000 AS dup_frac
         |FROM w JOIN c USING (g) GROUP BY w.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "p09_incremental_span_screen" ->
+      // the batch equivalent of the maintained snapshot: window
+      // counts over the PUBLISHED corpus (doc_id % 7 != 0), external
+      // docs (doc_id % 7 = 0) probed at minCount = 1
+      """WITH corp AS (SELECT
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |ci AS (SELECT unnest(list_transform(
+        |    generate_series(1, greatest(len(tk) - 7, 0)),
+        |    i -> array_to_string(tk[i:i+7], ' '))) AS g FROM corp),
+        |c AS (SELECT g, count(*)::BIGINT AS n_pos FROM ci GROUP BY 1),
+        |w AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(tk) - 7, 0)),
+        |    i -> array_to_string(tk[i:i+7], ' '))) AS g
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |    FROM documents WHERE doc_id % 7 = 0))
+        |SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+        |  sum(CASE WHEN coalesce(c.n_pos, 0) >= 1 THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_dup,
+        |  floor(sum(CASE WHEN coalesce(c.n_pos, 0) >= 1 THEN 1 ELSE 0 END)
+        |    / count(*) * 10000) / 10000 AS dup_frac
+        |FROM w LEFT JOIN c USING (g) GROUP BY w.doc_id
         |ORDER BY doc_id""".stripMargin,
     "m04_modality_mixture" ->
       // ascii(first char) = first payload byte on the pure-ASCII

@@ -19,7 +19,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q01,t21 — builder-side iteration filter (the
+    // driver runs unfiltered; tools/check.py takes the same subset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // Isolate queries from each other (mirrors Bench): cached frames
       // left behind by dedup/LM pipelines otherwise accumulate across
       // all 127+ queries until block-manager eviction/GC churn taxes

@@ -658,8 +658,12 @@ object Dedup {
     * Shape at 100 TB: one hash shuffle on the window string for the
     * position count, one more to score docs — the t05/t18 n-gram
     * regime (vocabulary-sized aggregate, nothing broadcast, nothing
-    * all-pairs; hash the window upstream if shuffle width ever
-    * dominates — same verdicts modulo 64-bit collisions). The
+    * all-pairs). `hashWindows = true` is the shuffle-width knob: an
+    * 8-token window string averages ~50 bytes, so hashing each window
+    * to 64 bits upstream of the shuffle moves ~6× less data through
+    * the count exchange and the scoring join — same verdicts modulo
+    * xxhash64 collisions (~N²/2⁶⁵ expected false "duplicated"
+    * windows; parity spec in DedupSpec), the shape unchanged. The
     * window frame is cached lazily for its two readers (count +
     * scoring join); blocks are recomputable and LRU-evicted.
     * Docs shorter than `w` tokens have no windows and no row. */
@@ -667,11 +671,15 @@ object Dedup {
       docs: DataFrame,
       idCol: Column,
       textCol: Column,
-      w: Int = 8): DataFrame = {
+      w: Int = 8,
+      hashWindows: Boolean = false): DataFrame = {
     val wins = docs
       .select(idCol.as("doc_id"), TextFns.tokensLower(textCol).as("__tk"))
       .select(col("doc_id"),
-        explode(TextFns.wordNgrams(col("__tk"), w)).as("g"))
+        explode(TextFns.wordNgrams(col("__tk"), w)).as("__g0"))
+      // hashing happens in the same map stage, before the exchange
+      .select(col("doc_id"),
+        (if (hashWindows) xxhash64(col("__g0")) else col("__g0")).as("g"))
       .cache()
     val counts = wins.groupBy("g").agg(count(lit(1)).as("__c"))
     wins.join(counts, Seq("g"))

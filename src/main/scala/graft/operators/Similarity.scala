@@ -903,4 +903,37 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("cand_id"))
   }
+
+  /** Cross-modal cluster profile — the "what IS this cluster" report
+    * behind SemDeDup-style curation: cluster membership comes from
+    * the EMBEDDING space (`cells` = (id, cell) from [[kmeansCells]] /
+    * [[assignCells]]), every profiled metric comes from the TEXT side
+    * (`features`, joined on the shared id). Prune/keep decisions are
+    * made per cluster but executed per doc — this is the table those
+    * decisions read: doc count, token budget, mean quality, and
+    * corpus share per cell.
+    *
+    * Shape at 100 TB: cell assignment is map-side against driver-held
+    * centroids (no shuffle); the profile is ONE hash equi-join on the
+    * id between two id-partitioned fact tables, a |k|-row hash-agg,
+    * and a one-row total broadcast for the share — nothing all-pairs,
+    * nothing corpus-sized on the driver.
+    *
+    * @param cells    (idCol, "cell") — embedding-side assignment
+    * @param features per-id metric frame (text side)
+    * @param metrics  aggregate expressions evaluated per cell */
+  def clusterProfile(
+      cells: DataFrame,
+      features: DataFrame,
+      idCol: String,
+      metrics: Seq[Column]): DataFrame = {
+    val joined = cells.join(features, Seq(idCol))
+    val total = joined.agg(count(lit(1)).cast("double").as("__total"))
+    joined.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"), metrics: _*)
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        floor(col("n_docs") / col("__total") * 10000) / 10000)
+      .drop("__total")
+  }
 }

@@ -667,6 +667,107 @@ object Streams {
     snap.orderBy("vec_id")
   }
 
+  /** p09: incremental span screening — documents scored per
+    * micro-batch against a PUBLISHED span index
+    * ([[graft.operators.Dedup.writeSpanIndex]]) at `minCount = 1`:
+    * any window already present in the published corpus is duplicated
+    * text. This is d16's exact-substring signal moved to INGEST time:
+    * each arriving doc pays one bucketed probe join against the
+    * frozen index (O(batch windows)), the published corpus is never
+    * recounted — its explode + count shuffle was paid once at
+    * publish. The verdict is a pure per-row function of the frozen
+    * index, so the maintained snapshot EQUALS the batch
+    * [[graft.operators.Dedup.dupSpansFromIndex]] screen over the same
+    * rows under ANY micro-batch chunking (replay spec in
+    * IncrementalStreamSpec); replayed ids collapse through the
+    * first-arrival anti-join (verdicts deterministic → keep-first is
+    * idempotent). Index REBUILD cadence is a publish decision,
+    * exactly as the IVF layout's quantizer. Versioned snapshot dirs +
+    * atomic pointer, as p03/p04/p08. */
+  def incrementalSpanScreen(
+      stream: DataFrame,
+      indexTable: String,
+      base: String,
+      w: Int = 8): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val verdicts = graft.operators.Dedup.dupSpansFromIndex(
+          spark, batch.toDF(), col("doc_id"), col("text"), indexTable,
+          w, minCount = 1L)
+        val merged = readPtr() match {
+          case None => verdicts
+          case Some(p) =>
+            val st = spark.read.parquet(p)
+            st.unionByName(
+              verdicts.join(st.select("doc_id"), Seq("doc_id"), "left_anti"))
+        }
+        val out = s"$base/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        writePointerAtomic(latestFile, out)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p09_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(snap)
+  }
+
+  /** Drop a managed table AND its warehouse directory — a previous
+    * JVM's saveAsTable leaves the managed location behind (its
+    * in-memory catalog entry died with that JVM), and a fresh write
+    * would fail with LOCATION_ALREADY_EXISTS. */
+  def dropManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get(
+      "spark.sql.warehouse.dir", "spark-warehouse")
+    val root = if (wh.startsWith("file:"))
+      java.nio.file.Paths.get(new java.net.URI(wh)).toString else wh
+    val dir = new java.io.File(root, table.toLowerCase)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  /** [[incrementalSpanScreen]] over the documents table: the index is
+    * built over the published corpus (doc_id % 7 ≠ 0), the stream
+    * carries the EXTERNAL docs (doc_id % 7 = 0) — new arrivals
+    * screened against the published corpus exactly as
+    * [[graft.operators.Dedup.dupSpansFromIndex]] would in batch, so
+    * the whole chain is DuckDB-expressible (window counts over the
+    * corpus subset, probe from the external subset). */
+  def streamingSpanScreen(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p09").toString
+    val table = "graft_p09_span_idx"
+    dropManagedTable(spark, table)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.operators.Dedup.writeSpanIndex(
+      docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"),
+      table, w = 8, numBuckets = 8)
+    val ext = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 7 === 0)
+    val snap = withStreamPartitions(spark, 8) {
+      incrementalSpanScreen(ext, table, base, w = 8)
+    }
+    snap.orderBy("doc_id")
+  }
+
   /** p05: incremental ANN-index maintenance — the coarse quantizer is
     * FROZEN (trained once on the base corpus — the "yesterday's
     * index" regime) and each micro-batch of new vectors is assigned

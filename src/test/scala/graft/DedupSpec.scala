@@ -234,6 +234,23 @@ class DedupSpec extends SparkSuite {
     assert(got(4L) == (9L, 2L), s"doc4: ${got(4L)}")
   }
 
+  test("duplicatedSpanProfile: 64-bit hashed windows match the string path") {
+    // the shuffle-width knob: xxhash64 the window upstream of the
+    // exchange — same verdicts on the real corpus (collisions are
+    // ~N²/2⁶⁵; any would surface here as a dup-count mismatch)
+    val docs = Tables.load(spark, sfDir, "documents")
+    def profile(hashed: Boolean) =
+      Dedup.duplicatedSpanProfile(docs, col("doc_id"), col("text"), 8,
+          hashWindows = hashed)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val str = profile(false)
+    val hsh = profile(true)
+    assert(hsh == str,
+      s"hashed path diverged: ${(str.toSet -- hsh.toSet).take(3)}")
+  }
+
   test("span index layout: probe reproduces the profile, screens external docs") {
     import spark.implicits._
     val corpus = Tables.load(spark, sfDir, "documents")

@@ -46,7 +46,11 @@ class QueriesSmokeSpec extends SparkSuite {
       // d14 broadcasts the tiny eval embedding set over the corpus
       // scan (eval << corpus by construction); t20 broadcasts the
       // ONE-row total/source-count aggregate
-      "d14_semantic_decontam", "t20_mixture_plan")
+      "d14_semantic_decontam", "t20_mixture_plan",
+      // s12 cross-joins the ONE-row join-total aggregate onto the
+      // |k|-row profile; t21 cross-joins the ONE-row vocab-size
+      // aggregate into the model frame
+      "s12_cluster_profile", "t21_word_lm_score")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",

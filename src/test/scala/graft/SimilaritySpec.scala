@@ -235,6 +235,31 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"MIPS-ANN recall too low: $recall")
   }
 
+  test("clusterProfile: deterministic, covers every joined doc") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val feats = docs.select(col("doc_id").as("vec_id"), col("lang"),
+      length(col("text")).cast("long").as("__ntok"))
+    def run() = Similarity.clusterProfile(
+        Similarity.kmeansCells(emb, "vec_id", "embedding", 8, maxIter = 5),
+        feats, "vec_id", Seq(
+          sum(col("__ntok")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs")))
+      .collect()
+      .map(r => r.getAs[Int]("cell") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("n_langs"), r.getAs[Double]("share"))).toMap
+    val a = run()
+    // seeded k-means + hash-free aggregates: byte-identical rerun
+    assert(a == run(), "same seed must reproduce the same profile")
+    assert(a.size <= 8 && a.nonEmpty)
+    // every doc that has an embedding lands in exactly one cell
+    val joined = emb.join(feats, "vec_id").count()
+    assert(a.values.map(_._1).sum == joined,
+      s"profile drops/duplicates docs: ${a.values.map(_._1).sum} vs $joined")
+    // shares are floor-truncated fractions of the same total
+    assert(a.values.map(_._4).sum <= 1.0 + 1e-9)
+  }
+
   test("byteDot: integer dot, NULL on length mismatch") {
     import spark.implicits._
     // Seq[Byte] encodes as array<tinyint> (Array[Byte] would be binary)

@@ -305,6 +305,42 @@ class StreamsSpec extends SparkSuite {
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
 
+  test("incremental span screen: multi-batch replay equals batch probe") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val ext = docs.filter(col("doc_id") % 7 === 0)
+    val table = "graft_p09_spec_idx"
+    graft.streaming.Streams.dropManagedTable(spark, table)
+    try {
+      graft.operators.Dedup.writeSpanIndex(
+        corpus, col("doc_id"), col("text"), table, w = 8, numBuckets = 8)
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_p09_src").toString
+      ext.repartition(3).write.mode("overwrite").parquet(srcDir)
+      val stream = spark.readStream.schema(ext.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_p09_spec").toString
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"),
+            r.getAs[Double]("dup_frac"))).toMap
+      val got = asMap(graft.streaming.Streams
+        .incrementalSpanScreen(stream, table, base, w = 8))
+      val expect = asMap(graft.operators.Dedup.dupSpansFromIndex(
+        spark, ext, col("doc_id"), col("text"), table, 8, minCount = 1L))
+      assert(got == expect,
+        s"diverged: ${(expect.toSet -- got.toSet).take(3)}")
+      // at least one external doc shares a corpus window (else the
+      // screen isn't discriminating on this fixture)
+      assert(got.values.exists(_._2 >= 1L), "no external dup found")
+      val versions = new java.io.File(base).listFiles()
+        .map(_.getName).filter(_.startsWith("v"))
+      assert(versions.length > 1,
+        s"expected multiple batches: ${versions.toSeq}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("incremental IVF index: multi-batch fold equals batch assignment") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     // quantizer frozen on the full corpus; the stream then delivers
