@@ -487,7 +487,10 @@ object Streams {
               .groupBy("bg").agg(sum(col("nb")).as("nb"))
         }
         val out = s"$base/v$id"
-        merged.write.mode("overwrite").parquet(out)
+        // the model is bounded by alphabet² rows at ANY corpus scale,
+        // so a single snapshot file is correct even at 100 TB — and
+        // avoids an 8-tiny-file write+list+read roundtrip per batch
+        merged.coalesce(1).write.mode("overwrite").parquet(out)
         writePointerAtomic(latestFile, out)
         ()
       }
