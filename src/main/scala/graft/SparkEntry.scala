@@ -1506,6 +1506,16 @@ object SparkEntry {
         col("doc_id"), col("text"), w = 8)
       .orderBy("doc_id")
 
+  /** d17: exact-substring dedup rewrite
+    * ([[Dedup.exactSubstringDedup]], 8-token windows) — the action
+    * half of d16's signal: drop every token covered by a non-first
+    * occurrence of a corpus-duplicated window, keeping the globally
+    * first (min (doc_id, pos)) copy. */
+  private def d17(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringDedup(T(s, dir, "documents"),
+        col("doc_id"), col("text"), w = 8)
+      .orderBy("doc_id")
+
   /** d04: 64-bit SimHash signatures + banding chunks — rows-only
     * oracle (xxhash64-based). */
   private def d04(s: SparkSession, dir: String): DataFrame =
@@ -2190,6 +2200,7 @@ object SparkEntry {
     "d14_semantic_decontam" -> (d14 _),
     "d15_source_overlap" -> (d15 _),
     "d16_dup_spans" -> (d16 _),
+    "d17_substring_rewrite" -> (d17 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
@@ -3075,6 +3086,34 @@ object SparkEntry {
         |    / count(*) * 10000) / 10000 AS dup_frac
         |FROM w JOIN c USING (g) GROUP BY w.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "d17_substring_rewrite" ->
+      // first occurrence = min (doc_id, pos) struct, both engines
+      // order structs lexicographically; kept token indices are the
+      // ones covered by NO removable window (p <= i < p+8)
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 0)),
+        |      i -> {'pos': i, 'g': array_to_string(tk[i:i+7], ' ')}),
+        |      recursive := true)
+        |  FROM tok),
+        |c AS (SELECT g, count(*)::BIGINT AS cnt,
+        |    min({'d': doc_id, 'p': pos}) AS first FROM w GROUP BY 1),
+        |rem AS (SELECT doc_id, list(pos) AS rps
+        |  FROM w JOIN c USING (g)
+        |  WHERE cnt >= 2 AND NOT (doc_id = first.d AND pos = first.p)
+        |  GROUP BY 1),
+        |k AS (SELECT t.doc_id, tk,
+        |    list_filter(generate_series(1, len(tk)),
+        |      i -> len(list_filter(coalesce(rps, []),
+        |        p -> p <= i AND i < p + 8)) = 0) AS kept
+        |  FROM tok t LEFT JOIN rem USING (doc_id))
+        |SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+        |  (len(tk) - len(kept))::BIGINT AS n_removed,
+        |  coalesce(array_to_string(list_transform(kept, i -> tk[i]), ' '),
+        |    '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
     "p09_incremental_span_screen" ->
       // the batch equivalent of the maintained snapshot: window
       // counts over the PUBLISHED corpus (doc_id % 7 != 0), external

@@ -747,6 +747,107 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Exact-substring dedup REWRITE — the action half of the
+    * [[duplicatedSpanProfile]] signal (the "remove any substring
+    * occurring more than once in the corpus" family, Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better",
+    * adapted from byte-level suffix arrays to the engine's w-token
+    * window regime): every `w`-token window occurring at ≥2 positions
+    * corpus-wide keeps its globally-FIRST occurrence (min
+    * `(doc_id, pos)` — deterministic, retry-stable) and every token
+    * covered by a later occurrence is dropped from its doc. Output
+    * per doc: token count, removed-token count, and the rewritten
+    * token stream (lowercased, space-joined — the same normalized
+    * stream every downstream t-family op consumes).
+    *
+    * Shape at 100 TB: the d16 regime plus one doc-keyed shuffle —
+    * window count+argmin is a vocabulary-sized aggregate (map-side
+    * partials; `min(struct(doc_id, pos))` rides the same exchange as
+    * the count), removable positions regroup on doc_id, and the
+    * rewrite is a per-doc lambda. Per-doc cost is
+    * O(tokens × removed_spans) worst-case — bounded by doc length²,
+    * fine for web-doc sizes; a suffix-automaton rewrite would be the
+    * escape hatch for degenerate book-length repeats. Removing a span
+    * can create a NEW duplicated window across the seam (noted by Lee
+    * et al. too); one pass is the standard fixpoint approximation. */
+  def exactSubstringDedup(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      w: Int = 8): DataFrame = {
+    val tok = docs.select(idCol.as("doc_id"),
+      TextFns.tokensLower(textCol).as("tk"))
+    // pos is 1-based so it indexes tk directly (element_at semantics)
+    // NOT cached despite two readers (count + first-position join):
+    // measured 2.5 s uncached vs 3.0 s cached at sf0.1 — recomputing
+    // the codegen'd scan+split+concat beats materializing the full
+    // window strings (unlike d16, whose second reader re-reads the
+    // whole frame rather than joining through a g-keyed exchange)
+    val wins = tok
+      .select(col("doc_id"),
+        posexplode(TextFns.wordNgrams(col("tk"), w)).as(Seq("__p0", "g")))
+      .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("g"))
+    val counts = wins.groupBy("g")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("first"))
+    val rem = wins.join(counts, Seq("g"))
+      .filter(col("cnt") >= 2 &&
+        !(col("doc_id") === col("first.d") && col("pos") === col("first.p")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("rps"))
+    rewriteDroppingSpans(tok, rem, w)
+  }
+
+  /** Shared rewrite tail: drop every token of `tok` covered by a
+    * removable window start in `rem` (doc_id → sorted `rps` array).
+    * Docs absent from `rem` pass through untouched. */
+  private def rewriteDroppingSpans(
+      tok: DataFrame, rem: DataFrame, w: Int): DataFrame =
+    tok.join(rem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tk"),
+        filter(sequence(lit(1), size(col("tk"))),
+          i => !exists(coalesce(col("rps"), array().cast("array<int>")),
+            p => p <= i && i < p + w)).as("kept"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("kept"),
+          i => element_at(col("tk"), i)), " ").as("clean_text"))
+
+  /** [[exactSubstringDedup]]'s rewrite against a PUBLISHED
+    * [[writeSpanIndex]] layout instead of a self-count: every window
+    * of the probe docs present in the index at ≥ `minCount` positions
+    * is duplicated text and its tokens are cut. With the default
+    * `minCount = 1` this rewrites EXTERNAL docs against the published
+    * corpus — the canonical copy lives in the corpus, so there is no
+    * first-occurrence election to run and every hit is removable
+    * (the action twin of [[dupSpansFromIndex]]'s screen, and the
+    * batch body of the incremental p10 stage). Only the probe side
+    * shuffles; the index side is a bucketed scan with no exchange. */
+  def rewriteFromIndex(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      table: String,
+      w: Int = 8,
+      minCount: Long = 1L): DataFrame = {
+    val tok = docs.select(idCol.as("doc_id"),
+      TextFns.tokensLower(textCol).as("tk"))
+    val wins = tok
+      .select(col("doc_id"),
+        posexplode(TextFns.wordNgrams(col("tk"), w)).as(Seq("__p0", "g")))
+      .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("g"))
+    // keep the bucketed scan (same rationale as dupSpansFromIndex)
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val rem = wins.join(spark.table(table), Seq("g"))
+      .filter(col("n_pos") >= minCount)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("rps"))
+    rewriteDroppingSpans(tok, rem, w)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold over an
     * id-bounded block. The full-corpus scale path is
     * [[embeddingNearDupPairsBucketed]]; this operator does exact

@@ -234,6 +234,48 @@ class DedupSpec extends SparkSuite {
     assert(got(4L) == (9L, 2L), s"doc4: ${got(4L)}")
   }
 
+  test("exactSubstringDedup: first occurrence kept, later spans cut, seams intact") {
+    import spark.implicits._
+    val docs = Seq(
+      // holds the globally-first copy of [a..h] -> survives intact
+      (1L, "a b c d e f g h x1 y z"),
+      // non-first copy at pos 3 -> tokens 3..10 drop, seam 'p q r' stays
+      (2L, "p q a b c d e f g h r"),
+      // unique vocabulary -> untouched
+      (3L, "u v w x y z1 z2 z3"),
+      // within-doc repeat: first copy (pos 1) kept, second (pos 9) cut
+      (4L, "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8"),
+      // shorter than the window -> no windows, untouched
+      (5L, "short doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(docs, col("doc_id"), col("text"), 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == (11L, 0L, "a b c d e f g h x1 y z"), s"doc1: ${got(1L)}")
+    assert(got(2L) == (11L, 8L, "p q r"), s"doc2: ${got(2L)}")
+    assert(got(3L) == (8L, 0L, "u v w x y z1 z2 z3"), s"doc3: ${got(3L)}")
+    assert(got(4L) == (16L, 8L, "m1 m2 m3 m4 m5 m6 m7 m8"), s"doc4: ${got(4L)}")
+    assert(got(5L) == (2L, 0L, "short doc"), s"doc5: ${got(5L)}")
+  }
+
+  test("exactSubstringDedup: removal is consistent with the d16 signal") {
+    // any doc the rewrite touched must show dup_frac > 0 in the
+    // profile, and a doc with zero duplicated windows is untouched
+    val docs = Tables.load(spark, sfDir, "documents")
+    val prof = Dedup.duplicatedSpanProfile(docs, col("doc_id"), col("text"), 8)
+      .select(col("doc_id"), col("n_dup"))
+    val rewr = Dedup.exactSubstringDedup(docs, col("doc_id"), col("text"), 8)
+      .select(col("doc_id"), col("n_removed"))
+    val joined = rewr.join(prof, Seq("doc_id")).cache()
+    try {
+      val bad = joined.filter(col("n_removed") > 0 && col("n_dup") === 0).count()
+      assert(bad == 0L, s"$bad docs rewritten despite zero duplicated windows")
+      val touched = joined.filter(col("n_removed") > 0).count()
+      assert(touched > 0L, "fixture corpus has dups but nothing was rewritten")
+    } finally { joined.unpersist(); () }
+  }
+
   test("duplicatedSpanProfile: 64-bit hashed windows match the string path") {
     // the shuffle-width knob: xxhash64 the window upstream of the
     // exchange — same verdicts on the real corpus (collisions are
