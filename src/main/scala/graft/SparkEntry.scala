@@ -2045,6 +2045,18 @@ object SparkEntry {
   private def p09(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingSpanScreen(s, dir)
 
+  /** p10: incremental span rewrite
+    * ([[graft.streaming.Streams.incrementalSpanRewrite]]) — d17's
+    * exact-substring CUT at INGEST time: external docs
+    * (doc_id % 7 = 0) rewritten per micro-batch against the span
+    * index published over the rest of the corpus (minCount = 1; the
+    * canonical copy lives in the corpus, so every hit is removable —
+    * no first-occurrence election at ingest). Pure per-row rewrite
+    * against the frozen index → snapshot equals the batch rewrite
+    * under any chunking (replay spec). */
+  private def p10(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingSpanRewrite(s, dir)
+
   /** m05: payload dedup on the perceptual-signature stub
     * ([[Multimodal.payloadDedup]], first-32-byte md5 standing in for
     * pHash/chromaprint): near-identical media collapse on the
@@ -2240,6 +2252,7 @@ object SparkEntry {
     "p07_incremental_df" -> (p07 _),
     "p08_incremental_screen" -> (p08 _),
     "p09_incremental_span_screen" -> (p09 _),
+    "p10_incremental_span_rewrite" -> (p10 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),
@@ -3138,6 +3151,39 @@ object SparkEntry {
         |    / count(*) * 10000) / 10000 AS dup_frac
         |FROM w LEFT JOIN c USING (g) GROUP BY w.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "p10_incremental_span_rewrite" ->
+      // the batch equivalent of the maintained snapshot: external
+      // docs (doc_id % 7 = 0) rewritten against window counts over
+      // the PUBLISHED corpus (doc_id % 7 != 0) at minCount = 1 —
+      // d17's rewrite tail, no first-occurrence election
+      """WITH corp AS (SELECT
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |c AS (SELECT g, count(*)::BIGINT AS n_pos FROM (
+        |    SELECT unnest(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 0)),
+        |      i -> array_to_string(tk[i:i+7], ' '))) AS g FROM corp)
+        |  GROUP BY 1),
+        |tok AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |w AS (SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 0)),
+        |      i -> {'pos': i, 'g': array_to_string(tk[i:i+7], ' ')}),
+        |      recursive := true)
+        |  FROM tok),
+        |rem AS (SELECT doc_id, list(pos) AS rps
+        |  FROM w JOIN c USING (g) WHERE n_pos >= 1 GROUP BY 1),
+        |k AS (SELECT t.doc_id, tk,
+        |    list_filter(generate_series(1, len(tk)),
+        |      i -> len(list_filter(coalesce(rps, []),
+        |        p -> p <= i AND i < p + 8)) = 0) AS kept
+        |  FROM tok t LEFT JOIN rem USING (doc_id))
+        |SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+        |  (len(tk) - len(kept))::BIGINT AS n_removed,
+        |  coalesce(array_to_string(list_transform(kept, i -> tk[i]), ' '),
+        |    '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
     "m04_modality_mixture" ->
       // ascii(first char) = first payload byte on the pure-ASCII
       // corpus (same trick as m03); modality = byte % 3

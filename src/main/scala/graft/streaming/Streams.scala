@@ -726,6 +726,80 @@ object Streams {
     spark.read.parquet(snap)
   }
 
+  /** p10: incremental span REWRITE — the action twin of p09's
+    * screen: each micro-batch of arriving docs is rewritten against
+    * the PUBLISHED span index
+    * ([[graft.operators.Dedup.rewriteFromIndex]], `minCount = 1`):
+    * any window already present in the published corpus is duplicated
+    * text and its tokens are cut before the doc enters the training
+    * set. The canonical copy lives in the published corpus, so no
+    * first-occurrence election runs at ingest — the verdict is a pure
+    * per-row function of the frozen index, hence the snapshot EQUALS
+    * the batch rewrite over the same rows under ANY chunking (replay
+    * spec) and replayed ids collapse through the first-arrival
+    * anti-join. O(batch windows) per batch, corpus never recounted;
+    * versioned snapshot dirs + atomic pointer, as p03-p09. */
+  def incrementalSpanRewrite(
+      stream: DataFrame,
+      indexTable: String,
+      base: String,
+      w: Int = 8): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rewritten = graft.operators.Dedup.rewriteFromIndex(
+          spark, batch.toDF(), col("doc_id"), col("text"), indexTable,
+          w, minCount = 1L)
+        val merged = readPtr() match {
+          case None => rewritten
+          case Some(p) =>
+            val st = spark.read.parquet(p)
+            st.unionByName(
+              rewritten.join(st.select("doc_id"), Seq("doc_id"), "left_anti"))
+        }
+        val out = s"$base/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        writePointerAtomic(latestFile, out)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p10_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(snap)
+  }
+
+  /** [[incrementalSpanRewrite]] over the documents table: index from
+    * the published corpus (doc_id % 7 ≠ 0), stream carries the
+    * external docs (doc_id % 7 = 0) — the same split as p09, so the
+    * whole chain stays DuckDB-expressible. */
+  def streamingSpanRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p10").toString
+    val table = "graft_p10_span_idx"
+    dropManagedTable(spark, table)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.operators.Dedup.writeSpanIndex(
+      docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"),
+      table, w = 8, numBuckets = 8)
+    val ext = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 7 === 0)
+    val snap = withStreamPartitions(spark, 8) {
+      incrementalSpanRewrite(ext, table, base, w = 8)
+    }
+    snap.orderBy("doc_id")
+  }
+
   /** Drop a managed table AND its warehouse directory — a previous
     * JVM's saveAsTable leaves the managed location behind (its
     * in-memory catalog entry died with that JVM), and a fresh write

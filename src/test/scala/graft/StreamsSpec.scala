@@ -341,6 +341,42 @@ class StreamsSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("incremental span rewrite: multi-batch replay equals batch rewrite") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val ext = docs.filter(col("doc_id") % 7 === 0)
+    val table = "graft_p10_spec_idx"
+    graft.streaming.Streams.dropManagedTable(spark, table)
+    try {
+      graft.operators.Dedup.writeSpanIndex(
+        corpus, col("doc_id"), col("text"), table, w = 8, numBuckets = 8)
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_p10_src").toString
+      ext.repartition(3).write.mode("overwrite").parquet(srcDir)
+      val stream = spark.readStream.schema(ext.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_p10_spec").toString
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+            r.getAs[String]("clean_text"))).toMap
+      val got = asMap(graft.streaming.Streams
+        .incrementalSpanRewrite(stream, table, base, w = 8))
+      val expect = asMap(graft.operators.Dedup.rewriteFromIndex(
+        spark, ext, col("doc_id"), col("text"), table, 8, minCount = 1L))
+      assert(got == expect,
+        s"diverged: ${(expect.toSet -- got.toSet).take(3)}")
+      // the fixture must actually cut something, or the rewrite
+      // isn't discriminating here
+      assert(got.values.exists(_._2 >= 1L), "no external span cut")
+      val versions = new java.io.File(base).listFiles()
+        .map(_.getName).filter(_.startsWith("v"))
+      assert(versions.length > 1,
+        s"expected multiple batches: ${versions.toSeq}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("incremental IVF index: multi-batch fold equals batch assignment") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     // quantizer frozen on the full corpus; the stream then delivers
