@@ -1069,6 +1069,47 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** t22: DSIR-shaped importance weights for data selection (Xie et
+    * al. 2023 "Data Selection for Language Models via Importance
+    * Resampling", re-expressed in the engine's rational-arithmetic
+    * regime): hashed word-bigram features (the paper's hashed n-gram
+    * generative model, [[TextFns.featureBucket]] into B=64 buckets),
+    * target distribution = the `src0` docs, raw = the rest; per-doc
+    * weight = mean over the doc's feature occurrences of the add-1-
+    * smoothed likelihood ratio
+    * ((c_tgt+1)(tot_raw+B)) / ((c_raw+1)(tot_tgt+B)).
+    * The ratio form keeps every operand an exact integer (one
+    * division, no logs), so the arithmetic is engine-identical —
+    * t21's trick applied to importance weighting. The feature-count
+    * model is B rows (hash-agg, map-side partials, auto-broadcast at
+    * join); totals are a one-row broadcast. At 100 TB: one explode +
+    * one B-row aggregate + one map-side join — the t11 regime; a
+    * resampler then consumes `dsir_weight` exactly as t09 consumes
+    * its weight column. */
+  private def t22(s: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    val bg = T(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(TextFns.wordNgrams(
+          TextFns.tokensLower(col("text")), 2)).as("bgr"))
+      .select(col("doc_id"), col("source"),
+        TextFns.featureBucket(col("bgr"), B).as("b"))
+    val isTgt = col("source") === "src0"
+    val counts = bg.groupBy("b").agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("cr"))
+    val tots = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    bg.join(counts, Seq("b"))
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"),
+        (((col("ct") + 1) * (col("tr") + B)).cast("double") /
+          ((col("cr") + 1) * (col("tt") + B))).as("ratio"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        (floor(avg(col("ratio")) * 1000000) / 1000000).as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
   /** t13: corpus-derived stopword/boilerplate detection — tokens
     * whose document frequency exceeds half the corpus: the
     * data-driven stopword list a filtering pipeline derives per
@@ -2172,6 +2213,7 @@ object SparkEntry {
     "t11_hashed_features" -> (t11 _),
     "t12_char_lm_score" -> (t12 _),
     "t21_word_lm_score" -> (t21 _),
+    "t22_dsir_weights" -> (t22 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
@@ -2793,6 +2835,28 @@ object SparkEntry {
         |  floor(avg(prob) * 1000000) / 1000000 AS fluency
         |FROM b JOIN pr USING (bg)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "t22_dsir_weights" ->
+      // hashed-bigram likelihood ratios, add-1 smoothed; every
+      // operand an exact integer, one double division (t21's trick)
+      """WITH bgm AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(bg), 1, 8))::BIGINT % 64 AS b
+        |  FROM (SELECT doc_id, source, unnest(list_transform(
+        |      generate_series(1, greatest(len(tk) - 1, 0)),
+        |      i -> array_to_string(tk[i:i+1], ' '))) AS bg
+        |    FROM (SELECT doc_id, source,
+        |      string_split_regex(lower(trim(text)), '\s+') AS tk
+        |      FROM documents))),
+        |c AS (SELECT b,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ct,
+        |    sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)::BIGINT AS cr
+        |  FROM bgm GROUP BY 1),
+        |t AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM c)
+        |SELECT bgm.doc_id, count(*)::BIGINT AS n_feats,
+        |  floor(avg(((c.ct + 1) * (t.tr + 64))::DOUBLE /
+        |    ((c.cr + 1) * (t.tt + 64))) * 1000000) / 1000000
+        |    AS dsir_weight
+        |FROM bgm JOIN c USING (b) CROSS JOIN t
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "t14_train_split" ->
       """WITH b AS (SELECT doc_id,
         |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)

@@ -50,7 +50,10 @@ class QueriesSmokeSpec extends SparkSuite {
       // s12 cross-joins the ONE-row join-total aggregate onto the
       // |k|-row profile; t21 cross-joins the ONE-row vocab-size
       // aggregate into the model frame
-      "s12_cluster_profile", "t21_word_lm_score")
+      "s12_cluster_profile", "t21_word_lm_score",
+      // t22 cross-joins the ONE-row feature-total aggregate into the
+      // per-occurrence ratio frame
+      "t22_dsir_weights")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",

@@ -144,4 +144,21 @@ class SamplingSpec extends SparkSuite {
     assert(byShard.values.max <= 3 * n / 16,
       s"skewed shard: max=${byShard.values.max}, fair=${n / 16}")
   }
+
+  test("t22 DSIR weights are positive and upweight the target source") {
+    val w = SparkEntry.queries("t22_dsir_weights")(spark, sfDir)
+    val joined = w.join(docs.select("doc_id", "source"), "doc_id")
+    val nonPos = joined.filter(col("dsir_weight") <= 0).count()
+    assert(nonPos == 0, s"$nonPos docs with non-positive importance weight")
+    // the importance ratio must recover its own target distribution:
+    // src0 docs (the target) should average a higher weight than the
+    // raw pool — the property a resampler depends on
+    val Array(tgt, raw) = joined
+      .groupBy((col("source") === "src0").as("isTgt"))
+      .agg(avg(col("dsir_weight")).as("m"))
+      .orderBy(col("isTgt").desc)
+      .collect().map(_.getAs[Double]("m"))
+    assert(tgt > raw,
+      s"target mean weight $tgt not above raw mean $raw — not discriminating")
+  }
 }
