@@ -2065,6 +2065,18 @@ object SparkEntry {
   private def p07(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingStopwords(s, dir)
 
+  /** p11: INCREMENTAL DSIR feature model — t22's hashed-bigram
+    * (bucket → target/raw count) pair folded per micro-batch as
+    * commutative monoids
+    * ([[graft.streaming.Streams.incrementalDsirModel]]): the data-
+    * selection model maintained at ingest, bounded at B=64 rows by
+    * the hashing trick — so unlike t21's vocabulary LM it broadcasts
+    * for map-side scoring of new docs. Finished as the deployable
+    * smoothed-ratio model (t22's arithmetic at read time; replay
+    * spec). */
+  private def p11(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingDsirModel(s, dir)
+
   /** p08: INCREMENTAL semantic decontamination
     * ([[graft.streaming.Streams.incrementalSemanticScreen]]) — d14's
     * embedding screen folded per micro-batch against the static eval
@@ -2295,6 +2307,7 @@ object SparkEntry {
     "p08_incremental_screen" -> (p08 _),
     "p09_incremental_span_screen" -> (p09 _),
     "p10_incremental_span_rewrite" -> (p10 _),
+    "p11_incremental_dsir" -> (p11 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),
@@ -3604,6 +3617,26 @@ object SparkEntry {
         |  floor((df / total) * 10000) / 10000 AS doc_frac
         |FROM d CROSS JOIN n WHERE df / total > 0.5
         |ORDER BY token""".stripMargin,
+    "p11_incremental_dsir" ->
+      // the batch form of the maintained model: t22's bucket counts
+      // + the smoothed ratio derived from the final state
+      """WITH bgm AS (SELECT source,
+        |    ('0x' || substr(md5(bg), 1, 8))::BIGINT % 64 AS b
+        |  FROM (SELECT source, unnest(list_transform(
+        |      generate_series(1, greatest(len(tk) - 1, 0)),
+        |      i -> array_to_string(tk[i:i+1], ' '))) AS bg
+        |    FROM (SELECT source,
+        |      string_split_regex(lower(trim(text)), '\s+') AS tk
+        |      FROM documents))),
+        |c AS (SELECT b,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ct,
+        |    sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)::BIGINT AS cr
+        |  FROM bgm GROUP BY 1),
+        |t AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM c)
+        |SELECT b, ct, cr,
+        |  floor(((ct + 1) * (tr + 64))::DOUBLE /
+        |    ((cr + 1) * (tt + 64)) * 1000000) / 1000000 AS ratio
+        |FROM c CROSS JOIN t ORDER BY b""".stripMargin,
     "p08_incremental_screen" ->
       // the incremental screen must reproduce d14's batch report
       // verbatim — same oracle

@@ -576,6 +576,84 @@ object Streams {
       .crossJoin(broadcast(spark.read.parquet(s"$snap/meta")))
   }
 
+  /** p11: incremental DSIR feature-model maintenance — t22's hashed-
+    * bigram target/raw counts folded per micro-batch: the per-bucket
+    * (ct, cr) pair is a monoid (sums), so the maintained model equals
+    * the batch aggregate under ANY chunking (replay spec). This is
+    * the piece of DSIR that makes it deployable at ingest: unlike
+    * t21's vocabulary-sized LM, the hashed model is BOUNDED at `dim`
+    * rows by construction (the paper's point), so scoring new docs is
+    * a map-side broadcast of the current snapshot — no corpus rescan,
+    * no vocabulary shuffle. Versioned dirs + atomic pointer. */
+  def incrementalDsirModel(
+      stream: DataFrame,
+      base: String,
+      targetSource: String = "src0",
+      dim: Int = 64): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val isTgt = col("source") === targetSource
+        val delta = batch.toDF()
+          .select(col("source"), explode(graft.functions.TextFns.wordNgrams(
+            graft.functions.TextFns.tokensLower(col("text")), 2)).as("bgr"))
+          .select(col("source"),
+            graft.functions.TextFns.featureBucket(col("bgr"), dim).as("b"))
+          .groupBy("b").agg(
+            sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
+            sum(when(isTgt, 0L).otherwise(1L)).as("cr"))
+        val merged = readPtr() match {
+          case None => delta
+          case Some(p) =>
+            spark.read.parquet(p).unionByName(delta)
+              .groupBy("b")
+              .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+        }
+        val out = s"$base/v$id"
+        // bounded at dim rows at ANY corpus scale: single-file
+        // snapshot, same rationale as the p04 LM model
+        merged.coalesce(1).write.mode("overwrite").parquet(out)
+        writePointerAtomic(latestFile, out)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p11_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(snap)
+  }
+
+  /** [[incrementalDsirModel]] over the documents table, finished as
+    * the deployable scoring model: per-bucket add-1-smoothed
+    * likelihood ratio from the maintained counts (t22's arithmetic,
+    * derived at read time from the monoid state). */
+  def streamingDsirModel(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p11").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val model = withStreamPartitions(spark, 8) {
+      incrementalDsirModel(docs, base)
+    }
+    val tots = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    model.crossJoin(broadcast(tots))
+      .select(col("b"), col("ct"), col("cr"),
+        (floor(((col("ct") + 1) * (col("tr") + 64)).cast("double") /
+          ((col("cr") + 1) * (col("tt") + 64)) * 1000000) / 1000000)
+          .as("ratio"))
+      .orderBy("b")
+  }
+
   /** [[incrementalDfModel]] over the documents table, finished as the
     * t13 stopword report (df/N > 0.5) — the maintained model must
     * reproduce the batch-derived list exactly. */

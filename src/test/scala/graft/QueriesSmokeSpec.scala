@@ -52,8 +52,9 @@ class QueriesSmokeSpec extends SparkSuite {
       // aggregate into the model frame
       "s12_cluster_profile", "t21_word_lm_score",
       // t22 cross-joins the ONE-row feature-total aggregate into the
-      // per-occurrence ratio frame
-      "t22_dsir_weights")
+      // per-occurrence ratio frame; p11 finishes the maintained
+      // 64-row model with the same one-row totals broadcast
+      "t22_dsir_weights", "p11_incremental_dsir")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",

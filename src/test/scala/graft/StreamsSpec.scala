@@ -277,6 +277,38 @@ class StreamsSpec extends SparkSuite {
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
 
+  test("incremental DSIR model: multi-batch fold equals batch counts") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p11_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p11_spec").toString
+    val model = graft.streaming.Streams.incrementalDsirModel(stream, base)
+    val got = model.collect()
+      .map(r => r.getAs[Long]("b") ->
+        (r.getAs[Long]("ct"), r.getAs[Long]("cr"))).toMap
+    val isTgt = col("source") === "src0"
+    val expect = docs
+      .select(col("source"), explode(graft.functions.TextFns.wordNgrams(
+        graft.functions.TextFns.tokensLower(col("text")), 2)).as("bgr"))
+      .select(col("source"),
+        graft.functions.TextFns.featureBucket(col("bgr"), 64).as("b"))
+      .groupBy("b").agg(
+        sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
+        sum(when(isTgt, 0L).otherwise(1L)).as("cr"))
+      .collect()
+      .map(r => r.getAs[Long]("b") ->
+        (r.getAs[Long]("ct"), r.getAs[Long]("cr"))).toMap
+    assert(got == expect,
+      s"model diverged: ${(expect.toSet -- got.toSet).take(3)}")
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+  }
+
   test("incremental semantic screen: multi-batch replay equals batch d14") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") % 97 =!= 0)
