@@ -659,6 +659,17 @@ object SparkEntry {
         date_format(col("b.o_orderdate"), "yyyy-MM-dd").as("best_date"))
       .orderBy("o_custkey")
 
+  /** q44: functional-dependency consistency audit
+    * ([[Quality.fdConsistency]]) on the source → lang candidate over
+    * documents: per source, the dominant language, rows agreeing
+    * with it, and the agreement ratio — the profiling step before
+    * enforcing a dependency or majority-repairing a column. Election
+    * is deterministic (max count, ties → min value). */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    Quality.fdConsistency(T(s, dir, "documents"),
+        col("source"), col("lang"))
+      .orderBy("key")
+
   /** q43: key-skew profile — the measurement that decides when
     * [[graft.operators.Scale.saltedJoin]] (and AQE skew-join tuning)
     * is worth it: the top-20 hottest join keys with their absolute
@@ -2213,6 +2224,7 @@ object SparkEntry {
     "q41_hourly_dedup" -> (q41 _),
     "q42_canonical_record" -> (q42 _),
     "q43_skew_profile" -> (q43 _),
+    "q44_fd_audit" -> (q44 _),
     "t13_stopword_detect" -> (t13 _),
     "t14_train_split" -> (t14 _),
     "t15_grouped_sample" -> (t15 _),
@@ -3570,6 +3582,19 @@ object SparkEntry {
         |  floor(sum(r.n) OVER (ORDER BY r.rank ROWS UNBOUNDED PRECEDING)
         |    / tot.t * 10000) / 10000 AS cum_pct
         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    "q44_fd_audit" ->
+      // dominant value = max count with ties to MIN value, encoded as
+      // min({-n, val}) — struct comparison is lexicographic in both
+      // engines, so the election is deterministic and portable
+      """WITH c AS (SELECT source AS key, lang AS val,
+        |    count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+        |d AS (SELECT key, sum(n)::BIGINT AS n_rows,
+        |    count(*)::BIGINT AS n_vals,
+        |    min({'negn': -n, 'v': val}) AS dom FROM c GROUP BY 1)
+        |SELECT key, n_rows, n_vals, dom.v AS dominant_val,
+        |  (-dom.negn)::BIGINT AS n_consistent,
+        |  floor((-dom.negn) / n_rows * 10000) / 10000 AS consistency
+        |FROM d ORDER BY key""".stripMargin,
     "p04_incremental_lm" ->
       // the batch-trained model: the incremental fold must reproduce
       // it exactly (bigram counts are a commutative monoid)

@@ -59,6 +59,34 @@ object Quality {
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_violations"))
 
+  /** Functional-dependency consistency audit: how functional is
+    * lhs → rhs? Per lhs key: row count, distinct rhs values, the
+    * DOMINANT rhs value (max count; ties broken by MIN value, so the
+    * election is deterministic and engine-portable — mode() tie
+    * order differs across engines), rows agreeing with it, and the
+    * agreement ratio. ratio = 1.0 for every key ⟺ the FD holds
+    * exactly; anything lower localizes the violating keys — the
+    * profiling step before enforcing a dependency or repairing to
+    * the majority value (Metanome-style FD discovery reduced to the
+    * one candidate pair under test).
+    *
+    * Two hash aggregates, both shuffling on the lhs key (the second
+    * reuses the first's partitioning — no extra exchange): scales as
+    * any groupBy; output is |lhs domain| rows. */
+  def fdConsistency(df: DataFrame, lhs: Column, rhs: Column): DataFrame =
+    df.groupBy(lhs.as("key"), rhs.as("val"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("key")
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_vals"),
+        min(struct((-col("n")).as("negn"), col("val").as("v")))
+          .as("__dom"))
+      .select(col("key"), col("n_rows"), col("n_vals"),
+        col("__dom.v").as("dominant_val"),
+        (-col("__dom.negn")).as("n_consistent"),
+        (floor((-col("__dom.negn")) / col("n_rows") * 10000) / 10000)
+          .as("consistency"))
+
   /** One-pass column profiler: per-column row/null/distinct counts
     * plus min/max, over a SINGLE aggregate of one scan — the
     * "describe my table" primitive a registry status call needs

@@ -89,6 +89,26 @@ class QualitySpec extends SparkSuite {
       h.head.getLong(3) == 3L)
   }
 
+  test("fdConsistency: exact FD scores 1.0, violations localized, ties to min") {
+    val df = Seq(
+      // k=1: exact FD (all rows map to "a")
+      (1, "a"), (1, "a"), (1, "a"),
+      // k=2: majority "b" (2 of 3)
+      (2, "b"), (2, "b"), (2, "c"),
+      // k=3: 2-2 tie between "x" and "y" -> dominant must be MIN ("x")
+      (3, "y"), (3, "x"), (3, "y"), (3, "x")
+    ).toDF("k", "v")
+    val got = Quality.fdConsistency(df, col("k"), col("v"))
+      .collect()
+      .map(r => r.getAs[Int]("key") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_vals"),
+          r.getAs[String]("dominant_val"), r.getAs[Long]("n_consistent"),
+          r.getAs[Double]("consistency"))).toMap
+    assert(got(1) == (3L, 1L, "a", 3L, 1.0), s"k=1: ${got(1)}")
+    assert(got(2) == (3L, 2L, "b", 2L, 0.6666), s"k=2: ${got(2)}")
+    assert(got(3) == (4L, 2L, "x", 2L, 0.5), s"k=3: ${got(3)}")
+  }
+
   test("audit unions checks and flags pass/fail") {
     val df = Seq(1, -1).toDF("x")
     val rep = Quality.audit(Seq(
