@@ -2130,6 +2130,15 @@ object SparkEntry {
     Multimodal.payloadDedup(T(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** m06: per-payload duplicated-frame profile
+    * ([[Multimodal.frameDupProfile]], 8 even slices, md5 signature
+    * stub): d16's duplicated-span shape at frame granularity —
+    * shared intros/outros/watermark segments surface even when the
+    * payloads as wholes differ. Only 16-byte signatures shuffle. */
+  private def m06(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameDupProfile(T(s, dir, "documents"), "doc_id", "text", 8)
+      .orderBy("doc_id")
+
   /** m04: modality-mixture report — the multimodal twin of t10's
     * source mixture: per stub-decoded modality (first payload byte
     * stands in for the container magic a real decoder reads), item
@@ -2324,6 +2333,7 @@ object SparkEntry {
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),
     "m05_payload_dedup" -> (m05 _),
+    "m06_frame_dedup" -> (m06 _),
     "m02_frame_sample" -> (m02 _)
   )
 
@@ -3293,6 +3303,21 @@ object SparkEntry {
         |SELECT f.doc_id, f.fp, g.n_copies,
         |  (f.doc_id = g.keeper)::BIGINT AS keep
         |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin,
+    "m06_frame_dedup" ->
+      // pure-ASCII corpus: substr by chars = slice by bytes; same
+      // even-slice offset arithmetic as sampleFrames
+      """WITH f AS (SELECT doc_id, text, length(text)::BIGINT AS n,
+        |    unnest(generate_series(0, 7)) AS fr FROM documents),
+        |s AS (SELECT doc_id, fr,
+        |    md5(substr(text, (floor(fr * n / 8))::INT + 1,
+        |      (floor((fr + 1) * n / 8) - floor(fr * n / 8))::INT)) AS sig
+        |  FROM f),
+        |c AS (SELECT sig, count(*)::BIGINT AS cnt FROM s GROUP BY 1)
+        |SELECT s.doc_id, count(*)::BIGINT AS n_frames,
+        |  sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  floor(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)
+        |    / count(*) * 10000) / 10000 AS dup_frac
+        |FROM s JOIN c USING (sig) GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "m03_chunk_payload" ->
       // same offset arithmetic as chunkPayload; pure-ASCII corpus
       // makes char i = byte i, so ascii() reads the byte values

@@ -145,6 +145,48 @@ object Multimodal {
     }(Encoders.product[Chunk]).toDF()
   }
 
+  /** Per-payload duplicated-FRAME profile — [[payloadDedup]] pushed
+    * to frame granularity (d16's duplicated-span shape on media):
+    * each payload is sliced into `frames` even segments with
+    * [[sampleFrames]]' offset arithmetic, each segment gets a
+    * signature (STUB: md5 of the slice — a real pipeline computes a
+    * per-frame perceptual hash), and a frame position counts as
+    * duplicated when its signature occurs at ≥2 positions
+    * corpus-wide: shared intros/outros/watermark segments surface
+    * even when the payloads as wholes differ. Unlike the decode
+    * stubs this needs no mapPartitions — fixed-k slicing is pure
+    * column arithmetic (`Column.substr` with computed offsets), so
+    * the whole path stays in codegen and ONLY 16-byte signatures
+    * shuffle, never payload bytes.
+    *
+    * Payloads shorter than `frames` bytes yield empty tail slices,
+    * which dedup together by design (an empty frame is the same
+    * empty frame everywhere). */
+  def frameDupProfile(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      frames: Int = 8): DataFrame = {
+    require(frames > 0, s"frames must be positive: $frames")
+    val k = frames
+    val sigs = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("__p"), length(col(payloadCol)).as("__n"),
+        explode(sequence(lit(0), lit(k - 1))).as("fr"))
+      .select(col("doc_id"), col("fr"),
+        md5(col("__p").substr(
+          floor(col("fr") * col("__n") / k).cast("int") + 1,
+          (floor((col("fr") + 1) * col("__n") / k) -
+            floor(col("fr") * col("__n") / k)).cast("int"))).as("sig"))
+    val counts = sigs.groupBy("sig").agg(count(lit(1)).as("__c"))
+    sigs.join(counts, Seq("sig"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        (floor(sum(when(col("__c") >= 2, 1L).otherwise(0L)) /
+          count(lit(1)) * 10000) / 10000).as("dup_frac"))
+  }
+
   /** Media payload dedup on a perceptual-signature STUB: real
     * pipelines collapse near-identical media on a content signature
     * a decoder computes (pHash for images, chromaprint for audio) —

@@ -87,4 +87,39 @@ class MultimodalSpec extends SparkSuite {
     assert(got(10L) == (2L, 0L))
     assert(got(5L) == (1L, 1L)) // singleton keeps itself
   }
+
+  test("frameDupProfile flags shared segments, not whole-payload equality") {
+    import spark.implicits._
+    // 32-byte payloads, 4 frames of 8 bytes each
+    val intro = "INTROXYZ" // shared first frame
+    val docs = Seq(
+      (1L, intro + "aaaaaaaa" + "bbbbbbbb" + "cccccccc"),
+      (2L, intro + "dddddddd" + "eeeeeeee" + "ffffffff"),
+      (3L, "gggggggg" + "hhhhhhhh" + "iiiiiiii" + "jjjjjjjj")
+    ).toDF("doc_id", "text")
+    val got = Multimodal.frameDupProfile(docs, "doc_id", "text", 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1 and 2 share exactly the intro frame; doc 3 shares nothing
+    assert(got(1L) == (4L, 1L, 0.25), s"doc1: ${got(1L)}")
+    assert(got(2L) == (4L, 1L, 0.25), s"doc2: ${got(2L)}")
+    assert(got(3L) == (4L, 0L, 0.0), s"doc3: ${got(3L)}")
+  }
+
+  test("frameDupProfile matches sampleFrames' slice boundaries") {
+    import spark.implicits._
+    // a 10-byte payload over 4 frames: uneven slices 2/3/2/3 — the
+    // signature arithmetic must cover every byte exactly once, the
+    // same [f*n/k, (f+1)*n/k) arithmetic sampleFrames uses
+    val docs = Seq((1L, "0123456789")).toDF("doc_id", "text")
+    val lens = Multimodal.sampleFrames(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getAs[Long]("frame_idx") ->
+        r.getAs[Long]("n_frame_bytes")).toMap
+    assert(lens == Map(0L -> 2L, 1L -> 3L, 2L -> 2L, 3L -> 3L), s"$lens")
+    val prof = Multimodal.frameDupProfile(docs, "doc_id", "text", 4)
+      .collect().head
+    assert(prof.getAs[Long]("n_frames") == 4L)
+    assert(prof.getAs[Long]("n_dup") == 0L) // all four slices distinct
+  }
 }
