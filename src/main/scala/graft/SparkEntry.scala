@@ -1121,6 +1121,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** t23: cross-split leakage audit
+    * ([[Dedup.crossSplitLeakage]]) — d10's decontamination question
+    * asked of t14's OWN split: per test doc, the share of its
+    * 8-token windows present anywhere in the train split (val
+    * excluded from both sides). The audit run before trusting any
+    * held-out metric. */
+  private def t23(s: SparkSession, dir: String): DataFrame = {
+    val withSplit = graft.operators.Sampling.hashSplit(
+      T(s, dir, "documents").select(col("doc_id"), col("text")),
+      col("doc_id"))
+    Dedup.crossSplitLeakage(
+        withSplit.filter(col("split") =!= "val"),
+        col("doc_id"), col("text"), col("split") === "train", w = 8)
+      .orderBy("doc_id")
+  }
+
   /** t13: corpus-derived stopword/boilerplate detection — tokens
     * whose document frequency exceeds half the corpus: the
     * data-driven stopword list a filtering pipeline derives per
@@ -2247,6 +2263,7 @@ object SparkEntry {
     "t12_char_lm_score" -> (t12 _),
     "t21_word_lm_score" -> (t21 _),
     "t22_dsir_weights" -> (t22 _),
+    "t23_split_leakage" -> (t23 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
@@ -2892,6 +2909,32 @@ object SparkEntry {
         |    AS dsir_weight
         |FROM bgm JOIN c USING (b) CROSS JOIN t
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "t23_split_leakage" ->
+      // t14's md5 split arithmetic + d16's window machinery: per
+      // test doc, windows present anywhere in train (DISTINCT train
+      // set bounds join multiplicity)
+      """WITH s AS (SELECT doc_id, text,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)
+        |      AS bk FROM documents),
+        |tr AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 0)),
+        |      i -> array_to_string(tk[i:i+7], ' '))) AS g
+        |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS tk
+        |    FROM s WHERE bk < 80))),
+        |w AS (SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 0)),
+        |      i -> array_to_string(tk[i:i+7], ' '))) AS g
+        |  FROM (SELECT doc_id,
+        |      string_split_regex(lower(trim(text)), '\s+') AS tk
+        |    FROM s WHERE bk >= 90))
+        |SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+        |  sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_leaked,
+        |  floor(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+        |    / count(*) * 10000) / 10000 AS leak_frac
+        |FROM w LEFT JOIN tr USING (g) GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
     "t14_train_split" ->
       """WITH b AS (SELECT doc_id,
         |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)

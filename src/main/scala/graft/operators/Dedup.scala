@@ -814,6 +814,41 @@ object Dedup {
         array_join(transform(col("kept"),
           i => element_at(col("tk"), i)), " ").as("clean_text"))
 
+  /** Cross-split leakage audit — d10's decontamination question asked
+    * of the pipeline's OWN split (t14) instead of an external
+    * benchmark: for each held-out doc, the share of its `w`-token
+    * windows that appear anywhere in the training split. A retrieval-
+    * quality eval is meaningless if its answers sit verbatim in
+    * train; this is the audit run before trusting any held-out
+    * metric. `inTrain` marks the training rows; every other row of
+    * `docs` is audited (pre-filter val out if only test matters).
+    *
+    * Shape at 100 TB: the train n-gram set is DISTINCT windows (one
+    * hash-agg — vocabulary-sized, NOT broadcast), probe is a hash
+    * equi-join on the window, exactly d16's n-gram regime; the
+    * distinct also bounds join multiplicity (each probe window hits
+    * at most one train row). */
+  def crossSplitLeakage(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      inTrain: Column,
+      w: Int = 8): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), inTrain.as("__tr"),
+      TextFns.tokensLower(textCol).as("__tk"))
+    val wins = base.select(col("doc_id"), col("__tr"),
+      explode(TextFns.wordNgrams(col("__tk"), w)).as("g"))
+    val trainGrams = wins.filter(col("__tr")).select("g").distinct()
+    wins.filter(!col("__tr"))
+      .join(trainGrams.select(col("g"), lit(1L).as("__hit")),
+        Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_leaked"),
+        (floor(sum(coalesce(col("__hit"), lit(0L))) /
+          count(lit(1)) * 10000) / 10000).as("leak_frac"))
+  }
+
   /** [[exactSubstringDedup]]'s rewrite against a PUBLISHED
     * [[writeSpanIndex]] layout instead of a self-count: every window
     * of the probe docs present in the index at ≥ `minCount` positions

@@ -259,6 +259,28 @@ class DedupSpec extends SparkSuite {
     assert(got(5L) == (2L, 0L, "short doc"), s"doc5: ${got(5L)}")
   }
 
+  test("crossSplitLeakage: train windows flag held-out docs, train rows silent") {
+    import spark.implicits._
+    val docs = Seq(
+      // train doc holding the canonical window
+      (1L, "a b c d e f g h padding1 padding2", true),
+      // test doc containing that window verbatim at position 1 ->
+      // 1 of its 4 windows is present in train
+      (2L, "a b c d e f g h i j k", false),
+      // disjoint test doc -> zero leakage
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9", false),
+      // train doc duplicated in train: must not appear in output
+      (4L, "a b c d e f g h padding1 padding2", true)
+    ).toDF("doc_id", "text", "tr")
+    val got = Dedup.crossSplitLeakage(
+        docs, col("doc_id"), col("text"), col("tr"), 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(1L) && !got.contains(4L), s"train rows audited: $got")
+    assert(got(2L) == (4L, 1L), s"doc2: ${got(2L)}")
+    assert(got(3L) == (2L, 0L), s"doc3: ${got(3L)}")
+  }
+
   test("exactSubstringDedup: removal is consistent with the d16 signal") {
     // any doc the rewrite touched must show dup_frac > 0 in the
     // profile, and a doc with zero duplicated windows is untouched
