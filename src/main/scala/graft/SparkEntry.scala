@@ -1137,6 +1137,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** t24: percentile-gated quality filter report — t02's quality
+    * score gated at the corpus p25 ([[operators.Percentiles.exact]]
+    * — the q18 type-7 machinery, NOT percentile_approx: a gate moves
+    * real data, so its threshold must be reproducible), reported per
+    * source: the "filter the bottom quartile" pipeline step as a
+    * decision table. The one-row threshold broadcasts; the scoring
+    * pass is t02's map-side expression. */
+  private def t24(s: SparkSession, dir: String): DataFrame = {
+    val q = T(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).as("__len"),
+        TextFns.wordSetHits(TextFns.tokensLower(col("text")),
+          Seq("the", "a", "and", "of", "to", "in")).as("__hits"),
+        size(TextFns.tokensLower(col("text"))).as("__ntok"))
+      .select(col("source"),
+        trunc4(least(lit(1.0), col("__len") / 500.0) *
+          (lit(0.7) + lit(0.3) * (col("__hits") / col("__ntok"))))
+          .as("quality"))
+    val thr = operators.Percentiles.exact(q, "quality", Seq(0.25))
+    q.crossJoin(broadcast(thr))
+      .groupBy(col("source"), col("p25"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= col("p25"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        trunc4(col("n_kept") / col("n_docs")).as("kept_frac"),
+        trunc4(col("p25")).as("p25_threshold"))
+      .orderBy("source")
+  }
+
   /** t13: corpus-derived stopword/boilerplate detection — tokens
     * whose document frequency exceeds half the corpus: the
     * data-driven stopword list a filtering pipeline derives per
@@ -2264,6 +2294,7 @@ object SparkEntry {
     "t21_word_lm_score" -> (t21 _),
     "t22_dsir_weights" -> (t22 _),
     "t23_split_leakage" -> (t23 _),
+    "t24_quality_gate" -> (t24 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
@@ -2935,6 +2966,34 @@ object SparkEntry {
         |    / count(*) * 10000) / 10000 AS leak_frac
         |FROM w LEFT JOIN tr USING (g) GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
+    "t24_quality_gate" ->
+      // threshold via explicit type-7 interpolation (q18's trick —
+      // quantile_cont can sit 1 ulp off and flip the >= gate on docs
+      // whose score equals the threshold exactly)
+      """WITH q AS (SELECT source,
+        |    floor((least(1.0, length(text) / 500.0) *
+        |      (0.7 + 0.3 * (len(list_filter(
+        |        string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t IN ('the','a','and','of','to','in')) ) /
+        |        len(string_split_regex(lower(trim(text)), '\s+')))))
+        |      * 10000) / 10000 AS quality
+        |  FROM documents),
+        |r AS (SELECT quality AS v,
+        |    row_number() OVER (ORDER BY quality) AS rn,
+        |    count(*) OVER () AS n FROM q),
+        |a AS (SELECT
+        |    max(CASE WHEN rn = floor((n-1)*0.25)+1 THEN v END) AS lo,
+        |    max(CASE WHEN rn = ceil((n-1)*0.25)+1 THEN v END) AS hi,
+        |    max((n-1)*0.25 - floor((n-1)*0.25)) AS f FROM r),
+        |t AS (SELECT lo + (hi - lo) * f AS thr FROM a)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN quality >= thr THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_kept,
+        |  floor(sum(CASE WHEN quality >= thr THEN 1 ELSE 0 END)
+        |    / count(*) * 10000) / 10000 AS kept_frac,
+        |  floor(thr * 10000) / 10000 AS p25_threshold
+        |FROM q CROSS JOIN t GROUP BY source, thr
+        |ORDER BY source""".stripMargin,
     "t14_train_split" ->
       """WITH b AS (SELECT doc_id,
         |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)

@@ -54,7 +54,9 @@ class QueriesSmokeSpec extends SparkSuite {
       // t22 cross-joins the ONE-row feature-total aggregate into the
       // per-occurrence ratio frame; p11 finishes the maintained
       // 64-row model with the same one-row totals broadcast
-      "t22_dsir_weights", "p11_incremental_dsir")
+      "t22_dsir_weights", "p11_incremental_dsir",
+      // t24 broadcasts the ONE-row p25 threshold onto the scored docs
+      "t24_quality_gate")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",
