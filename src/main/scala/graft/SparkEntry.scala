@@ -1137,6 +1137,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** t25: split REGENERATION ([[Dedup.regenerateSplit]]) — the
+    * action twin of t23's audit: test docs with any train-window
+    * leakage are reassigned into train (a leaked doc can't serve as
+    * held-out; its windows already live in train), train/val keep
+    * their assignment, and the re-audited test leak rate is zero by
+    * construction. The full corpus-wide old→new decision table. */
+  private def t25(s: SparkSession, dir: String): DataFrame = {
+    val withSplit = graft.operators.Sampling.hashSplit(
+      T(s, dir, "documents").select(col("doc_id"), col("text")),
+      col("doc_id"))
+    Dedup.regenerateSplit(withSplit, col("doc_id"), col("text"),
+        col("split"), w = 8)
+      .orderBy("doc_id")
+  }
+
   /** t24: percentile-gated quality filter report — t02's quality
     * score gated at the corpus p25 ([[operators.Percentiles.exact]]
     * — the q18 type-7 machinery, NOT percentile_approx: a gate moves
@@ -2295,6 +2310,7 @@ object SparkEntry {
     "t22_dsir_weights" -> (t22 _),
     "t23_split_leakage" -> (t23 _),
     "t24_quality_gate" -> (t24 _),
+    "t25_split_regen" -> (t25 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
@@ -2994,6 +3010,33 @@ object SparkEntry {
         |  floor(thr * 10000) / 10000 AS p25_threshold
         |FROM q CROSS JOIN t GROUP BY source, thr
         |ORDER BY source""".stripMargin,
+    "t25_split_regen" ->
+      // t23's leakage CTEs reduced to the leaked-doc set, then a CASE
+      // reassignment over t14's split arithmetic
+      """WITH s AS (SELECT doc_id, text,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)
+        |      AS bk FROM documents),
+        |tr AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 0)),
+        |      i -> array_to_string(tk[i:i+7], ' '))) AS g
+        |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS tk
+        |    FROM s WHERE bk < 80))),
+        |w AS (SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 0)),
+        |      i -> array_to_string(tk[i:i+7], ' '))) AS g
+        |  FROM (SELECT doc_id,
+        |      string_split_regex(lower(trim(text)), '\s+') AS tk
+        |    FROM s WHERE bk >= 90)),
+        |lk AS (SELECT DISTINCT w.doc_id FROM w JOIN tr USING (g))
+        |SELECT s.doc_id,
+        |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+        |       ELSE 'test' END AS old_split,
+        |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+        |       WHEN lk.doc_id IS NOT NULL THEN 'train'
+        |       ELSE 'test' END AS new_split
+        |FROM s LEFT JOIN lk ON s.doc_id = lk.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "t14_train_split" ->
       """WITH b AS (SELECT doc_id,
         |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)

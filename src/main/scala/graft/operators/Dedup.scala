@@ -849,6 +849,39 @@ object Dedup {
           count(lit(1)) * 10000) / 10000).as("leak_frac"))
   }
 
+  /** The ACTION twin of [[crossSplitLeakage]] — the d16→d17
+    * signal→action pattern applied to splits. Test docs with ANY
+    * train-window leakage are reassigned into train: a leaked doc
+    * cannot serve as held-out, and its windows already live in
+    * train, so train is where it belongs (dropping it instead would
+    * silently shrink the eval set — reassignment keeps the corpus
+    * intact and the decision auditable in the old/new columns).
+    * Train and val assignments are untouched; by construction the
+    * re-audited leak rate of the regenerated test split is zero
+    * (spec-asserted). `splitCol` must carry 'train'/'val'/'test'.
+    *
+    * Shape at 100 TB: the audit's cost plus one doc-id equi-join of
+    * the full corpus against the (small) leaked-doc set — Spark
+    * broadcasts the leaked side when it fits. */
+  def regenerateSplit(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      splitCol: Column,
+      w: Int = 8): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), textCol.as("__tx"),
+      splitCol.as("old_split"))
+    val leaked = crossSplitLeakage(
+        base.filter(col("old_split") =!= "val"),
+        col("doc_id"), col("__tx"), col("old_split") === "train", w)
+      .filter(col("n_leaked") > 0)
+      .select(col("doc_id"), lit(1).as("__lk"))
+    base.join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("old_split"),
+        when(col("old_split") === "test" && col("__lk").isNotNull,
+          "train").otherwise(col("old_split")).as("new_split"))
+  }
+
   /** [[exactSubstringDedup]]'s rewrite against a PUBLISHED
     * [[writeSpanIndex]] layout instead of a self-count: every window
     * of the probe docs present in the index at ≥ `minCount` positions

@@ -281,6 +281,36 @@ class DedupSpec extends SparkSuite {
     assert(got(3L) == (2L, 0L), s"doc3: ${got(3L)}")
   }
 
+  test("regenerateSplit: leaked test docs move to train, re-audit is clean") {
+    import spark.implicits._
+    val docs = Seq(
+      // train doc holding the canonical window
+      (1L, "a b c d e f g h padding1 padding2", "train"),
+      // test doc containing that window verbatim -> moves to train
+      (2L, "a b c d e f g h i j k", "test"),
+      // disjoint test doc -> keeps its assignment
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9", "test"),
+      // val doc sharing the window: val is untouched by design
+      (4L, "a b c d e f g h x y", "val")
+    ).toDF("doc_id", "text", "split")
+    val out = Dedup.regenerateSplit(
+      docs, col("doc_id"), col("text"), col("split"))
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L) == ("train", "train"), s"doc1: ${got(1L)}")
+    assert(got(2L) == ("test", "train"), s"doc2 not moved: ${got(2L)}")
+    assert(got(3L) == ("test", "test"), s"doc3: ${got(3L)}")
+    assert(got(4L) == ("val", "val"), s"doc4: ${got(4L)}")
+    // the regenerated split re-audits clean: zero leaked test windows
+    val re = Dedup.crossSplitLeakage(
+      docs.select(col("doc_id"), col("text"))
+        .join(out.select(col("doc_id"), col("new_split")), Seq("doc_id"))
+        .filter(col("new_split") =!= "val"),
+      col("doc_id"), col("text"), col("new_split") === "train", 8)
+    assert(re.filter(col("n_leaked") > 0).count() == 0L,
+      "regenerated test split still leaks")
+  }
+
   test("exactSubstringDedup: removal is consistent with the d16 signal") {
     // any doc the rewrite touched must show dup_frac > 0 in the
     // profile, and a doc with zero duplicated windows is untouched
