@@ -1787,6 +1787,25 @@ object SparkEntry {
       .orderBy("cell")
   }
 
+  /** s13: embedding-space outlier report
+    * ([[Similarity.centroidNovelty]]) — the top 20 vectors by
+    * cell-relative novelty (1 − cosine to the assigned s05-seeded
+    * centroid, divided by the cell's mean novelty): the complement
+    * of the near-dup screens — what is too FAR from every cluster is
+    * either precious long-tail data or garbage, and both deserve a
+    * human look before a prune decision. Rows-only oracle (Lloyd
+    * cells aren't SQL-expressible); planted-outlier + determinism
+    * specs in SimilaritySpec. */
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    Similarity.centroidNovelty(T(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, maxIter = 5)
+      .orderBy(desc("novelty_ratio"), col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"), col("cell"),
+        trunc4(col("novelty")).as("novelty"),
+        trunc4(col("novelty_ratio")).as("novelty_ratio"))
+  }
+
   /** s04: brute-force top-k via the bounded-heap TypedImperative
     * aggregate — same results as s01 (shares its oracle), but the
     * plan is a partial-aggregating hash agg instead of a window
@@ -2364,6 +2383,7 @@ object SparkEntry {
     "s10_mips_ann" -> (s10 _),
     "s11_l2_knn" -> (s11 _),
     "s12_cluster_profile" -> (s12 _),
+    "s13_outlier_score" -> (s13 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_counts" -> (e02 _),
     "e03_asof_join" -> (e03 _),

@@ -289,6 +289,47 @@ object Similarity {
     (-array_max(array(scored: _*)).getField("negCell")).as("cell")
   }
 
+  /** Embedding-space outlier/novelty score — the complement of the
+    * SemDeDup-shape screens: instead of flagging what sits too CLOSE
+    * to a neighbor ([[graft.operators.Dedup]]'s near-dup family),
+    * flag what sits too FAR from every cluster. Each vector is
+    * assigned to its nearest coarse centroid (the same frozen seeded
+    * k-means [[trainCentroids]] the IVF family uses; cosine metric
+    * throughout, matching cell assignment) and scored
+    * `novelty = 1 − cosine(v, centroid)`; the per-cell mean novelty
+    * is broadcast back to form `novelty_ratio`, so a naturally
+    * diffuse cell doesn't drown a genuinely anomalous vector that
+    * lives in a tight cell.
+    *
+    * Shape at 100 TB: centroids are k·dim driver literals (bounded
+    * model state), scoring is one map-side codegen pass over the
+    * corpus — the only exchanges are the k-row cell-mean aggregate
+    * and its broadcast back. */
+  def centroidNovelty(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIter: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    val cents = trainCentroids(df, idCol, vecCol, k, maxIter, seed)
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col(vecCol), typedLit(c)).as("sim"),
+        lit(-i).as("negCell"))
+    }
+    val best = array_max(array(scored: _*))
+    val assigned = df.select(col(idCol),
+      (-best.getField("negCell")).as("cell"),
+      (lit(1.0) - best.getField("sim")).as("novelty"))
+    val mu = assigned.groupBy("cell")
+      .agg(avg(col("novelty")).as("cell_mean"))
+    assigned.join(broadcast(mu), Seq("cell"))
+      .select(col(idCol), col("cell"), col("novelty"), col("cell_mean"),
+        when(col("cell_mean") > 0,
+          col("novelty") / col("cell_mean")).otherwise(lit(0.0))
+          .as("novelty_ratio"))
+  }
+
   /** Assign every row to its nearest frozen centroid — the maintenance
     * half of an IVF index: assignment is a per-row map (no shuffle, no
     * corpus rescan), so new vectors fold into a stored index batch by

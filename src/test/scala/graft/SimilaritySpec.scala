@@ -260,6 +260,33 @@ class SimilaritySpec extends SparkSuite {
     assert(a.values.map(_._4).sum <= 1.0 + 1e-9)
   }
 
+  test("centroidNovelty: a planted far vector tops the ranking; deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // two tight antipodal clusters in the xy-plane...
+    val base = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(c + rnd.nextFloat() * 0.01f,
+        c + rnd.nextFloat() * 0.01f, 0.0f))
+    }
+    // ...and one planted vector orthogonal to both
+    val docs = (base :+ (99L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.centroidNovelty(
+      docs, "vec_id", "embedding", k = 2, maxIter = 5)
+    val top = run().orderBy(desc("novelty_ratio"), col("vec_id"))
+      .limit(1).head
+    assert(top.getAs[Long]("vec_id") == 99L,
+      s"planted outlier not ranked first: $top")
+    // cluster members sit near their centroid: novelty ≈ 0 there,
+    // ≈ 1 for the orthogonal plant
+    assert(top.getAs[Double]("novelty") > 0.9)
+    val a = run().orderBy("vec_id").collect().toSeq
+    val b = run().orderBy("vec_id").collect().toSeq
+    assert(a == b, "same seed must reproduce the same scores")
+    assert(a.size == docs.count(), "every vector is scored exactly once")
+  }
+
   test("byteDot: integer dot, NULL on length mismatch") {
     import spark.implicits._
     // Seq[Byte] encodes as array<tinyint> (Array[Byte] would be binary)
