@@ -2156,6 +2156,17 @@ object SparkEntry {
   private def p07(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingStopwords(s, dir)
 
+  /** p12: INCREMENTAL media-signature dedup — m05's perceptual-stub
+    * signature table maintained per micro-batch
+    * ([[graft.streaming.Streams.incrementalPayloadSig]]): per-fp
+    * copy count (sum) and keeper (min id) are commutative monoids,
+    * so the snapshot equals the batch group table under any chunking
+    * (replay spec); payload bytes hashed once at ingest, never
+    * rescanned, never shuffled. Finished as m05's verdict table
+    * (shares its DuckDB oracle). */
+  private def p12(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingPayloadDedup(s, dir)
+
   /** p11: INCREMENTAL DSIR feature model — t22's hashed-bigram
     * (bucket → target/raw count) pair folded per micro-batch as
     * commutative monoids
@@ -2413,6 +2424,7 @@ object SparkEntry {
     "p09_incremental_span_screen" -> (p09 _),
     "p10_incremental_span_rewrite" -> (p10 _),
     "p11_incremental_dsir" -> (p11 _),
+    "p12_incremental_media" -> (p12 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),
@@ -3832,6 +3844,17 @@ object SparkEntry {
         |  floor((df / total) * 10000) / 10000 AS doc_frac
         |FROM d CROSS JOIN n WHERE df / total > 0.5
         |ORDER BY token""".stripMargin,
+    "p12_incremental_media" ->
+      // the maintained signature state must reproduce m05's batch
+      // dedup exactly — shared oracle (pure-ASCII corpus: substr by
+      // chars = slice by bytes)
+      """WITH f AS (SELECT doc_id, md5(substr(text, 1, 32)) AS fp
+        |    FROM documents),
+        |g AS (SELECT fp, count(*)::BIGINT AS n_copies,
+        |    min(doc_id) AS keeper FROM f GROUP BY 1)
+        |SELECT f.doc_id, f.fp, g.n_copies,
+        |  (f.doc_id = g.keeper)::BIGINT AS keep
+        |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin,
     "p11_incremental_dsir" ->
       // the batch form of the maintained model: t22's bucket counts
       // + the smoothed ratio derived from the final state

@@ -674,6 +674,81 @@ object Streams {
       .orderBy("token")
   }
 
+  /** p12: incremental payload-SIGNATURE model maintenance — m05's
+    * (fp → copy count, keeper) group table folded over a document
+    * stream. Per-signature copy count (sum) and keeper (min doc id)
+    * are both commutative monoids, so the maintained table EQUALS
+    * the batch-derived one under ANY chunking (replay spec): media
+    * dedup state kept current at ingest, each payload hashed once,
+    * map-side, on arrival — the bytes are never rescanned and never
+    * shuffled (only the 16-byte signatures enter the fold). State is
+    * |distinct signatures| rows; versioned dirs + atomic pointer, as
+    * p07. Swap [[graft.operators.Multimodal.fingerprintStub]] for a
+    * real perceptual hash and the maintenance shape is unchanged. */
+  def incrementalPayloadSig(
+      stream: DataFrame,
+      base: String,
+      prefixBytes: Int = 32): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF()
+        val delta = b.select(col("doc_id").cast("long").as("doc_id"),
+            graft.operators.Multimodal.fingerprintStub(
+              encode(col("text"), "UTF-8"), prefixBytes).as("fp"))
+          .groupBy("fp").agg(count(lit(1)).as("n_copies"),
+            min(col("doc_id")).as("keeper"))
+        val model = readPtr() match {
+          case None => delta
+          case Some(p) =>
+            spark.read.parquet(s"$p/model").unionByName(delta)
+              .groupBy("fp").agg(sum(col("n_copies")).as("n_copies"),
+                min(col("keeper")).as("keeper"))
+        }
+        val out = s"$base/v$id"
+        model.write.mode("overwrite").parquet(s"$out/model")
+        writePointerAtomic(latestFile, out)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p12_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(s"$snap/model")
+  }
+
+  /** [[incrementalPayloadSig]] over the documents table, finished as
+    * m05's verdict table (signature join back onto the corpus ids) —
+    * the maintained signature state must reproduce the batch dedup
+    * exactly (shares m05's DuckDB oracle). */
+  def streamingPayloadDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p12").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val model = withStreamPartitions(spark, 8) {
+      incrementalPayloadSig(docs, base)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.operators.Multimodal.fingerprintStub(
+          encode(col("text"), "UTF-8"), 32).as("fp"))
+      .join(model, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("n_copies"),
+        (col("doc_id") === col("keeper")).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** p08: incremental semantic decontamination — d14's
     * embedding-space screen
     * ([[graft.operators.Dedup.semanticDecontaminate]]) run per

@@ -277,6 +277,32 @@ class StreamsSpec extends SparkSuite {
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
 
+  test("incremental payload signatures: multi-batch fold equals batch dedup") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p12_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p12_spec").toString
+    val model = graft.streaming.Streams.incrementalPayloadSig(stream, base)
+    val got = model.collect()
+      .map(r => r.getAs[String]("fp") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("keeper"))).toMap
+    val expect = graft.operators.Multimodal
+      .payloadDedup(docs, "doc_id", "text")
+      .groupBy("fp").agg(max(col("n_copies")).as("n_copies"),
+        min(when(col("keep") === 1L, col("doc_id"))).as("keeper"))
+      .collect()
+      .map(r => r.getAs[String]("fp") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("keeper"))).toMap
+    assert(got == expect, "maintained signature table diverges from batch")
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+  }
+
   test("incremental DSIR model: multi-batch fold equals batch counts") {
     val docs = Tables.load(spark, sfDir, "documents")
     val srcDir = java.nio.file.Files
