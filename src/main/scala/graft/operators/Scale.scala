@@ -86,6 +86,37 @@ object Scale {
     else saltedJoin(big, small, key, saltSource, n)
   }
 
+  /** Cost-based equi-join strategy gate: ONE measurement pass picks
+    * plain / broadcast / salted, completing the q43→remedy wiring.
+    * Decision order mirrors what a cluster pays for: (1) a small
+    * side under `broadcastRows` ships to every executor and the big
+    * side never shuffles at all — skew is then irrelevant, so
+    * broadcast wins outright; (2) otherwise the big side's measured
+    * key skew ([[suggestNumSalts]]) decides between the plain
+    * shuffle join and [[saltedJoin]] at exactly the replication the
+    * measurement says the hot key needs. Results are identical to a
+    * plain inner join in every regime (spec-asserted per regime).
+    *
+    * The two measurement jobs are bounded: a count capped at
+    * `broadcastRows + 1` via limit on the small side, and the
+    * key-column aggregate of [[suggestNumSalts]] on the big side
+    * (skipped entirely when broadcast already won). At 100 TB both
+    * are a fraction of the join they tune; in a recurring pipeline
+    * measure once per snapshot and call the chosen form directly. */
+  def adaptiveJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltSource: Column,
+      broadcastRows: Long = 1000000L,
+      maxSalts: Int = 64): DataFrame = {
+    val smallCapped = small.limit(
+      (broadcastRows + 1).min(Int.MaxValue.toLong).toInt).count()
+    if (smallCapped <= broadcastRows)
+      big.join(org.apache.spark.sql.functions.broadcast(small), Seq(key))
+    else autoSaltedJoin(big, small, key, saltSource, maxSalts)
+  }
+
   /** Bloom-pruned equi-join: semi-join reduction for the case where
     * the small side is too big to BROADCAST but its key set fits a
     * bloom filter. The filter is built distributed over the small

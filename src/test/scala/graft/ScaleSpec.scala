@@ -52,6 +52,45 @@ class ScaleSpec extends SparkSuite {
     assert(Scale.suggestNumSalts(flat, "k", maxSalts = 64) == 1)
   }
 
+  test("adaptiveJoin: each regime chosen correctly, results always the plain join") {
+    import spark.implicits._
+    val big = ((1 to 5000).map(i => (1L, i.toLong)) ++
+      (1 to 50).flatMap(k => (1 to 10).map(i => (k + 1L, i.toLong))))
+      .toDF("k", "row_id")
+    val small = (1L to 51L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+      .groupBy("name").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def res(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("name").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // regime 1: small side under the row cap -> explicit broadcast,
+    // skew never measured
+    val bc = Scale.adaptiveJoin(big, small, "k", col("row_id"))
+    assert(bc.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "tiny dim must broadcast")
+    assert(res(bc) == plain)
+    // regime 2: broadcast ruled out (cap 0), skewed big side -> the
+    // salted form (salt expression visible in the plan)
+    val salted = Scale.adaptiveJoin(big, small, "k", col("row_id"),
+      broadcastRows = 0L)
+    assert(salted.queryExecution.analyzed.toString.contains("__salt"),
+      "skewed fixture with broadcast ruled out must salt")
+    assert(res(salted) == plain)
+    // regime 3: broadcast ruled out, balanced keys -> plain shuffle
+    // join, no replication cost
+    val flat = (1 to 1000).map(i => (i.toLong % 50 + 1, i.toLong))
+      .toDF("k", "row_id")
+    val plainJoin = Scale.adaptiveJoin(flat, small, "k", col("row_id"),
+      broadcastRows = 0L)
+    assert(!plainJoin.queryExecution.analyzed.toString.contains("__salt"),
+      "balanced keys must not pay salting replication")
+    assert(res(plainJoin) ==
+      flat.join(small, Seq("k")).groupBy("name")
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
   test("bloomPrunedJoin returns identical results to a plain join") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val urgent = Tables.load(spark, sfDir, "orders")
