@@ -1743,6 +1743,37 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** s14: ANN recall self-audit — the production "is my index still
+    * good?" probe: a seeded hash-sampled query set (retry-stable, as
+    * every sampling op), EXACT brute-force top-k on that sample only
+    * (|sample| × corpus — a fraction of a full brute pass), joined
+    * against each ANN method's answers on the same sample; one
+    * measured-recall row per method (s02's tuned LSH config, s03's
+    * label-cell IVF config). Rows-only oracle (ANN internals aren't
+    * SQL-expressible); bounds + determinism + brute-is-perfect specs
+    * in SimilaritySpec. At 100 TB the audit scales with the sample,
+    * never corpus². */
+  private def s14(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val qs = graft.operators.Sampling.hashSample(emb, "vec_id", 0.02,
+      seed = 7L)
+    val truth = Similarity.knnBruteAgg(emb, qs, "vec_id", "embedding", 5)
+      .select(col("q_id"), col("cand_id"))
+    def measured(ann: DataFrame, method: String): DataFrame =
+      truth.join(
+          ann.select(col("q_id"), col("cand_id"), lit(1L).as("__hit")),
+          Seq("q_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+        .select(lit(method).as("method"), col("n_truth"), col("n_found"),
+          trunc4(col("n_found") / col("n_truth")).as("recall"))
+    measured(Similarity.lshAnn(emb, qs, "vec_id", "embedding", 5), "lsh")
+      .unionByName(measured(
+        Similarity.ivfAnn(emb, qs, "vec_id", "embedding", "label", 5,
+          nprobe = 3), "ivf"))
+      .orderBy("method")
+  }
+
   /** s05: IVF ANN over a TRAINED coarse quantizer — k-means cells
     * (broadcast-centroid Lloyd iterations, [[Similarity.kmeansCells]])
     * instead of the pre-existing label column s03 uses. Rows-only
@@ -2395,6 +2426,7 @@ object SparkEntry {
     "s11_l2_knn" -> (s11 _),
     "s12_cluster_profile" -> (s12 _),
     "s13_outlier_score" -> (s13 _),
+    "s14_recall_audit" -> (s14 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_counts" -> (e02 _),
     "e03_asof_join" -> (e03 _),

@@ -56,7 +56,10 @@ class QueriesSmokeSpec extends SparkSuite {
       // 64-row model with the same one-row totals broadcast
       "t22_dsir_weights", "p11_incremental_dsir",
       // t24 broadcasts the ONE-row p25 threshold onto the scored docs
-      "t24_quality_gate")
+      "t24_quality_gate",
+      // s14 composes the s01-shape exact truth pass (sample × corpus,
+      // intentional) with s03's bounded query × centroid probe
+      "s14_recall_audit")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",

@@ -287,6 +287,34 @@ class SimilaritySpec extends SparkSuite {
     assert(a.size == docs.count(), "every vector is scored exactly once")
   }
 
+  test("recall audit: exact-vs-itself reads 1.0, methods bounded, deterministic") {
+    val qs = graft.operators.Sampling.hashSample(emb, "vec_id", 0.02,
+      seed = 7L)
+    assert(qs.count() > 0, "audit sample is empty at this fixture size")
+    val truth = Similarity.knnBruteAgg(emb, qs, "vec_id", "embedding", 5)
+      .select(col("q_id"), col("cand_id"))
+    // the audit arithmetic itself: exact method audited against the
+    // exact truth must read recall 1.0
+    val self = truth.join(truth.withColumn("__hit", lit(1L)),
+        Seq("q_id", "cand_id"), "left")
+      .agg((sum(coalesce(col("__hit"), lit(0L))) / count(lit(1)))
+        .as("recall")).head.getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12, s"self-recall $self != 1.0")
+    // the full report: one row per method, counts and recall bounded
+    def run() = SparkEntry.queries("s14_recall_audit")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_found"),
+          r.getAs[Double]("recall"))).toMap
+    val a = run()
+    assert(a.keySet == Set("lsh", "ivf"))
+    a.foreach { case (m, (nt, nf, rec)) =>
+      assert(nf <= nt, s"$m found more than truth: $nf > $nt")
+      assert(rec >= 0.0 && rec <= 1.0, s"$m recall out of bounds: $rec")
+    }
+    // seeded sample + deterministic methods: byte-identical rerun
+    assert(a == run(), "audit must reproduce under the same seed")
+  }
+
   test("byteDot: integer dot, NULL on length mismatch") {
     import spark.implicits._
     // Seq[Byte] encodes as array<tinyint> (Array[Byte] would be binary)
