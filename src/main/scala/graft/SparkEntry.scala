@@ -1905,6 +1905,41 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** e19: watermark-from-measurement — e18's disorder profile turned
+    * into the remedy (the q43→saltedJoin signal→action pattern
+    * applied to streaming): per event type, the p99 arrival lateness
+    * (exact type-7 order statistics,
+    * [[operators.Percentiles.exactByGroup]] — a watermark silently
+    * DROPS data, so its threshold must be reproducible, never
+    * approximated) becomes the recommended `withWatermark` delay, and
+    * the audit reports exactly what that bound admits: drop_frac ≈
+    * 0.01 by construction, known BEFORE any stream runs with it. The
+    * |types|-row threshold frame auto-broadcasts onto the audit
+    * join. */
+  private def e19(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = T(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("late_us",
+        when(max(col("us")).over(w) > col("us"),
+          max(col("us")).over(w) - col("us")).otherwise(lit(0L)))
+    val thr = operators.Percentiles.exactByGroup(
+        late, "event_type", "late_us", Seq(0.99))
+      .select(col("event_type"),
+        floor(col("p99")).cast("long").as("wm_delay_us"))
+    late.join(thr, Seq("event_type"))
+      .groupBy(col("event_type"), col("wm_delay_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > col("wm_delay_us"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .select(col("event_type"), col("n_events"), col("wm_delay_us"),
+        col("n_dropped"),
+        trunc4(col("n_dropped") / col("n_events")).as("drop_frac"))
+      .orderBy("event_type")
+  }
+
   /** e03: as-of join — latest order at-or-before each event for the
     * same user (union-and-carry, one shuffle). */
   private def e03(s: SparkSession, dir: String): DataFrame = {
@@ -2445,6 +2480,7 @@ object SparkEntry {
     "e16_cohort_retention" -> (e16 _),
     "e17_sliding_window" -> (e17 _),
     "e18_disorder_audit" -> (e18 _),
+    "e19_watermark_plan" -> (e19 _),
     "p01_corpus_pipeline" -> (p01 _),
     "p02_preprocess_chain" -> (p02 _),
     "p03_incremental_clean" -> (p03 _),
@@ -3654,6 +3690,39 @@ object SparkEntry {
         |  max(late_us) AS max_disorder_us,
         |  sum(late_us)::BIGINT AS total_disorder_us
         |FROM y GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e19_watermark_plan" ->
+      // e18's lateness CTE + q18's explicit type-7 interpolation per
+      // group (a watermark drops data: quantile_cont's 1-ulp drift
+      // could flip the floor and admit/drop a boundary event)
+      """WITH x AS (SELECT event_type, epoch_us(ts) AS us,
+        |    max(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM events),
+        |y AS (SELECT event_type,
+        |    CASE WHEN runmax > us THEN runmax - us ELSE 0 END AS late_us
+        |  FROM x),
+        |r AS (SELECT event_type, late_us AS v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY late_us) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM y),
+        |a AS (SELECT event_type,
+        |    max(CASE WHEN rn = floor((n-1)*0.99)+1 THEN v END) AS lo,
+        |    max(CASE WHEN rn = ceil((n-1)*0.99)+1 THEN v END) AS hi,
+        |    max((n-1)*0.99 - floor((n-1)*0.99)) AS f
+        |  FROM r GROUP BY event_type),
+        |t AS (SELECT event_type,
+        |    CAST(floor(lo + (hi - lo) * f) AS BIGINT) AS wm_delay_us
+        |  FROM a)
+        |SELECT y.event_type, count(*)::BIGINT AS n_events,
+        |  t.wm_delay_us,
+        |  sum(CASE WHEN late_us > wm_delay_us THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dropped,
+        |  floor(sum(CASE WHEN late_us > wm_delay_us THEN 1 ELSE 0 END)
+        |    / count(*) * 10000) / 10000 AS drop_frac
+        |FROM y JOIN t USING (event_type)
+        |GROUP BY y.event_type, t.wm_delay_us
+        |ORDER BY y.event_type""".stripMargin,
     "e01_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
