@@ -1182,6 +1182,43 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** t26: curriculum pacing plan — the corpus bucketed into quality
+    * QUINTILES (t02's score; thresholds via
+    * [[operators.Percentiles.exact]], the q18 type-7 machinery — a
+    * curriculum reorders real training data, so its cut points must
+    * be reproducible) and reported as the easy→hard schedule a
+    * curriculum loader consumes: per bucket, doc count, token budget,
+    * mean quality. The one-row threshold frame broadcasts; the mean
+    * is computed from the exact integer sum of the 4-decimal scores
+    * (doubles summed in partition order would drift vs the oracle). */
+  private def t26(s: SparkSession, dir: String): DataFrame = {
+    val q = T(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("__len"),
+        TextFns.wordSetHits(TextFns.tokensLower(col("text")),
+          Seq("the", "a", "and", "of", "to", "in")).as("__hits"),
+        size(TextFns.tokensLower(col("text"))).as("__ntok"))
+      .select(col("__ntok"),
+        trunc4(least(lit(1.0), col("__len") / 500.0) *
+          (lit(0.7) + lit(0.3) * (col("__hits") / col("__ntok"))))
+          .as("quality"))
+    val thr = operators.Percentiles.exact(q, "quality",
+      Seq(0.2, 0.4, 0.6, 0.8))
+    q.crossJoin(broadcast(thr))
+      .select(col("__ntok"), col("quality"),
+        ((col("quality") >= col("p20")).cast("long") +
+          (col("quality") >= col("p40")).cast("long") +
+          (col("quality") >= col("p60")).cast("long") +
+          (col("quality") >= col("p80")).cast("long")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok").cast("long")).as("total_tokens"),
+        sum(round(col("quality") * 10000).cast("long")).as("__q10k"))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        trunc4(col("__q10k") / 10000.0 / col("n_docs")).as("avg_quality"))
+      .orderBy("bucket")
+  }
+
   /** t13: corpus-derived stopword/boilerplate detection — tokens
     * whose document frequency exceeds half the corpus: the
     * data-driven stopword list a filtering pipeline derives per
@@ -2407,6 +2444,7 @@ object SparkEntry {
     "t23_split_leakage" -> (t23 _),
     "t24_quality_gate" -> (t24 _),
     "t25_split_regen" -> (t25 _),
+    "t26_curriculum_plan" -> (t26 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
@@ -3110,6 +3148,51 @@ object SparkEntry {
         |  floor(thr * 10000) / 10000 AS p25_threshold
         |FROM q CROSS JOIN t GROUP BY source, thr
         |ORDER BY source""".stripMargin,
+    "t26_curriculum_plan" ->
+      // t24's scoring CTE + q18's explicit type-7 interpolation at 4
+      // cut points; the mean is rebuilt from the exact integer sum of
+      // 4-decimal scores (float sums in arbitrary order would drift)
+      """WITH q AS (SELECT
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+        |    floor((least(1.0, length(text) / 500.0) *
+        |      (0.7 + 0.3 * (len(list_filter(
+        |        string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t IN ('the','a','and','of','to','in')) ) /
+        |        len(string_split_regex(lower(trim(text)), '\s+')))))
+        |      * 10000) / 10000 AS quality
+        |  FROM documents),
+        |r AS (SELECT quality AS v,
+        |    row_number() OVER (ORDER BY quality) AS rn,
+        |    count(*) OVER () AS n FROM q),
+        |a AS (SELECT
+        |    max(CASE WHEN rn = floor((n-1)*0.2)+1 THEN v END) AS lo20,
+        |    max(CASE WHEN rn = ceil((n-1)*0.2)+1 THEN v END) AS hi20,
+        |    max((n-1)*0.2 - floor((n-1)*0.2)) AS f20,
+        |    max(CASE WHEN rn = floor((n-1)*0.4)+1 THEN v END) AS lo40,
+        |    max(CASE WHEN rn = ceil((n-1)*0.4)+1 THEN v END) AS hi40,
+        |    max((n-1)*0.4 - floor((n-1)*0.4)) AS f40,
+        |    max(CASE WHEN rn = floor((n-1)*0.6)+1 THEN v END) AS lo60,
+        |    max(CASE WHEN rn = ceil((n-1)*0.6)+1 THEN v END) AS hi60,
+        |    max((n-1)*0.6 - floor((n-1)*0.6)) AS f60,
+        |    max(CASE WHEN rn = floor((n-1)*0.8)+1 THEN v END) AS lo80,
+        |    max(CASE WHEN rn = ceil((n-1)*0.8)+1 THEN v END) AS hi80,
+        |    max((n-1)*0.8 - floor((n-1)*0.8)) AS f80
+        |  FROM r),
+        |t AS (SELECT lo20 + (hi20 - lo20) * f20 AS p20,
+        |    lo40 + (hi40 - lo40) * f40 AS p40,
+        |    lo60 + (hi60 - lo60) * f60 AS p60,
+        |    lo80 + (hi80 - lo80) * f80 AS p80 FROM a),
+        |b AS (SELECT ntok, quality,
+        |    (CASE WHEN quality >= p20 THEN 1 ELSE 0 END +
+        |     CASE WHEN quality >= p40 THEN 1 ELSE 0 END +
+        |     CASE WHEN quality >= p60 THEN 1 ELSE 0 END +
+        |     CASE WHEN quality >= p80 THEN 1 ELSE 0 END)::BIGINT AS bucket
+        |  FROM q CROSS JOIN t)
+        |SELECT bucket, count(*)::BIGINT AS n_docs,
+        |  sum(ntok)::BIGINT AS total_tokens,
+        |  floor(sum(CAST(round(quality * 10000, 0) AS BIGINT))
+        |    / 10000.0 / count(*) * 10000) / 10000 AS avg_quality
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "t25_split_regen" ->
       // t23's leakage CTEs reduced to the leaked-doc set, then a CASE
       // reassignment over t14's split arithmetic

@@ -55,8 +55,9 @@ class QueriesSmokeSpec extends SparkSuite {
       // per-occurrence ratio frame; p11 finishes the maintained
       // 64-row model with the same one-row totals broadcast
       "t22_dsir_weights", "p11_incremental_dsir",
-      // t24 broadcasts the ONE-row p25 threshold onto the scored docs
-      "t24_quality_gate",
+      // t24 broadcasts the ONE-row p25 threshold onto the scored docs;
+      // t26 broadcasts the ONE-row quintile-threshold frame the same way
+      "t24_quality_gate", "t26_curriculum_plan",
       // s14 composes the s01-shape exact truth pass (sample × corpus,
       // intentional) with s03's bounded query × centroid probe
       "s14_recall_audit")
