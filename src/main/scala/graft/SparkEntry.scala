@@ -677,6 +677,33 @@ object SparkEntry {
     * (TakeOrderedAndProject) + a one-row total broadcast; the
     * cumulative window runs over the 20 surviving rows only — global
     * by construction, never over the fact table. */
+  /** q45: corpus drift audit — two snapshot halves (t14's md5 bucket
+    * arithmetic, portable to the oracle) compared as a per-source
+    * mixture-shift decision table: counts, shares, and the absolute
+    * share delta whose sum is 2× the total-variation distance. TVD
+    * instead of PSI/KL on purpose: no transcendentals, so Spark and
+    * DuckDB agree bit-for-bit (ln differs by 1 ulp between libm
+    * implementations and a drift verdict shouldn't hinge on that).
+    * Two tiny aggregates + a one-row total broadcast. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    val agg = T(s, dir, "documents")
+      .select(col("source"), (bucket < 50).cast("long").as("__old"))
+      .groupBy("source")
+      .agg(sum(col("__old")).as("n_old"),
+        sum(lit(1L) - col("__old")).as("n_new"))
+    val tot = agg.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_old"), col("n_new"),
+        trunc4(col("n_old") / col("__to")).as("share_old"),
+        trunc4(col("n_new") / col("__tn")).as("share_new"),
+        trunc4(abs(col("n_old") / col("__to") -
+          col("n_new") / col("__tn"))).as("share_delta"))
+      .orderBy("source")
+  }
+
   private def q43(s: SparkSession, dir: String): DataFrame = {
     val ev = T(s, dir, "events")
     val tot = ev.agg(count(lit(1)).as("t"))
@@ -2428,6 +2455,7 @@ object SparkEntry {
     "q42_canonical_record" -> (q42 _),
     "q43_skew_profile" -> (q43 _),
     "q44_fd_audit" -> (q44 _),
+    "q45_drift_audit" -> (q45 _),
     "t13_stopword_detect" -> (t13 _),
     "t14_train_split" -> (t14 _),
     "t15_grouped_sample" -> (t15 _),
@@ -3968,6 +3996,22 @@ object SparkEntry {
         |  floor(sum(r.n) OVER (ORDER BY r.rank ROWS UNBOUNDED PRECEDING)
         |    / tot.t * 10000) / 10000 AS cum_pct
         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    "q45_drift_audit" ->
+      // t14's md5 bucket splits the two halves; TVD-style deltas keep
+      // the arithmetic transcendental-free (bit-stable both engines)
+      """WITH b AS (SELECT source,
+        |    CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % 100) < 50 THEN 1 ELSE 0 END AS is_old FROM documents),
+        |a AS (SELECT source, sum(is_old)::BIGINT AS n_old,
+        |    sum(1 - is_old)::BIGINT AS n_new FROM b GROUP BY source),
+        |t AS (SELECT sum(n_old)::BIGINT AS tot_o,
+        |    sum(n_new)::BIGINT AS tot_n FROM a)
+        |SELECT source, n_old, n_new,
+        |  floor(n_old::DOUBLE / tot_o * 10000) / 10000 AS share_old,
+        |  floor(n_new::DOUBLE / tot_n * 10000) / 10000 AS share_new,
+        |  floor(abs(n_old::DOUBLE / tot_o - n_new::DOUBLE / tot_n)
+        |    * 10000) / 10000 AS share_delta
+        |FROM a CROSS JOIN t ORDER BY source""".stripMargin,
     "q44_fd_audit" ->
       // dominant value = max count with ties to MIN value, encoded as
       // min({-n, val}) — struct comparison is lexicographic in both

@@ -58,6 +58,8 @@ class QueriesSmokeSpec extends SparkSuite {
       // t24 broadcasts the ONE-row p25 threshold onto the scored docs;
       // t26 broadcasts the ONE-row quintile-threshold frame the same way
       "t24_quality_gate", "t26_curriculum_plan",
+      // q45 broadcasts the ONE-row snapshot-total aggregate
+      "q45_drift_audit",
       // s14 composes the s01-shape exact truth pass (sample × corpus,
       // intentional) with s03's bounded query × centroid probe
       "s14_recall_audit")
