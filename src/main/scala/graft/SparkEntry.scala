@@ -2286,6 +2286,16 @@ object SparkEntry {
   private def p07(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingStopwords(s, dir)
 
+  /** p13: INCREMENTAL disorder profile — e18's watermark-tuning
+    * measurement maintained per micro-batch
+    * ([[graft.streaming.Streams.incrementalDisorderProfile]]): each
+    * batch's lateness computed against the stored per-type running
+    * max, then monoid-folded; snapshot equals the batch audit under
+    * ingest-ordered chunking (ordered-replay spec). Shares e18's
+    * DuckDB oracle. */
+  private def p13(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingDisorderProfile(s, dir)
+
   /** p12: INCREMENTAL media-signature dedup — m05's perceptual-stub
     * signature table maintained per micro-batch
     * ([[graft.streaming.Streams.incrementalPayloadSig]]): per-fp
@@ -2559,6 +2569,7 @@ object SparkEntry {
     "p10_incremental_span_rewrite" -> (p10 _),
     "p11_incremental_dsir" -> (p11 _),
     "p12_incremental_media" -> (p12 _),
+    "p13_incremental_disorder" -> (p13 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),
@@ -3787,6 +3798,22 @@ object SparkEntry {
         |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c
         |    ON c.vec_id != q.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "p13_incremental_disorder" ->
+      // the maintained profile must equal the batch audit: e18's
+      // oracle verbatim
+      """WITH x AS (SELECT event_type, epoch_us(ts) AS us,
+        |    max(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM events),
+        |y AS (SELECT event_type,
+        |    CASE WHEN runmax > us THEN runmax - us ELSE 0 END AS late_us
+        |  FROM x)
+        |SELECT event_type, count(*) AS n_events,
+        |  sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+        |  max(late_us) AS max_disorder_us,
+        |  sum(late_us)::BIGINT AS total_disorder_us
+        |FROM y GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e18_disorder_audit" ->
       """WITH x AS (SELECT event_type, epoch_us(ts) AS us,
         |    max(epoch_us(ts)) OVER (PARTITION BY event_type

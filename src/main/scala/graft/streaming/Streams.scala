@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -672,6 +673,99 @@ object Streams {
         (floor(col("df") / col("n").cast("double") * 10000) / 10000)
           .as("doc_frac"))
       .orderBy("token")
+  }
+
+  /** p13: incremental event-time DISORDER profile — e18's
+    * watermark-tuning measurement maintained at ingest, so e19's
+    * recommended delay can be re-derived as traffic shifts without a
+    * log rescan. Per event type the state is (running event-time
+    * max, n_events, n_late, max_disorder, total_disorder): each
+    * micro-batch computes its events' lateness against e18's running
+    * max seeded with the stored per-type max from all PRIOR batches,
+    * then folds — every state field is a commutative monoid (max /
+    * sum), but lateness itself is DEFINED by arrival order, so the
+    * snapshot equals the batch profile when micro-batches partition
+    * the stream in ingest (event_id) order — exactly the order a
+    * file source replays and a partitioned log delivers (ordered-
+    * replay spec). O(batch) per increment; |types|-row state;
+    * versioned dirs + atomic pointer, as p07. */
+  def incrementalDisorderProfile(
+      stream: DataFrame,
+      base: String): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF()
+        val w = Window.partitionBy("event_type").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withUs = b.select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val prior = readPtr().map(p => spark.read.parquet(s"$p/model"))
+        val seeded = prior match {
+          case None => withUs.withColumn("__pmax", lit(-1L))
+          case Some(m) => withUs.join(
+            m.select(col("event_type"), col("max_us").as("__pmax")),
+            Seq("event_type"), "left")
+        }
+        // -1 sentinel: event times are positive micros, so it orders
+        // below every real timestamp (no-prior-row / no-prior-batch)
+        val late = seeded
+          .withColumn("__run", greatest(
+            coalesce(max(col("us")).over(w), lit(-1L)),
+            coalesce(col("__pmax"), lit(-1L))))
+          .withColumn("late_us",
+            when(col("__run") > col("us"), col("__run") - col("us"))
+              .otherwise(lit(0L)))
+        val delta = late.groupBy("event_type").agg(
+          max(col("us")).as("max_us"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+          max(col("late_us")).as("max_disorder_us"),
+          sum(col("late_us")).as("total_disorder_us"))
+        val model = prior match {
+          case None => delta
+          case Some(m) => m.unionByName(delta).groupBy("event_type").agg(
+            max(col("max_us")).as("max_us"),
+            sum(col("n_events")).as("n_events"),
+            sum(col("n_late")).as("n_late"),
+            max(col("max_disorder_us")).as("max_disorder_us"),
+            sum(col("total_disorder_us")).as("total_disorder_us"))
+        }
+        val out = s"$base/v$id"
+        model.write.mode("overwrite").parquet(s"$out/model")
+        writePointerAtomic(latestFile, out)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p13_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(s"$snap/model")
+  }
+
+  /** [[incrementalDisorderProfile]] over the events stream, finished
+    * as e18's report (the running-max column is maintenance state,
+    * not part of the report) — the maintained profile must reproduce
+    * the batch audit exactly (shares e18's DuckDB oracle). */
+  def streamingDisorderProfile(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p13").toString
+    val profile = withStreamPartitions(spark, 8) {
+      incrementalDisorderProfile(eventsStream(spark, dir), base)
+    }
+    profile
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        col("max_disorder_us"), col("total_disorder_us"))
+      .orderBy("event_type")
   }
 
   /** p12: incremental payload-SIGNATURE model maintenance — m05's

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Temporal
 import graft.streaming.Streams
@@ -272,6 +273,59 @@ class StreamsSpec extends SparkSuite {
       assert(df == expect(tok), s"df mismatch for '$tok'")
       assert(n == expectN)
     }
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+  }
+
+  test("incremental disorder profile: ordered multi-batch fold equals e18 batch") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val n = ev.count()
+    val cuts = Seq(n / 3, 2 * n / 3)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p13_src").toString
+    // three INGEST-ORDERED chunks: the file source replays files in
+    // modification-time order, which we pin explicitly
+    val ranges = Seq(
+      ev.filter(col("event_id") <= cuts(0)),
+      ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      ev.filter(col("event_id") > cuts(1)))
+    ranges.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"chunk$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      assert(dst.setLastModified(1000000L * (i + 1)))
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "chunk*.parquet").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p13_spec").toString
+    val got = graft.streaming.Streams
+      .incrementalDisorderProfile(stream, base)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_late"),
+          r.getAs[Long]("max_disorder_us"),
+          r.getAs[Long]("total_disorder_us"))).toMap
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = ev
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("late_us",
+        when(max(col("us")).over(w) > col("us"),
+          max(col("us")).over(w) - col("us")).otherwise(lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(when(col("late_us") > 0, 1L)
+          .otherwise(0L)).as("nl"),
+        max(col("late_us")).as("mx"), sum(col("late_us")).as("tot"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("nl"),
+          r.getAs[Long]("mx"), r.getAs[Long]("tot"))).toMap
+    assert(got == expect, "maintained disorder profile diverges from batch")
     val versions = new java.io.File(base).listFiles()
       .map(_.getName).filter(_.startsWith("v"))
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
