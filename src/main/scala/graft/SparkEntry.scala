@@ -1561,6 +1561,35 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** n09: PII exposure audit — the compliance REPORT over n07's
+    * detection machinery (same injected fixture, same cross-engine
+    * patterns): per source, how many docs carry PII, match counts
+    * per class, and the exposure fraction — the table a privacy
+    * review reads before a corpus ships. n07 is the per-doc action;
+    * this is the corpus-level decision view. One map-side regex pass
+    * + one hash-agg. */
+  private def n09(s: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 10 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-123-4567")))
+      .otherwise(col("text"))
+    T(s, dir, "documents")
+      .select(col("source"),
+        size(regexp_extract_all(injected, lit(TextFns.EmailRe), lit(0)))
+          .cast("long").as("__e"),
+        size(regexp_extract_all(injected, lit(TextFns.PhoneRe), lit(0)))
+          .cast("long").as("__p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__e") + col("__p") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum(col("__e")).as("n_emails"),
+        sum(col("__p")).as("n_phones"))
+      .withColumn("pii_frac",
+        trunc4(col("n_docs_with_pii") / col("n_docs")))
+      .orderBy("source")
+  }
+
   /** t06: stratified deterministic sampling (cap dominant strata) —
     * rows-only oracle (xxhash64); proportions asserted in specs. */
   private def t06(s: SparkSession, dir: String): DataFrame =
@@ -2507,6 +2536,7 @@ object SparkEntry {
     "t09_weighted_sample" -> (t09 _),
     "n07_pii_redact" -> (n07 _),
     "n08_nfc_normalize" -> (n08 _),
+    "n09_pii_audit" -> (n09 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_pairs" -> (d02 _),
     "d03_jaccard_verify" -> (d03 _),
@@ -3466,6 +3496,27 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df,
         |  floor(tf * ln(n * 1.0 / df) * 10000) / 10000 AS tfidf
         |FROM r WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+    "n09_pii_audit" ->
+      // n07's injected fixture + patterns, aggregated to the
+      // per-source compliance view
+      """WITH t AS (SELECT source,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' ||
+        |      doc_id || '@example.com or 555-123-4567'
+        |    ELSE text END AS tt
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    len(regexp_extract_all(tt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+        |      AS e,
+        |    len(regexp_extract_all(tt, '\d{3}-\d{3}-\d{4}'))::BIGINT AS p
+        |  FROM t)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN e + p > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_docs_with_pii,
+        |  sum(e)::BIGINT AS n_emails, sum(p)::BIGINT AS n_phones,
+        |  floor(sum(CASE WHEN e + p > 0 THEN 1 ELSE 0 END)
+        |    / count(*) * 10000) / 10000 AS pii_frac
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "n07_pii_redact" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' ||
