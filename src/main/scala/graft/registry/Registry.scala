@@ -61,6 +61,43 @@ class Registry(
   def table(name: String): DataFrame =
     spark.read.parquet(s"$dataDir/$name.parquet")
 
+  /** Freshness + integrity report — `status --watch`'s one decision
+    * table, folding [[Lineage]]'s manifest into the live registry:
+    * per table, the live row count vs the manifest's recorded count
+    * (a mismatch means published files changed outside the
+    * pipeline), the snapshot age, and the same 30-day staleness
+    * verdict [[warnIfStale]] applies at query time (api.py:81-94).
+    * The manifest is one small driver-side JSON read; live counts
+    * are parquet metadata passes. Missing manifest → manifest_rows
+    * -1 / age -1, so the report itself flags an unpublished dir
+    * instead of throwing. */
+  def freshnessReport(
+      asOf: java.time.LocalDate = java.time.LocalDate.now): DataFrame = {
+    import spark.implicits._
+    val p = java.nio.file.Paths.get(s"$dataDir/_meta/manifest.json")
+    val (age, counts) =
+      if (!java.nio.file.Files.exists(p))
+        (None: Option[Long], Map.empty[String, Long])
+      else {
+        val txt = java.nio.file.Files.readString(p)
+        val a = "\"snapshot_date\":\\s*\"(\\d{4}-\\d{2}-\\d{2})\"".r
+          .findFirstMatchIn(txt)
+          .map(m => Lineage.ageDays(m.group(1), asOf))
+        val rc = "\"row_counts\":\\s*\\{([^}]*)\\}".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        val c = "\"([A-Za-z_]+)\":\\s*(\\d+)".r.findAllMatchIn(rc)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+        (a, c)
+      }
+    tableNames.map { t =>
+      val live = table(t).count()
+      val man = counts.getOrElse(t, -1L)
+      (t, live, man, if (man == live) 1L else 0L,
+        age.getOrElse(-1L), if (age.exists(_ >= 30)) 1L else 0L)
+    }.toDF("table_name", "n_rows", "manifest_rows", "rows_match",
+      "age_days", "stale")
+  }
+
   /** aircraft_decoded view (publish.py:156-183): fact LEFT JOIN
     * make/model dim + literal code books, all broadcast. */
   def aircraftDecoded: DataFrame = {

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.registry.{Registry, RegistryNormalize}
+import graft.registry.{Lineage, Registry, RegistryNormalize}
 
 /** End-to-end registry pipeline: FAA-shaped CSV → typed parquet →
   * decoded views → search/fleet/FTS — the reference's whole
@@ -137,6 +137,35 @@ class RegistrySpec extends SparkSuite {
     assert(registry.status.collect().map(_.getLong(1)).sum == 3 + 3 + 3 + 2 + 2)
     assert(registry.listTables.contains("aircraft_decoded"))
     assert(registry.schemaOf("engines").count() == 6)
+  }
+
+  test("freshnessReport folds manifest counts, age and staleness into one table") {
+    // isolated publish dir: the shared fixture must stay manifest-free
+    // (warnIfStale tests depend on the absent-manifest path)
+    val pub = java.nio.file.Files
+      .createTempDirectory("graft_fresh_pub").toString
+    RegistryNormalize.normalize(spark, dirs._1, pub)
+    val reg = new Registry(spark, pub)
+    // no manifest yet: the report flags it instead of throwing
+    val bare = reg.freshnessReport().collect()
+    assert(bare.forall(r => r.getAs[Long]("manifest_rows") == -1L &&
+      r.getAs[Long]("age_days") == -1L && r.getAs[Long]("stale") == 0L))
+    Lineage.writeManifest(spark, pub, Registry.tableNames,
+      "2026-08-01")
+    val fresh = reg
+      .freshnessReport(java.time.LocalDate.parse("2026-08-13"))
+      .collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("rows_match"), r.getAs[Long]("age_days"),
+          r.getAs[Long]("stale"))).toMap
+    assert(fresh.keySet == Registry.tableNames.toSet)
+    assert(fresh.values.forall(_ == (1L, 12L, 0L)),
+      s"expected all matched/12-days/fresh: $fresh")
+    val stale = reg
+      .freshnessReport(java.time.LocalDate.parse("2026-09-13"))
+      .collect()
+    assert(stale.forall(r => r.getAs[Long]("stale") == 1L),
+      "43-day-old snapshot must flag stale")
   }
 
   test("normalizeIncremental refreshes only tables whose raw source changed") {
