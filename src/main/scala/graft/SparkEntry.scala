@@ -1246,6 +1246,37 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** t27: context-length decision table — for each candidate
+    * max_seq_len, what the corpus pays in truncation (docs clipped,
+    * tokens lost) vs padding (slot waste if each doc fills one
+    * fixed-length row): the table read before choosing a training
+    * context length, and the motivation for t16's packing (which
+    * recovers the padding column). One scan: the per-doc token count
+    * fans out ×|candidates| map-side (explode of a 4-element literal
+    * array), then one hash-agg; all-integer operands, two double
+    * divisions at the end. */
+  private def t27(s: SparkSession, dir: String): DataFrame = {
+    val lens = array(Seq(512L, 1024L, 2048L, 4096L).map(lit): _*)
+    T(s, dir, "documents")
+      .select(size(TextFns.tokensLower(col("text"))).cast("long").as("n"))
+      .select(col("n"), explode(lens).as("max_seq_len"))
+      .groupBy("max_seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") > col("max_seq_len"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(least(col("n"), col("max_seq_len"))).as("tokens_kept"),
+        sum(when(col("n") > col("max_seq_len"),
+          col("n") - col("max_seq_len")).otherwise(0L)).as("tokens_lost"),
+        sum(col("max_seq_len") - least(col("n"), col("max_seq_len")))
+          .as("__pad"))
+      .select(col("max_seq_len"), col("n_docs"), col("n_truncated"),
+        col("tokens_kept"), col("tokens_lost"),
+        trunc4(col("__pad") / (col("max_seq_len") * col("n_docs")))
+          .as("pad_frac"),
+        trunc4(col("n_truncated") / col("n_docs")).as("trunc_frac"))
+      .orderBy("max_seq_len")
+  }
+
   /** t13: corpus-derived stopword/boilerplate detection — tokens
     * whose document frequency exceeds half the corpus: the
     * data-driven stopword list a filtering pipeline derives per
@@ -2512,6 +2543,7 @@ object SparkEntry {
     "t24_quality_gate" -> (t24 _),
     "t25_split_regen" -> (t25 _),
     "t26_curriculum_plan" -> (t26 _),
+    "t27_context_plan" -> (t27 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
@@ -3217,6 +3249,24 @@ object SparkEntry {
         |  floor(thr * 10000) / 10000 AS p25_threshold
         |FROM q CROSS JOIN t GROUP BY source, thr
         |ORDER BY source""".stripMargin,
+    "t27_context_plan" ->
+      // all-integer truncation/padding accounting; unnest fans each
+      // doc's token count across the candidate lengths as explode does
+      """WITH n AS (SELECT
+        |    len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+        |      AS n FROM documents),
+        |x AS (SELECT n,
+        |    unnest([512, 1024, 2048, 4096]::BIGINT[]) AS L FROM n)
+        |SELECT L AS max_seq_len, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN n > L THEN 1 ELSE 0 END)::BIGINT AS n_truncated,
+        |  sum(least(n, L))::BIGINT AS tokens_kept,
+        |  sum(CASE WHEN n > L THEN n - L ELSE 0 END)::BIGINT
+        |    AS tokens_lost,
+        |  floor(sum(L - least(n, L))::DOUBLE / (L * count(*)) * 10000)
+        |    / 10000 AS pad_frac,
+        |  floor(sum(CASE WHEN n > L THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*) * 10000) / 10000 AS trunc_frac
+        |FROM x GROUP BY L ORDER BY max_seq_len""".stripMargin,
     "t26_curriculum_plan" ->
       // t24's scoring CTE + q18's explicit type-7 interpolation at 4
       // cut points; the mean is rebuilt from the exact integer sum of
