@@ -2346,6 +2346,16 @@ object SparkEntry {
   private def p07(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingStopwords(s, dir)
 
+  /** p14: INCREMENTAL MinHash-LSH candidate discovery — d02's band
+    * index maintained at ingest
+    * ([[graft.streaming.Streams.incrementalMinhashPairs]]): each
+    * batch banded once, probed against the accumulated index, pairs
+    * discovered when their later member arrives — the accumulated
+    * set equals batch d02 under any chunking (replay spec). Rows-only
+    * oracle, as d02 (xxhash64 signatures are Spark-specific). */
+  private def p14(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingMinhashPairs(s, dir)
+
   /** p13: INCREMENTAL disorder profile — e18's watermark-tuning
     * measurement maintained per micro-batch
     * ([[graft.streaming.Streams.incrementalDisorderProfile]]): each
@@ -2632,6 +2642,7 @@ object SparkEntry {
     "p11_incremental_dsir" -> (p11 _),
     "p12_incremental_media" -> (p12 _),
     "p13_incremental_disorder" -> (p13 _),
+    "p14_incremental_minhash" -> (p14 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),

@@ -675,6 +675,88 @@ object Streams {
       .orderBy("token")
   }
 
+  /** p14: incremental MinHash-LSH candidate discovery — d02's band
+    * index maintained at ingest: each micro-batch's docs are banded
+    * once (O(batch) hashing), probed against the ACCUMULATED band
+    * table for cross-batch collisions (bucket-bounded equi-join),
+    * self-joined for within-batch ones, then appended to the index.
+    * A pair is discovered exactly when its LATER member arrives, so
+    * the accumulated pair set equals the batch d02 pairs under ANY
+    * chunking (replay spec) — near-dup candidates stream out at
+    * ingest and the corpus is never re-banded. State = the band
+    * table (index-sized) + discovered pairs; this simple snapshot
+    * rewrites both per batch — a production layout appends bucketed
+    * partitions instead ([[graft.operators.Dedup.writeBandedLayout]]
+    * is that shape; the probe itself is already O(batch). */
+  def incrementalMinhashPairs(
+      stream: DataFrame,
+      base: String): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF()
+        val newBands = graft.operators.Dedup.minHashBandTable(
+          b, col("doc_id"), col("text"))
+        val prior = readPtr()
+        val priorBands = prior.map(p => spark.read.parquet(s"$p/bands"))
+        val priorPairs = prior.map(p => spark.read.parquet(s"$p/pairs"))
+        val within = {
+          val a = newBands.alias("a")
+          val bb = newBands.alias("b")
+          a.join(bb, col("a.band") === col("b.band") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        }
+        val cross = priorBands.map { ob =>
+          newBands.alias("n").join(ob.alias("o"),
+              col("n.band") === col("o.band") &&
+                col("n.band_hash") === col("o.band_hash"))
+            .select(least(col("n.doc_id"), col("o.doc_id")).as("a_id"),
+              greatest(col("n.doc_id"), col("o.doc_id")).as("b_id"))
+        }
+        val newPairs = cross.map(within.unionByName(_)).getOrElse(within)
+        val pairs = priorPairs.map(_.unionByName(newPairs))
+          .getOrElse(newPairs).distinct()
+        val bands = priorBands.map(_.unionByName(newBands))
+          .getOrElse(newBands)
+        val out = s"$base/v$id"
+        bands.write.mode("overwrite").parquet(s"$out/bands")
+        pairs.write.mode("overwrite").parquet(s"$out/pairs")
+        writePointerAtomic(latestFile, out)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p14_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(s"$snap/pairs")
+  }
+
+  /** [[incrementalMinhashPairs]] over the documents table — the
+    * maintained pair set must equal d02's batch candidates exactly
+    * (rows-only key; the equality IS the replay spec). */
+  def streamingMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p14").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val pairs = withStreamPartitions(spark, 8) {
+      incrementalMinhashPairs(docs, base)
+    }
+    pairs.orderBy("a_id", "b_id")
+  }
+
   /** p13: incremental event-time DISORDER profile — e18's
     * watermark-tuning measurement maintained at ingest, so e19's
     * recommended delay can be re-derived as traffic shifts without a

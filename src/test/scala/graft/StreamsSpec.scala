@@ -278,6 +278,31 @@ class StreamsSpec extends SparkSuite {
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
 
+  test("incremental minhash pairs: multi-batch discovery equals batch d02") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p14_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p14_spec").toString
+    val got = graft.streaming.Streams
+      .incrementalMinhashPairs(stream, base)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    val expect = graft.operators.Dedup
+      .minHashCandidatePairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    assert(got == expect,
+      s"maintained pairs diverge from batch: extra=${got -- expect}, missing=${expect -- got}")
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+  }
+
   test("incremental disorder profile: ordered multi-batch fold equals e18 batch") {
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("event_type"), col("ts"))
