@@ -2064,6 +2064,34 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** e20: event-time inter-arrival profile — the capacity-planning
+    * twin of e18's disorder audit: per event type, the gap between
+    * consecutive events in event-time order (p50/p99 via the exact
+    * type-7 machinery, mean from the exact integer span) — the table
+    * that sizes micro-batch triggers and state-store throughput
+    * before a stream ships. One keyed window shuffle shared with the
+    * percentile pass's group key; all-integer operands, floored to
+    * whole micros. */
+  private def e20(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    val gaps = T(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    val quant = operators.Percentiles.exactByGroup(
+        gaps, "event_type", "gap_us", Seq(0.5, 0.99))
+      .select(col("event_type"),
+        floor(col("p50")).cast("long").as("p50_gap_us"),
+        floor(col("p99")).cast("long").as("p99_gap_us"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        floor(sum(col("gap_us")) / count(lit(1))).cast("long")
+          .as("mean_gap_us"))
+      .join(quant, Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** e03: as-of join — latest order at-or-before each event for the
     * same user (union-and-carry, one shuffle). */
   private def e03(s: SparkSession, dir: String): DataFrame = {
@@ -2629,6 +2657,7 @@ object SparkEntry {
     "e17_sliding_window" -> (e17 _),
     "e18_disorder_audit" -> (e18 _),
     "e19_watermark_plan" -> (e19 _),
+    "e20_arrival_profile" -> (e20 _),
     "p01_corpus_pipeline" -> (p01 _),
     "p02_preprocess_chain" -> (p02 _),
     "p03_incremental_clean" -> (p03 _),
@@ -3940,6 +3969,39 @@ object SparkEntry {
         |  max(late_us) AS max_disorder_us,
         |  sum(late_us)::BIGINT AS total_disorder_us
         |FROM y GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e20_arrival_profile" ->
+      // lag over the same event-time order + q18's per-group type-7
+      // interpolation; mean from the exact integer gap sum
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |y AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+        |r AS (SELECT event_type, gap_us AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap_us)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM y),
+        |a AS (SELECT event_type,
+        |    max(CASE WHEN rn = floor((n-1)*0.5)+1 THEN v END) AS lo50,
+        |    max(CASE WHEN rn = ceil((n-1)*0.5)+1 THEN v END) AS hi50,
+        |    max((n-1)*0.5 - floor((n-1)*0.5)) AS f50,
+        |    max(CASE WHEN rn = floor((n-1)*0.99)+1 THEN v END) AS lo99,
+        |    max(CASE WHEN rn = ceil((n-1)*0.99)+1 THEN v END) AS hi99,
+        |    max((n-1)*0.99 - floor((n-1)*0.99)) AS f99
+        |  FROM r GROUP BY event_type),
+        |t AS (SELECT event_type,
+        |    CAST(floor(lo50 + (hi50 - lo50) * f50) AS BIGINT) AS p50_gap_us,
+        |    CAST(floor(lo99 + (hi99 - lo99) * f99) AS BIGINT) AS p99_gap_us
+        |  FROM a),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |    CAST(floor(sum(gap_us)::DOUBLE / count(*)) AS BIGINT)
+        |      AS mean_gap_us
+        |  FROM y GROUP BY event_type)
+        |SELECT m.event_type, m.n_gaps, m.mean_gap_us,
+        |  t.p50_gap_us, t.p99_gap_us
+        |FROM m JOIN t USING (event_type)
+        |ORDER BY m.event_type""".stripMargin,
     "e19_watermark_plan" ->
       // e18's lateness CTE + q18's explicit type-7 interpolation per
       // group (a watermark drops data: quantile_cont's 1-ulp drift
