@@ -1277,6 +1277,28 @@ object SparkEntry {
       .orderBy("max_seq_len")
   }
 
+  /** t28: token frequency-spectrum report — the "frequency of
+    * frequencies" (Good–Turing's input, and the table that says how
+    * much of the vocabulary is hapax noise vs productive tail):
+    * tokens bucketed by occurrence count into hapax / rare / mid /
+    * common bands, with token and occurrence totals per band. Two
+    * hash-aggs (vocabulary-sized then 4-row), all-integer — the
+    * vocab never broadcasts (t08's shuffle regime). */
+  private def t28(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(explode(TextFns.tokensLower(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .select(
+        when(col("c") === 1, "1_hapax")
+          .when(col("c") <= 10, "2_rare")
+          .when(col("c") <= 100, "3_mid")
+          .otherwise("4_common").as("band"),
+        col("c"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("n_occurrences"))
+      .orderBy("band")
+
   /** t13: corpus-derived stopword/boilerplate detection — tokens
     * whose document frequency exceeds half the corpus: the
     * data-driven stopword list a filtering pipeline derives per
@@ -2582,6 +2604,7 @@ object SparkEntry {
     "t25_split_regen" -> (t25 _),
     "t26_curriculum_plan" -> (t26 _),
     "t27_context_plan" -> (t27 _),
+    "t28_freq_spectrum" -> (t28 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
@@ -3289,6 +3312,18 @@ object SparkEntry {
         |  floor(thr * 10000) / 10000 AS p25_threshold
         |FROM q CROSS JOIN t GROUP BY source, thr
         |ORDER BY source""".stripMargin,
+    "t28_freq_spectrum" ->
+      """WITH c AS (SELECT t AS token, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)),
+        |      '\s+')) AS t FROM documents)
+        |  GROUP BY t)
+        |SELECT CASE WHEN c = 1 THEN '1_hapax'
+        |            WHEN c <= 10 THEN '2_rare'
+        |            WHEN c <= 100 THEN '3_mid'
+        |            ELSE '4_common' END AS band,
+        |  count(*)::BIGINT AS n_tokens,
+        |  sum(c)::BIGINT AS n_occurrences
+        |FROM c GROUP BY 1 ORDER BY band""".stripMargin,
     "t27_context_plan" ->
       // all-integer truncation/padding accounting; unnest fans each
       // doc's token count across the candidate lengths as explode does
