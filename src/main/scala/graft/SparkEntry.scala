@@ -900,6 +900,33 @@ object SparkEntry {
         (floor(col("mean_byte") * 10000) / 10000).as("mean_byte"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** m07: chunk-size decision table — t27's trade-off analysis for
+    * BINARY payloads (m03's tuning twin): per candidate chunk size,
+    * total chunks and tail slack (the last chunk's padding) if every
+    * payload is cut into fixed non-overlapping chunks — the table
+    * read before fixing a storage/transfer block size. The synthetic
+    * corpus is pure ASCII so char length = byte length (m03/m05's
+    * documented equivalence). One scan, ×3 literal fan-out,
+    * all-integer `div` arithmetic. */
+  private def m07(s: SparkSession, dir: String): DataFrame = {
+    val lens = array(Seq(64L, 256L, 1024L).map(lit): _*)
+    T(s, dir, "documents")
+      .select(length(col("text")).cast("long").as("b"))
+      .select(col("b"), explode(lens).as("chunk_bytes"))
+      .select(col("b"), col("chunk_bytes"),
+        expr("(b + chunk_bytes - 1) div chunk_bytes").as("nc"))
+      .groupBy("chunk_bytes")
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(col("nc")).as("total_chunks"),
+        sum(col("nc") * col("chunk_bytes") - col("b")).as("waste_bytes"),
+        sum(col("b")).as("payload_bytes"))
+      .select(col("chunk_bytes"), col("n_payloads"), col("total_chunks"),
+        col("waste_bytes"),
+        trunc4(col("waste_bytes") /
+          (col("waste_bytes") + col("payload_bytes"))).as("waste_frac"))
+      .orderBy("chunk_bytes")
+  }
+
   /** s06: KNN over int8-quantized embeddings with exact re-scoring
     * ([[Similarity.quantizedKnn]]): integer byte-dot first pass over
     * a 4×-smaller representation, exact cosine on the surviving
@@ -2700,6 +2727,7 @@ object SparkEntry {
     "m04_modality_mixture" -> (m04 _),
     "m05_payload_dedup" -> (m05 _),
     "m06_frame_dedup" -> (m06 _),
+    "m07_chunk_plan" -> (m07 _),
     "m02_frame_sample" -> (m02 _)
   )
 
@@ -3836,6 +3864,17 @@ object SparkEntry {
         |  count(*) AS n_items, sum(n_bytes)::BIGINT AS total_bytes,
         |  floor(avg(n_bytes) * 10000) / 10000 AS avg_bytes
         |FROM m GROUP BY 1 ORDER BY modality""".stripMargin,
+    "m07_chunk_plan" ->
+      // pure-ASCII corpus: length = bytes; // is integer division
+      """WITH b AS (SELECT length(text)::BIGINT AS b FROM documents),
+        |x AS (SELECT b, unnest([64, 256, 1024]::BIGINT[]) AS L FROM b),
+        |y AS (SELECT b, L, (b + L - 1) // L AS nc FROM x)
+        |SELECT L AS chunk_bytes, count(*)::BIGINT AS n_payloads,
+        |  sum(nc)::BIGINT AS total_chunks,
+        |  sum(nc * L - b)::BIGINT AS waste_bytes,
+        |  floor(sum(nc * L - b)::DOUBLE /
+        |    (sum(nc * L - b) + sum(b)) * 10000) / 10000 AS waste_frac
+        |FROM y GROUP BY L ORDER BY chunk_bytes""".stripMargin,
     "m05_payload_dedup" ->
       // pure-ASCII corpus: substr by chars = slice by bytes, so
       // DuckDB's md5(substr) equals Spark's md5 over the blob prefix
