@@ -677,6 +677,26 @@ object SparkEntry {
     * (TakeOrderedAndProject) + a one-row total broadcast; the
     * cumulative window runs over the 20 surviving rows only — global
     * by construction, never over the fact table. */
+  /** q46: join fan-out audit — the explosion predictor: per join key
+    * the multiplicity on EACH side and the exact output rows that
+    * key alone will produce (ca × cb), top-10 by contribution — the
+    * companion to q43's single-side skew profile when the blow-up
+    * risk is multiplicative (many-to-many), read before running the
+    * join it predicts. Two key-only aggregates meeting in one
+    * bounded equi-join; the fact tables never move. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val lc = T(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("left_rows"))
+    val oc = T(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("right_rows"))
+    lc.join(oc, Seq("k"))
+      .select(col("k").as("join_key"), col("left_rows"),
+        col("right_rows"),
+        (col("left_rows") * col("right_rows")).as("rows_out"))
+      .orderBy(desc("rows_out"), col("join_key"))
+      .limit(10)
+  }
+
   /** q45: corpus drift audit — two snapshot halves (t14's md5 bucket
     * arithmetic, portable to the oracle) compared as a per-source
     * mixture-shift decision table: counts, shares, and the absolute
@@ -2613,6 +2633,7 @@ object SparkEntry {
     "q43_skew_profile" -> (q43 _),
     "q44_fd_audit" -> (q44 _),
     "q45_drift_audit" -> (q45 _),
+    "q46_join_audit" -> (q46 _),
     "t13_stopword_detect" -> (t13 _),
     "t14_train_split" -> (t14 _),
     "t15_grouped_sample" -> (t15 _),
@@ -4271,6 +4292,15 @@ object SparkEntry {
         |  floor(sum(r.n) OVER (ORDER BY r.rank ROWS UNBOUNDED PRECEDING)
         |    / tot.t * 10000) / 10000 AS cum_pct
         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    "q46_join_audit" ->
+      """WITH l AS (SELECT l_orderkey AS k, count(*)::BIGINT AS left_rows
+        |    FROM lineitem GROUP BY 1),
+        |r AS (SELECT o_orderkey AS k, count(*)::BIGINT AS right_rows
+        |    FROM orders GROUP BY 1)
+        |SELECT l.k AS join_key, l.left_rows, r.right_rows,
+        |  (l.left_rows * r.right_rows)::BIGINT AS rows_out
+        |FROM l JOIN r USING (k)
+        |ORDER BY rows_out DESC, join_key LIMIT 10""".stripMargin,
     "q45_drift_audit" ->
       // t14's md5 bucket splits the two halves; TVD-style deltas keep
       // the arithmetic transcendental-free (bit-stable both engines)
