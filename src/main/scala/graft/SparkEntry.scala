@@ -1719,6 +1719,33 @@ object SparkEntry {
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
 
+  /** d18: dedup savings report — what exact dedup (d01's
+    * canonicalized hash, keep-min-id election) actually BUYS, per
+    * source: duplicate docs, bytes reclaimed, reclaimed fraction —
+    * the before/after table that justifies (or kills) a dedup stage
+    * in a pipeline review. One hash-shuffle for the election + one
+    * hash-keyed join back + one tiny per-source agg. */
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("__b"),
+        Dedup.contentHash(col("text")).as("__h"))
+    val keep = docs.groupBy("__h").agg(min(col("doc_id")).as("__keep"))
+    docs.join(keep, Seq("__h"))
+      .select(col("source"), col("__b"),
+        (col("doc_id") === col("__keep")).cast("long").as("__k"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("__k")).as("n_dupes"),
+        sum(col("__b")).as("total_bytes"),
+        sum(when(col("__k") === 0L, col("__b")).otherwise(0L))
+          .as("bytes_saved"))
+      .select(col("source"), col("n_docs"), col("n_dupes"),
+        col("total_bytes"), col("bytes_saved"),
+        trunc4(col("bytes_saved") / col("total_bytes")).as("saved_frac"))
+      .orderBy("source")
+  }
+
   /** d02: MinHash+LSH near-dup candidate pairs — rows-only oracle
     * (xxhash64 signatures are Spark-specific); recall covered by
     * specs + d03 verification. */
@@ -2695,6 +2722,7 @@ object SparkEntry {
     "d15_source_overlap" -> (d15 _),
     "d16_dup_spans" -> (d16 _),
     "d17_substring_rewrite" -> (d17 _),
+    "d18_dedup_savings" -> (d18 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
@@ -3707,6 +3735,23 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
         |    'g'), '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
         |FROM t ORDER BY doc_id""".stripMargin,
+    "d18_dedup_savings" ->
+      // d01's canonicalization + election, rolled up to the
+      // per-source savings view (pure-ASCII corpus: length = bytes)
+      """WITH h AS (SELECT doc_id, source, length(text)::BIGINT AS b,
+        |    md5(upper(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS hh
+        |  FROM documents),
+        |k AS (SELECT hh, min(doc_id) AS keep FROM h GROUP BY 1)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN doc_id = keep THEN 0 ELSE 1 END)::BIGINT
+        |    AS n_dupes,
+        |  sum(b)::BIGINT AS total_bytes,
+        |  sum(CASE WHEN doc_id = keep THEN 0 ELSE b END)::BIGINT
+        |    AS bytes_saved,
+        |  floor(sum(CASE WHEN doc_id = keep THEN 0 ELSE b END)::DOUBLE
+        |    / sum(b) * 10000) / 10000 AS saved_frac
+        |FROM h JOIN k USING (hh) GROUP BY source
+        |ORDER BY source""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
