@@ -2078,6 +2078,31 @@ object SparkEntry {
         "user_id", "ts", "event_id", 1800L)
       .orderBy("user_id", "session_id")
 
+  /** e21: session-shape profile — e01's sessions summarized as the
+    * one-row capacity table state-store sizing reads: session count,
+    * mean events per session (exact integer sum), p50/p90 of both
+    * session size and duration via the exact type-7 machinery
+    * (state-store memory is provisioned off the tail, so the tail
+    * must be reproducible). Three one-row frames broadcast into one
+    * decision row. */
+  private def e21(s: SparkSession, dir: String): DataFrame = {
+    val sess = Temporal.sessionize(T(s, dir, "events"),
+        "user_id", "ts", "event_id", 1800L)
+      .select(col("n_events").cast("long").as("n_events"),
+        (col("end_us") - col("start_us")).as("dur_us"))
+    val pe = operators.Percentiles.exact(sess, "n_events", Seq(0.5, 0.9))
+      .select(floor(col("p50")).cast("long").as("p50_events"),
+        floor(col("p90")).cast("long").as("p90_events"))
+    val pd = operators.Percentiles.exact(sess, "dur_us", Seq(0.5, 0.9))
+      .select(floor(col("p50")).cast("long").as("p50_dur_us"),
+        floor(col("p90")).cast("long").as("p90_dur_us"))
+    sess.agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("__te"))
+      .select(col("n_sessions"),
+        trunc4(col("__te") / col("n_sessions")).as("mean_events"))
+      .crossJoin(broadcast(pe)).crossJoin(broadcast(pd))
+  }
+
   /** e02: tumbling hourly aggregation. */
   private def e02(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
@@ -2757,6 +2782,7 @@ object SparkEntry {
     "e18_disorder_audit" -> (e18 _),
     "e19_watermark_plan" -> (e19 _),
     "e20_arrival_profile" -> (e20 _),
+    "e21_session_profile" -> (e21 _),
     "p01_corpus_pipeline" -> (p01 _),
     "p02_preprocess_chain" -> (p02 _),
     "p03_incremental_clean" -> (p03 _),
@@ -4175,6 +4201,55 @@ object SparkEntry {
         |FROM y JOIN t USING (event_type)
         |GROUP BY y.event_type, t.wm_delay_us
         |ORDER BY y.event_type""".stripMargin,
+    "e21_session_profile" ->
+      // e01's session CTE + q18's global type-7 interpolation over
+      // the two per-session measures
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM events),
+        |  y AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR
+        |      epoch_us(ts) - epoch_us(prev) > 1800000000
+        |      THEN 1 ELSE 0 END AS newf FROM x),
+        |  z AS (SELECT user_id, ts,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id FROM y),
+        |  s AS (SELECT count(*)::BIGINT AS n_events,
+        |    max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+        |  FROM z GROUP BY user_id, session_id),
+        |  re AS (SELECT n_events AS v,
+        |    row_number() OVER (ORDER BY n_events) AS rn,
+        |    count(*) OVER () AS n FROM s),
+        |  ae AS (SELECT
+        |    max(CASE WHEN rn = floor((n-1)*0.5)+1 THEN v END) AS lo50,
+        |    max(CASE WHEN rn = ceil((n-1)*0.5)+1 THEN v END) AS hi50,
+        |    max((n-1)*0.5 - floor((n-1)*0.5)) AS f50,
+        |    max(CASE WHEN rn = floor((n-1)*0.9)+1 THEN v END) AS lo90,
+        |    max(CASE WHEN rn = ceil((n-1)*0.9)+1 THEN v END) AS hi90,
+        |    max((n-1)*0.9 - floor((n-1)*0.9)) AS f90 FROM re),
+        |  rd AS (SELECT dur_us AS v,
+        |    row_number() OVER (ORDER BY dur_us) AS rn,
+        |    count(*) OVER () AS n FROM s),
+        |  ad AS (SELECT
+        |    max(CASE WHEN rn = floor((n-1)*0.5)+1 THEN v END) AS lo50,
+        |    max(CASE WHEN rn = ceil((n-1)*0.5)+1 THEN v END) AS hi50,
+        |    max((n-1)*0.5 - floor((n-1)*0.5)) AS f50,
+        |    max(CASE WHEN rn = floor((n-1)*0.9)+1 THEN v END) AS lo90,
+        |    max(CASE WHEN rn = ceil((n-1)*0.9)+1 THEN v END) AS hi90,
+        |    max((n-1)*0.9 - floor((n-1)*0.9)) AS f90 FROM rd),
+        |  m AS (SELECT count(*)::BIGINT AS n_sessions,
+        |    floor(sum(n_events)::DOUBLE / count(*) * 10000) / 10000
+        |      AS mean_events FROM s)
+        |SELECT m.n_sessions, m.mean_events,
+        |  CAST(floor(ae.lo50 + (ae.hi50 - ae.lo50) * ae.f50) AS BIGINT)
+        |    AS p50_events,
+        |  CAST(floor(ae.lo90 + (ae.hi90 - ae.lo90) * ae.f90) AS BIGINT)
+        |    AS p90_events,
+        |  CAST(floor(ad.lo50 + (ad.hi50 - ad.lo50) * ad.f50) AS BIGINT)
+        |    AS p50_dur_us,
+        |  CAST(floor(ad.lo90 + (ad.hi90 - ad.lo90) * ad.f90) AS BIGINT)
+        |    AS p90_dur_us
+        |FROM m CROSS JOIN ae CROSS JOIN ad""".stripMargin,
     "e01_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

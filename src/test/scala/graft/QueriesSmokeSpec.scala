@@ -58,8 +58,9 @@ class QueriesSmokeSpec extends SparkSuite {
       // t24 broadcasts the ONE-row p25 threshold onto the scored docs;
       // t26 broadcasts the ONE-row quintile-threshold frame the same way
       "t24_quality_gate", "t26_curriculum_plan",
-      // q45 broadcasts the ONE-row snapshot-total aggregate
-      "q45_drift_audit",
+      // q45 broadcasts the ONE-row snapshot-total aggregate; e21
+      // broadcasts two ONE-row percentile frames into the summary row
+      "q45_drift_audit", "e21_session_profile",
       // s14 composes the s01-shape exact truth pass (sample × corpus,
       // intentional) with s03's bounded query × centroid probe
       "s14_recall_audit")
