@@ -2057,6 +2057,30 @@ object SparkEntry {
         trunc4(col("novelty_ratio")).as("novelty_ratio"))
   }
 
+  /** s15: near-dup threshold calibration — the histogram of pairwise
+    * cosine over a seeded 10% sample (t14's portable md5 bucket), in
+    * 0.05 bins: the table that picks d05/d07's similarity threshold
+    * FROM the data (where does the true-dup mode separate from the
+    * random-pair bulk?) instead of folklore. The all-pairs block is
+    * intentional and bounded to the sample (|s|²/2 ≈ 1% of corpus²
+    * work — the same audit-sized trade as s14). */
+  private def s15(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    val sample = T(s, dir, "embeddings").filter(bucket < 10)
+    val a = sample.select(col("vec_id").as("a_id"),
+      col("embedding").as("va"))
+    val b = sample.select(col("vec_id").as("b_id"),
+      col("embedding").as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select((floor(Similarity.cosine(col("va"), col("vb")) * 20) / 20)
+        .as("cos_bin"))
+      .groupBy("cos_bin")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("cos_bin")
+  }
+
   /** s04: brute-force top-k via the bounded-heap TypedImperative
     * aggregate — same results as s01 (shares its oracle), but the
     * plan is a partial-aggregating hash agg instead of a window
@@ -2762,6 +2786,7 @@ object SparkEntry {
     "s12_cluster_profile" -> (s12 _),
     "s13_outlier_score" -> (s13 _),
     "s14_recall_audit" -> (s14 _),
+    "s15_threshold_calib" -> (s15 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_counts" -> (e02 _),
     "e03_asof_join" -> (e03 _),
@@ -4053,6 +4078,18 @@ object SparkEntry {
         |  (coalesce(h.n_overlap, 0) > 0)::BIGINT AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "s15_threshold_calib" ->
+      // d05's DOUBLE[] cosine parity; 0.05 bins are 800× coarser than
+      // the 4-decimal rounding d05 already hash-matches at
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings
+        |    WHERE (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+        |      % 100) < 10)
+        |SELECT floor(list_cosine_similarity(a.v, b.v) * 20) / 20
+        |    AS cos_bin,
+        |  count(*)::BIGINT AS n_pairs
+        |FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |GROUP BY 1 ORDER BY cos_bin""".stripMargin,
     "d05_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |    FROM embeddings WHERE vec_id < 200)

@@ -62,8 +62,9 @@ class QueriesSmokeSpec extends SparkSuite {
       // broadcasts two ONE-row percentile frames into the summary row
       "q45_drift_audit", "e21_session_profile",
       // s14 composes the s01-shape exact truth pass (sample × corpus,
-      // intentional) with s03's bounded query × centroid probe
-      "s14_recall_audit")
+      // intentional) with s03's bounded query × centroid probe; s15's
+      // all-pairs block is intentional and bounded to its 10% sample
+      "s14_recall_audit", "s15_threshold_calib")
     // these run a streaming query to completion at construction time —
     // their result frames are materialized sinks, nothing to audit
     val streamingRunners = Set("e04_streaming_counts",
