@@ -1575,6 +1575,30 @@ object SparkEntry {
         TextFns.langId(col("__toks")).as("pred_lang"))
       .orderBy("doc_id")
 
+  /** t29: per-language corpus value report — t03's detected language
+    * joined with t02's quality score and token budget: per predicted
+    * language, doc count, token budget, mean quality from the exact
+    * integer sum of 4-decimal scores (t26's trick) — the "which
+    * languages are worth keeping, and how good is what we have"
+    * table a multilingual mixture decision reads. One scan, one tiny
+    * hash-agg. */
+  private def t29(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("text"), TextFns.tokensLower(col("text")).as("__toks"))
+      .select(TextFns.langId(col("__toks")).as("pred_lang"),
+        size(col("__toks")).cast("long").as("__ntok"),
+        trunc4(least(lit(1.0), length(col("text")) / 500.0) *
+          (lit(0.7) + lit(0.3) * (TextFns.wordSetHits(col("__toks"),
+            Seq("the", "a", "and", "of", "to", "in")) /
+            size(col("__toks"))))).as("__q"))
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("total_tokens"),
+        sum(round(col("__q") * 10000).cast("long")).as("__q10k"))
+      .select(col("pred_lang"), col("n_docs"), col("total_tokens"),
+        trunc4(col("__q10k") / 10000.0 / col("n_docs")).as("avg_quality"))
+      .orderBy("pred_lang")
+
   /** t04: document fingerprint (md5 of normalized text). */
   private def t04(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
@@ -2729,6 +2753,7 @@ object SparkEntry {
     "t26_curriculum_plan" -> (t26 _),
     "t27_context_plan" -> (t27 _),
     "t28_freq_spectrum" -> (t28 _),
+    "t29_lang_value" -> (t29 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
@@ -3688,6 +3713,35 @@ object SparkEntry {
         |  floor((least(1.0, char_len / 500.0) *
         |    (0.7 + 0.3 * (stop_hits / n_toks))) * 10000) / 10000 AS quality
         |FROM x ORDER BY doc_id""".stripMargin,
+    "t29_lang_value" ->
+      // t03's argmax CASE + t24/t26's exact-integer quality mean
+      """WITH h AS (SELECT text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |c AS (SELECT text, tk,
+        |    len(list_filter(tk, t -> t IN ('the','a','and','of'))) AS h_en,
+        |    len(list_filter(tk, t -> t IN ('el','la','de','y'))) AS h_es,
+        |    len(list_filter(tk, t -> t IN ('der','und','die','das'))) AS h_de,
+        |    len(list_filter(tk, t -> t IN ('le','la','et','les'))) AS h_fr
+        |  FROM h),
+        |q AS (SELECT
+        |    CASE WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_de
+        |           AND h_en >= h_fr THEN 'en'
+        |         WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+        |         WHEN h_de > 0 AND h_de >= h_fr THEN 'de'
+        |         WHEN h_fr > 0 THEN 'fr'
+        |         ELSE 'und' END AS pred_lang,
+        |    len(tk)::BIGINT AS ntok,
+        |    floor((least(1.0, length(text) / 500.0) *
+        |      (0.7 + 0.3 * (len(list_filter(tk,
+        |        t -> t IN ('the','a','and','of','to','in'))) / len(tk))))
+        |      * 10000) / 10000 AS quality
+        |  FROM c)
+        |SELECT pred_lang, count(*)::BIGINT AS n_docs,
+        |  sum(ntok)::BIGINT AS total_tokens,
+        |  floor(sum(CAST(round(quality * 10000, 0) AS BIGINT))
+        |    / 10000.0 / count(*) * 10000) / 10000 AS avg_quality
+        |FROM q GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
     "t03_lang_id" ->
       """WITH h AS (SELECT doc_id, lang,
         |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
