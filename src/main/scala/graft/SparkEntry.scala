@@ -1791,6 +1791,25 @@ object SparkEntry {
       .orderBy("a_id")
   }
 
+  /** d19: LSH banding precision audit — the complement of the
+    * recall specs: of d02's candidate pairs, how many survive d03's
+    * exact Jaccard verification at the 0.5 dup threshold — measured
+    * candidate precision, the number that says whether the banding
+    * config wastes verification work (too loose) or can be relaxed
+    * (too tight). Pair-bounded verify over the banding's own
+    * candidates; rows-only (minhash candidates are Spark-specific),
+    * counts exact. */
+  private def d19(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val cand = Dedup.minHashCandidatePairs(docs, col("doc_id"),
+      col("text"))
+    Dedup.jaccardOnPairs(cand, docs, col("doc_id"), col("text"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_true"))
+      .select(col("n_candidates"), col("n_true"),
+        trunc4(col("n_true") / col("n_candidates")).as("precision"))
+  }
+
   /** d12: duplicate-cluster resolution, ORACLE-CHECKED connected
     * components: consecutive-id pairs with token Jaccard >= 0.5 form
     * multi-hop chains (the adversarial diameter case for label
@@ -2797,6 +2816,7 @@ object SparkEntry {
     "d16_dup_spans" -> (d16 _),
     "d17_substring_rewrite" -> (d17 _),
     "d18_dedup_savings" -> (d18 _),
+    "d19_banding_precision" -> (d19 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
