@@ -2365,6 +2365,32 @@ object SparkEntry {
         trunc4(count(col("t1")) / count(lit(1))).as("conversion"))
   }
 
+  /** e22: time-to-convert profile — e11's funnel with the clock on:
+    * among converted users, signup→first-purchase latency summarized
+    * as count, mean (exact integer micros) and p50/p90 via the exact
+    * type-7 machinery — SLA and campaign-attribution windows are set
+    * off this tail, so it must be reproducible. e11 says how many
+    * convert; e22 says how long conversion takes. */
+  private def e22(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .join(signup, Seq("user_id"))
+      .filter(col("ts") >= col("t0"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t1"), min(col("t0")).as("t00"))
+      .select((unix_micros(col("t1")) - unix_micros(col("t00")))
+        .as("lat_us"))
+    val pq = operators.Percentiles.exact(lat, "lat_us", Seq(0.5, 0.9))
+      .select(floor(col("p50")).cast("long").as("p50_lat_us"),
+        floor(col("p90")).cast("long").as("p90_lat_us"))
+    lat.agg(count(lit(1)).as("n_converted"),
+        floor(sum(col("lat_us")) / count(lit(1))).cast("long")
+          .as("mean_lat_us"))
+      .crossJoin(broadcast(pq))
+  }
+
   /** e12: incremental rollup merge ([[Temporal.mergeRollup]]): the
     * stored per-day rollup of history (ts < cutoff) merges with the
     * delta's partial aggregates (ts >= cutoff) by re-summing the
@@ -2853,6 +2879,7 @@ object SparkEntry {
     "e19_watermark_plan" -> (e19 _),
     "e20_arrival_profile" -> (e20 _),
     "e21_session_profile" -> (e21 _),
+    "e22_conversion_latency" -> (e22 _),
     "p01_corpus_pipeline" -> (p01 _),
     "p02_preprocess_chain" -> (p02 _),
     "p03_incremental_clean" -> (p03 _),
@@ -4312,6 +4339,35 @@ object SparkEntry {
         |FROM y JOIN t USING (event_type)
         |GROUP BY y.event_type, t.wm_delay_us
         |ORDER BY y.event_type""".stripMargin,
+    "e22_conversion_latency" ->
+      // e11's funnel CTEs + q18's global type-7 interpolation over
+      // the conversion latency
+      """WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+        |    WHERE event_type = 'signup' GROUP BY user_id),
+        |  l AS (SELECT epoch_us(min(e.ts)) - epoch_us(min(s.t0))
+        |      AS lat_us
+        |    FROM events e JOIN s ON e.user_id = s.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+        |    GROUP BY e.user_id),
+        |  r AS (SELECT lat_us AS v,
+        |    row_number() OVER (ORDER BY lat_us) AS rn,
+        |    count(*) OVER () AS n FROM l),
+        |  a AS (SELECT
+        |    max(CASE WHEN rn = floor((n-1)*0.5)+1 THEN v END) AS lo50,
+        |    max(CASE WHEN rn = ceil((n-1)*0.5)+1 THEN v END) AS hi50,
+        |    max((n-1)*0.5 - floor((n-1)*0.5)) AS f50,
+        |    max(CASE WHEN rn = floor((n-1)*0.9)+1 THEN v END) AS lo90,
+        |    max(CASE WHEN rn = ceil((n-1)*0.9)+1 THEN v END) AS hi90,
+        |    max((n-1)*0.9 - floor((n-1)*0.9)) AS f90 FROM r),
+        |  m AS (SELECT count(*)::BIGINT AS n_converted,
+        |    CAST(floor(sum(lat_us)::DOUBLE / count(*)) AS BIGINT)
+        |      AS mean_lat_us FROM l)
+        |SELECT m.n_converted, m.mean_lat_us,
+        |  CAST(floor(a.lo50 + (a.hi50 - a.lo50) * a.f50) AS BIGINT)
+        |    AS p50_lat_us,
+        |  CAST(floor(a.lo90 + (a.hi90 - a.lo90) * a.f90) AS BIGINT)
+        |    AS p90_lat_us
+        |FROM m CROSS JOIN a""".stripMargin,
     "e21_session_profile" ->
       // e01's session CTE + q18's global type-7 interpolation over
       // the two per-session measures

@@ -61,6 +61,8 @@ class QueriesSmokeSpec extends SparkSuite {
       // q45 broadcasts the ONE-row snapshot-total aggregate; e21
       // broadcasts two ONE-row percentile frames into the summary row
       "q45_drift_audit", "e21_session_profile",
+      // e22 broadcasts the ONE-row latency-percentile frame
+      "e22_conversion_latency",
       // s14 composes the s01-shape exact truth pass (sample × corpus,
       // intentional) with s03's bounded query × centroid probe; s15's
       // all-pairs block is intentional and bounded to its 10% sample
