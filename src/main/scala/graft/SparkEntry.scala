@@ -227,6 +227,26 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** n10: normalization path audit — the telemetry a normalization
+    * stage emits about its INPUT: for n02's code normalization, how
+    * many rows took each path (already-normal passthrough / the code
+    * map / the first-2-chars fallback) and how many distinct raw
+    * values fed each — rising fallback share means the code map is
+    * stale, the signal to extend it before silent garbage
+    * accumulates. One scan, 3-row agg. */
+  private def n10(s: SparkSession, dir: String): DataFrame = {
+    val up = upper(trim(col("c_mktsegment")))
+    T(s, dir, "customer")
+      .select(when(up.rlike("^[A-Z]{2}$"), "1_exact")
+        .when(up.isin("HOUSEHOLD", "MACHINERY", "AUTOMOBILE"), "2_mapped")
+        .otherwise("3_fallback").as("path"),
+        up.as("__v"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__v")).as("n_distinct_inputs"))
+      .orderBy("path")
+  }
+
   /** n03: null-safe field combination (combine_address). */
   private def n03(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "part")
@@ -2824,6 +2844,7 @@ object SparkEntry {
     "n07_pii_redact" -> (n07 _),
     "n08_nfc_normalize" -> (n08 _),
     "n09_pii_audit" -> (n09 _),
+    "n10_normalize_audit" -> (n10 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_pairs" -> (d02 _),
     "d03_jaccard_verify" -> (d03 _),
@@ -3086,6 +3107,17 @@ object SparkEntry {
         |  upper(regexp_replace(trim(c_name || '  ' || c_mktsegment),
         |    '\s+', ' ', 'g')) AS name_std
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "n10_normalize_audit" ->
+      """WITH v AS (SELECT upper(trim(c_mktsegment)) AS u FROM customer),
+        |p AS (SELECT u,
+        |    CASE WHEN regexp_matches(u, '^[A-Z]{2}$') THEN '1_exact'
+        |         WHEN u IN ('HOUSEHOLD','MACHINERY','AUTOMOBILE')
+        |           THEN '2_mapped'
+        |         ELSE '3_fallback' END AS path
+        |  FROM v)
+        |SELECT path, count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT u)::BIGINT AS n_distinct_inputs
+        |FROM p GROUP BY path ORDER BY path""".stripMargin,
     "n02_state_zip" ->
       """SELECT c_custkey,
         |  CASE WHEN regexp_matches(upper(trim(c_mktsegment)), '^[A-Z]{2}$')
