@@ -687,7 +687,17 @@ object Streams {
     * table (index-sized) + discovered pairs; this simple snapshot
     * rewrites both per batch — a production layout appends bucketed
     * partitions instead ([[graft.operators.Dedup.writeBandedLayout]]
-    * is that shape; the probe itself is already O(batch). */
+    * is that shape; the probe itself is already O(batch).
+    *
+    * Replay-idempotent: if a batch replays after a crash between the
+    * pointer move and the checkpoint commit, the published snapshot
+    * already contains that batch's bands, so the cross-batch probe
+    * would match each doc against its OWN prior bands — the
+    * `doc_id` inequality guard drops those self-hits, and the band
+    * union is `distinct()` so the replayed batch's band rows
+    * collapse into the existing ones instead of accumulating; the
+    * re-discovered genuine pairs collapse in the pairs `distinct()`.
+    * A replayed batch therefore reproduces the same snapshot. */
   def incrementalMinhashPairs(
       stream: DataFrame,
       base: String): DataFrame = {
@@ -717,14 +727,15 @@ object Streams {
         val cross = priorBands.map { ob =>
           newBands.alias("n").join(ob.alias("o"),
               col("n.band") === col("o.band") &&
-                col("n.band_hash") === col("o.band_hash"))
+                col("n.band_hash") === col("o.band_hash") &&
+                col("n.doc_id") =!= col("o.doc_id"))
             .select(least(col("n.doc_id"), col("o.doc_id")).as("a_id"),
               greatest(col("n.doc_id"), col("o.doc_id")).as("b_id"))
         }
         val newPairs = cross.map(within.unionByName(_)).getOrElse(within)
         val pairs = priorPairs.map(_.unionByName(newPairs))
           .getOrElse(newPairs).distinct()
-        val bands = priorBands.map(_.unionByName(newBands))
+        val bands = priorBands.map(_.unionByName(newBands).distinct())
           .getOrElse(newBands)
         val out = s"$base/v$id"
         bands.write.mode("overwrite").parquet(s"$out/bands")
@@ -1202,7 +1213,10 @@ object Streams {
     * parts replay by batch id; a compaction that died before the
     * pointer move left the old pointer + intact parts; one that died
     * after the move but before cleanup leaves duplicate rows that the
-    * min(cell) fold collapses (assignment is deterministic). */
+    * min(cell) fold collapses (assignment is deterministic); a batch
+    * that replays after its own pointer move compacts into a sibling
+    * path (`v<id>c`) rather than reading and overwriting the
+    * already-published `v<id>` in the same job. */
   def incrementalIvfIndex(
       stream: DataFrame,
       centroids: Seq[Seq[Double]],
@@ -1239,7 +1253,15 @@ object Streams {
         // batch id so a checkpoint replay overwrites instead of duplicating
         assigned.write.mode("overwrite").parquet(s"$base/parts/b$id")
         if ((id + 1) % compactEvery == 0) currentView().foreach { view =>
-          val out = s"$base/v$id"
+          // If this batch replays after its own pointer move (crash
+          // between move and checkpoint commit), readPtr() is already
+          // v$id — compacting back into it would read and overwrite
+          // the same path (Spark rejects that). Divert to a sibling
+          // path so the output is always distinct from every input.
+          val preferred = s"$base/v$id"
+          val out =
+            if (readPtr().contains(preferred)) s"$base/v${id}c"
+            else preferred
           view.write.mode("overwrite").parquet(out)
           writePointerAtomic(latestFile, out)
           // only after the pointer is durable; a crash here leaves
