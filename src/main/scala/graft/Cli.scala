@@ -226,11 +226,17 @@ object Cli {
     * `format_cell_value` + cli.py:427 `format_date` conventions:
     * nulls render empty, midnight timestamps shed their ' 00:00:00',
     * dates render as 'Mon dd, yyyy', columns align, output caps at
-    * `maxRows` with a "showing first N of M" footer. */
+    * `maxRows`. ONE execution: `take(maxRows + 1)` both fills the
+    * page and detects truncation — unlike cli.py (whose DuckDB
+    * result is already materialized, so counting is free), a
+    * distributed query must not run twice just to print an exact
+    * total in the footer; a truncated render says "more exist"
+    * instead. */
   def formatTable(df: org.apache.spark.sql.DataFrame,
       maxRows: Int = 100): String = {
-    val total = df.count()
-    val rows = df.take(maxRows)
+    val fetched = df.take(maxRows + 1)
+    val truncated = fetched.length > maxRows
+    val rows = fetched.take(maxRows)
     val dateFmt = java.time.format.DateTimeFormatter
       .ofPattern("MMM dd, yyyy", java.util.Locale.ROOT)
     def cell(v: Any): String = v match {
@@ -254,10 +260,10 @@ object Cli {
     out ++= line(header) += '\n'
     out ++= sep += '\n'
     body.foreach(b => { out ++= line(b) += '\n' })
-    if (total > maxRows)
-      out ++= s"showing first $maxRows of $total rows\n"
+    if (truncated)
+      out ++= s"showing first $maxRows rows (more exist)\n"
     else
-      out ++= s"$total rows\n"
+      out ++= s"${rows.length} rows\n"
     out.result()
   }
 

@@ -1193,12 +1193,17 @@ object SparkEntry {
     * its weight column. */
   private def t22(s: SparkSession, dir: String): DataFrame = {
     val B = 64
+    // cache (lazy): the B-bucket count aggregate and the per-doc
+    // probe join both read this exploded frame — uncached, every doc
+    // pays the tokenize + ngram + bucket transform twice (t21's
+    // cached-bigram lesson applied here)
     val bg = T(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(TextFns.wordNgrams(
           TextFns.tokensLower(col("text")), 2)).as("bgr"))
       .select(col("doc_id"), col("source"),
         TextFns.featureBucket(col("bgr"), B).as("b"))
+      .cache()
     val isTgt = col("source") === "src0"
     val counts = bg.groupBy("b").agg(
       sum(when(isTgt, 1L).otherwise(0L)).as("ct"),

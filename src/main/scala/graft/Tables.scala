@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Source layer: parquet readers + temp-view registry.
   *
@@ -18,18 +19,41 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark has no
-      // native type for: read the raw int64 nanos and truncate to
-      // microsecond timestamps (same truncation DuckDB applies).
-      // `div` keeps the arithmetic in 64-bit integers — a double
-      // roundtrip would lose precision on epoch-nanos magnitudes.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEvents(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Schema-adaptive events reader. Generated data has shipped `ts` both
+    * as parquet TIMESTAMP(NANOS) (which Spark can only surface as raw
+    * int64 via `nanosAsLong`) and as plain TIMESTAMP(MICROS); accept
+    * either so a data regeneration can't invalidate every events query.
+    *   - timestamp[us/ms] → use as-is (NTZ cast to session-UTC timestamp
+    *     so DuckDB-oracle comparisons see the same instant).
+    *   - TIMESTAMP(NANOS) → plain read fails schema conversion; retry
+    *     with nanosAsLong, then truncate int64 nanos → micros. `div`
+    *     keeps the arithmetic in 64-bit integers — a double roundtrip
+    *     would lose precision at epoch-nanos magnitudes. The conf stays
+    *     set on this path only: the lazy scan re-converts the file
+    *     footer at execution, so restoring it would break the read.
+    */
+  private def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case e: Exception if e.getMessage != null &&
+            (e.getMessage.contains("NANOS") || e.getMessage.contains("Illegal Parquet type")) =>
+          spark.conf.set(NanosKey, "true")
+          spark.read.parquet(path)
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
     }
+  }
 
   /** Register every table as a temp view (analog of the reference's
     * DuckDB catalog, hangarbay/api.py:379 list_tables). */

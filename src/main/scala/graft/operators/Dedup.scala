@@ -118,8 +118,9 @@ object Dedup {
   }
 
   /** Amortize the LSH shuffle into the ingest: write the band table
-    * bucketed (and sorted) on (band, band_hash). Every subsequent
-    * candidate generation against the saved layout
+    * bucketed (and sorted) on (band, band_hash), published through
+    * [[Layouts.publish]] so the layout is manifested. Every
+    * subsequent candidate generation against the saved layout
     * ([[candidatePairsFromLayout]]) plans its self-join with ZERO
     * exchanges — at 100 TB the banding explode+shuffle is paid once
     * per corpus snapshot instead of once per dedup run. */
@@ -132,10 +133,12 @@ object Dedup {
       numHashes: Int = 64,
       shingleSize: Int = 2,
       rowsPerBand: Int = 4): Unit =
-    minHashBandTable(df, idCol, textCol, numHashes, shingleSize, rowsPerBand)
-      .write.bucketBy(numBuckets, "band", "band_hash")
-      .sortBy("band", "band_hash")
-      .mode("overwrite").saveAsTable(table)
+    Layouts.publish(
+      minHashBandTable(df, idCol, textCol, numHashes, shingleSize, rowsPerBand),
+      table, "lsh_bands", Seq("band", "band_hash"), numBuckets,
+      props = Map("numHashes" -> numHashes.toString,
+        "shingleSize" -> shingleSize.toString,
+        "rowsPerBand" -> rowsPerBand.toString))
 
   /** Candidate pairs from a [[writeBandedLayout]] table — identical
     * output to [[minHashCandidatePairs]], shuffle-free join. */
@@ -705,11 +708,12 @@ object Dedup {
       table: String,
       w: Int = 8,
       numBuckets: Int = 32): Unit =
-    docs.select(TextFns.tokensLower(textCol).as("__tk"))
-      .select(explode(TextFns.wordNgrams(col("__tk"), w)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("n_pos"))
-      .write.bucketBy(numBuckets, "g").sortBy("g")
-      .mode("overwrite").saveAsTable(table)
+    Layouts.publish(
+      docs.select(TextFns.tokensLower(textCol).as("__tk"))
+        .select(explode(TextFns.wordNgrams(col("__tk"), w)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n_pos")),
+      table, "span_index", Seq("g"), numBuckets,
+      props = Map("w" -> w.toString))
 
   /** Score docs against a published [[writeSpanIndex]] layout.
     * `minCount = 2` (default) scores MEMBERS of the indexed corpus

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-once / probe-many layout publishing — the ONE door every
+  * persisted physical layout goes through (banded LSH, span index,
+  * IVF cells, FTS inverted index). The write itself is the shared
+  * bucket+sort+saveAsTable shape those layouts all use; the helper
+  * additionally records a lineage manifest row per publish, so "what
+  * layouts exist, over how many rows, bucketed how" is answerable
+  * from a table instead of tribal knowledge — the publish-side
+  * bookkeeping the reference keeps in its manifest files
+  * (pipelines/normalize.py:407-426), applied to index layouts.
+  *
+  * At 100 TB the layout write is the expensive, paid-once step (the
+  * full explode/assign + one bucketed shuffle); every later probe is
+  * a bucket-pruned scan or an exchange-free join. The manifest keeps
+  * that contract auditable: a probe can check the layout it is about
+  * to trust was published with the bucketing it assumes.
+  */
+object Layouts {
+
+  /** Single shared manifest table; one row per published layout
+    * (latest publish wins). */
+  val ManifestTable = "graft_layout_manifest"
+
+  /** Publish `df` as a bucketed+sorted table and upsert its manifest
+    * row. `sortCols` defaults to `bucketCols` (every current layout
+    * sorts by its bucket key). `props` carries layout-specific
+    * lineage (e.g. IVF numCells/seed, span window w). */
+  def publish(
+      df: DataFrame,
+      table: String,
+      kind: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Unit = {
+    require(bucketCols.nonEmpty, "a layout needs at least one bucket column")
+    val spark = df.sparkSession
+    val sorts = if (sortCols.nonEmpty) sortCols else bucketCols
+    df.write.bucketBy(numBuckets, bucketCols.head, bucketCols.drop(1): _*)
+      .sortBy(sorts.head, sorts.drop(1): _*)
+      .mode("overwrite").saveAsTable(table)
+    recordManifest(spark, table, kind, bucketCols, numBuckets,
+      spark.table(table).count(), props)
+  }
+
+  /** Upsert the manifest row for `table`. Public so layouts with a
+    * bespoke write step (e.g. IVF's sibling centroids table) can
+    * still manifest through the same door. */
+  def recordManifest(
+      spark: SparkSession,
+      table: String,
+      kind: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      nRows: Long,
+      props: Map[String, String] = Map.empty): Unit = {
+    import spark.implicits._
+    val propStr = props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString(";")
+    val row = Seq((table, kind, bucketCols.mkString(","), numBuckets,
+      nRows, propStr))
+      .toDF("layout", "kind", "bucket_cols", "num_buckets", "n_rows", "props")
+      .withColumn("published_at", current_timestamp())
+    // the manifest is O(#layouts) — driver-bounded by construction, so
+    // collect-merge-rewrite is the honest implementation (an append-only
+    // log would need compaction; a merge join is overkill for tens of rows)
+    // a fresh session's catalog won't know the table even when a prior
+    // session left its warehouse directory behind; saveAsTable would
+    // then refuse with LOCATION_ALREADY_EXISTS — clear the stale dir
+    if (!spark.catalog.tableExists(ManifestTable)) {
+      val warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir").stripPrefix("file:")
+      val stale = java.nio.file.Paths.get(warehouse, ManifestTable)
+      if (java.nio.file.Files.isDirectory(stale)) {
+        val files = java.nio.file.Files.walk(stale)
+        try files.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally files.close()
+      }
+    }
+    val merged =
+      if (spark.catalog.tableExists(ManifestTable)) {
+        val prior = spark.table(ManifestTable)
+          .filter(col("layout") =!= table).collect()
+        val schema = spark.table(ManifestTable).schema
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(prior.toSeq, 1), schema)
+          .unionByName(row)
+      } else row
+    merged.coalesce(1).write.mode("overwrite").saveAsTable(ManifestTable)
+  }
+
+  /** The manifest as a DataFrame (empty with the right schema when no
+    * layout has been published yet). */
+  def manifest(spark: SparkSession): DataFrame =
+    if (spark.catalog.tableExists(ManifestTable)) spark.table(ManifestTable)
+    else {
+      import spark.implicits._
+      Seq.empty[(String, String, String, Int, Long, String)]
+        .toDF("layout", "kind", "bucket_cols", "num_buckets", "n_rows", "props")
+        .withColumn("published_at",
+          lit(null).cast(org.apache.spark.sql.types.TimestampType))
+    }
+}

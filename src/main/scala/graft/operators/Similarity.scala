@@ -856,11 +856,14 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = trainCentroids(corpus, idCol, vecCol, numCells, maxIter, seed)
-    corpus
-      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-      .withColumn("cell", nearestCellCol(col("embedding"), cents))
-      .write.bucketBy(numBuckets, "cell").sortBy("cell")
-      .mode("overwrite").saveAsTable(table)
+    Layouts.publish(
+      corpus
+        .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+        .withColumn("cell", nearestCellCol(col("embedding"), cents)),
+      table, "ivf_cells", Seq("cell"), numBuckets,
+      props = Map("numCells" -> numCells.toString,
+        "maxIter" -> maxIter.toString, "seed" -> seed.toString,
+        "centroids_table" -> s"${table}_centroids"))
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .write.mode("overwrite").saveAsTable(s"${table}_centroids")

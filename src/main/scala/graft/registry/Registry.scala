@@ -236,8 +236,8 @@ class Registry(
     * once per snapshot publish instead of once per search. */
   def writeFtsIndex(
       tableName: String = Registry.FtsTable, numBuckets: Int = 32): Unit =
-    ownersFtsIndex.write.bucketBy(numBuckets, "token").sortBy("token")
-      .mode("overwrite").saveAsTable(tableName)
+    graft.operators.Layouts.publish(
+      ownersFtsIndex, tableName, "fts_index", Seq("token"), numBuckets)
 
   /** All-terms FTS match (AND semantics like FTS5 default): one
     * semi-join per term against the inverted index — the written

@@ -54,17 +54,29 @@ object Streams {
     }
   }
 
-  /** Load the events stream. The raw file carries TIMESTAMP(NANOS),
-    * so the stream reads the int64 nanos (legacy conf) and truncates
-    * to micros — same convention as [[graft.Tables.load]]. */
+  /** Load the events stream. Schema-adaptive like [[graft.Tables.load]]:
+    * `ts` has shipped both as TIMESTAMP(NANOS) (surfaced as int64 via
+    * the legacy conf, truncated to micros here) and as plain parquet
+    * timestamp (used directly; NTZ cast to the session-UTC timestamp).
+    * The batch-side sniff via Tables.loadEvents decides which, so the
+    * stream always emits a TimestampType `ts`. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // batch-side sniff first: it sets the legacy nanos conf when the
+    // data needs it, so the raw schema read below succeeds either way
+    graft.Tables.load(spark, dir, "events")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // file source wants a directory; the glob filter selects just the
     // events table out of the shared testdata dir
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window counts with a watermark, run to completion on a
@@ -353,10 +365,15 @@ object Streams {
     * length/stopword features) and PII redaction (n07's shared
     * cross-engine patterns), both computed inside the micro-batch on
     * that batch's accepted survivors only. Per-row finishing commutes
-    * with the first-arrival-wins dedup, so the final snapshot equals
-    * the one-shot batch chain decontaminate → dedup → score → redact
-    * under any micro-batch chunking (replay spec in StreamsSpec;
-    * whole-chain DuckDB oracle). Scoring cost is O(batch survivors)
+    * with the dedup, but the dedup itself is FIRST-ARRIVAL-WINS: when
+    * two docs share a fingerprint, the one in the earlier batch
+    * survives. The final snapshot therefore equals the one-shot batch
+    * chain decontaminate → dedup → score → redact under ORDERED
+    * replay — batches covering the corpus in ascending doc_id order,
+    * the same contract as p13's disorder profile (replay spec in
+    * StreamsSpec; whole-chain DuckDB oracle); an adversarial chunking
+    * that reorders duplicate fingerprints across batches may elect a
+    * different (higher-id) survivor. Scoring cost is O(batch survivors)
     * per trigger — accepted docs are never re-scored, which is the
     * point at 100 TB: the expensive per-doc finishing runs once per
     * document over the corpus's whole ingest lifetime. */
@@ -693,11 +710,17 @@ object Streams {
     * pointer move and the checkpoint commit, the published snapshot
     * already contains that batch's bands, so the cross-batch probe
     * would match each doc against its OWN prior bands — the
-    * `doc_id` inequality guard drops those self-hits, and the band
-    * union is `distinct()` so the replayed batch's band rows
-    * collapse into the existing ones instead of accumulating; the
-    * re-discovered genuine pairs collapse in the pairs `distinct()`.
-    * A replayed batch therefore reproduces the same snapshot. */
+    * `doc_id` inequality guard drops those self-hits, and on a
+    * replay the band union is `distinct()`ed so the replayed
+    * batch's band rows collapse into the existing ones instead of
+    * accumulating (normal batches skip that extra O(index) shuffle:
+    * their band rows are new by construction); the re-discovered
+    * genuine pairs collapse in the pairs `distinct()`. And because
+    * on replay the pointer already names this batch's preferred
+    * path, the rewrite diverts to a sibling `v{id}r` (same crash
+    * window as [[incrementalIvfIndex]]'s `v{id}c`) so the snapshot
+    * write never overwrites the path it is reading from. A replayed
+    * batch therefore reproduces the same snapshot. */
   def incrementalMinhashPairs(
       stream: DataFrame,
       base: String): DataFrame = {
@@ -732,12 +755,21 @@ object Streams {
             .select(least(col("n.doc_id"), col("o.doc_id")).as("a_id"),
               greatest(col("n.doc_id"), col("o.doc_id")).as("b_id"))
         }
+        val preferred = s"$base/v$id"
+        // Replay detection: the published pointer already belongs to
+        // this batch id — its bands are in the snapshot, so the
+        // union must dedup; and if the pointer IS the preferred path
+        // we are reading from it, so the rewrite must divert.
+        val isReplay = prior.exists(p =>
+          p == preferred || p == s"${preferred}r")
         val newPairs = cross.map(within.unionByName(_)).getOrElse(within)
         val pairs = priorPairs.map(_.unionByName(newPairs))
           .getOrElse(newPairs).distinct()
-        val bands = priorBands.map(_.unionByName(newBands).distinct())
-          .getOrElse(newBands)
-        val out = s"$base/v$id"
+        val bands = priorBands.map { pb =>
+          val u = pb.unionByName(newBands)
+          if (isReplay) u.distinct() else u
+        }.getOrElse(newBands)
+        val out = if (prior.contains(preferred)) s"${preferred}r" else preferred
         bands.write.mode("overwrite").parquet(s"$out/bands")
         pairs.write.mode("overwrite").parquet(s"$out/pairs")
         writePointerAtomic(latestFile, out)

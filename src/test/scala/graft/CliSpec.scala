@@ -132,7 +132,31 @@ class CliSpec extends SparkSuite {
     assert(lines.last == "2 rows")
     val many = (1 to 150).map(i => (i, s"v$i")).toDF("a", "b")
     assert(Cli.formatTable(many).linesIterator.toSeq.last ==
-      "showing first 100 of 150 rows")
+      "showing first 100 rows (more exist)")
+  }
+
+  test("formatTable executes the query once (single take, no count)") {
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // a shuffle-bearing query: a second execution (the old df.count()
+    // prelude) would show up as extra jobs here
+    val df = (1 to 50).map(i => (i % 5, i)).toDF("k", "v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+    df.collect() // warm: file listing / codegen out of the way
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Cli.formatTable(df)
+      Thread.sleep(1000) // listener bus is async; let events drain
+      // take(n) may launch 1..few jobs as it scales partitions, but a
+      // count()+take() pair doubles it; pin to the observed single pass
+      assert(jobs.get() <= 2, s"formatTable launched ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("index-fts materializes the index and fts probes it") {

@@ -68,4 +68,36 @@ class LineageSpec extends SparkSuite {
     assert(Lineage.ageDays("2026-08-01",
       java.time.LocalDate.parse("2026-08-12")) == 11)
   }
+
+  test("layout publish manifests the layout and the probe still answers") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    graft.operators.Dedup.writeBandedLayout(
+      docs, col("doc_id"), col("text"), "bands_lineage", numBuckets = 8)
+    try {
+      val m = graft.operators.Layouts.manifest(spark)
+        .filter(col("layout") === "bands_lineage").collect()
+      assert(m.length == 1, "expected exactly one manifest row per layout")
+      val row = m.head
+      assert(row.getAs[String]("kind") == "lsh_bands")
+      assert(row.getAs[String]("bucket_cols") == "band,band_hash")
+      assert(row.getAs[Int]("num_buckets") == 8)
+      assert(row.getAs[Long]("n_rows") > 0)
+      assert(row.getAs[String]("props").contains("numHashes=64"))
+      // probe-many side still answers off the published layout
+      val pairs = graft.operators.Dedup
+        .candidatePairsFromLayout(spark, "bands_lineage")
+      assert(pairs.count() ==
+        graft.operators.Dedup
+          .minHashCandidatePairs(docs, col("doc_id"), col("text")).count())
+      // re-publish upserts (no duplicate manifest rows)
+      graft.operators.Dedup.writeBandedLayout(
+        docs, col("doc_id"), col("text"), "bands_lineage", numBuckets = 8)
+      assert(graft.operators.Layouts.manifest(spark)
+        .filter(col("layout") === "bands_lineage").count() == 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bands_lineage")
+      ()
+    }
+  }
 }

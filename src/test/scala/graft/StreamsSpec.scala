@@ -303,6 +303,62 @@ class StreamsSpec extends SparkSuite {
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
 
+  test("incremental minhash pairs: replay after pointer move reproduces the snapshot") {
+    // Simulates the crash window between the batch-0 pointer move and
+    // its checkpoint commit: the published snapshot already holds
+    // batch 0's bands/pairs and the pointer names v0, but the
+    // checkpoint is gone — so batch 0 REPLAYS with its own output as
+    // the prior state. The rewrite must divert to a sibling path
+    // (reading v0 while overwriting v0 is rejected by Spark) and the
+    // band union must dedup, or bands double and pairs self-hit.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val chunks = Seq(
+      docs.filter(col("doc_id") <= n / 2),
+      docs.filter(col("doc_id") > n / 2))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p14_replay_src").toString
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"chunk$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      assert(dst.setLastModified(1000000L * (i + 1)))
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p14_replay").toString
+    // Seed exactly what a committed batch 0 publishes, pointer included.
+    val seedBands = graft.operators.Dedup
+      .minHashBandTable(chunks(0), col("doc_id"), col("text"))
+    seedBands.write.mode("overwrite").parquet(s"$base/v0/bands")
+    graft.operators.Dedup
+      .minHashCandidatePairs(chunks(0), col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$base/v0/pairs")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "_latest"), s"$base/v0")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "chunk*.parquet").parquet(srcDir)
+    val got = graft.streaming.Streams
+      .incrementalMinhashPairs(stream, base)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    val expect = graft.operators.Dedup
+      .minHashCandidatePairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    assert(got == expect,
+      s"replayed pairs diverge: extra=${got -- expect}, missing=${expect -- got}")
+    // the replayed batch's bands must have collapsed, not doubled
+    val latest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(base, "_latest")).trim
+    val finalBands = spark.read.parquet(s"$latest/bands")
+    assert(finalBands.count() == finalBands.distinct().count(),
+      "band table accumulated duplicate rows across the replay")
+  }
+
   test("incremental disorder profile: ordered multi-batch fold equals e18 batch") {
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("event_type"), col("ts"))
