@@ -356,6 +356,7 @@ object Dedup {
     var prevCache: DataFrame = init
     var i = 0
     var converged = false
+    val roundMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (i < maxIter && !converged) {
       val roundT0 = System.nanoTime()
       val bySender = labels
@@ -401,6 +402,7 @@ object Dedup {
       val row = cand
         .agg(max(col("leader_id") < col("old_label")).as("changed")).head()
       converged = row.isNullAt(0) || !row.getBoolean(0)
+      roundMs += (System.nanoTime() - roundT0) / 1000000
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round=$i hops=$hops converged=$converged" +
           f" t=${(System.nanoTime() - roundT0) / 1e9}%.2fs")
@@ -410,7 +412,17 @@ object Dedup {
       i += 1
     }
     edges.unpersist(blocking = false)
-    labels
+    // Per-round wall-clock recorded as column metadata on the result:
+    // the fixpoint's dominant cost is ROUNDS (each multiplies the
+    // cluster's per-job scheduling overhead), so any run can be
+    // audited after the fact — labels.schema("leader_id").metadata —
+    // without rerunning under a debug flag.
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("cc_rounds", i.toLong)
+      .putBoolean("cc_converged", converged)
+      .putLongArray("cc_round_ms", roundMs.toArray)
+      .build()
+    labels.withColumn("leader_id", col("leader_id").as("leader_id", meta))
   }
 
   /** End-to-end near-dedup pipeline: MinHash LSH candidates →
@@ -737,10 +749,9 @@ object Dedup {
       .select(idCol.as("doc_id"), TextFns.tokensLower(textCol).as("__tk"))
       .select(col("doc_id"),
         explode(TextFns.wordNgrams(col("__tk"), w)).as("g"))
-    // keep the bucketed scan: the planner only credits exchange
-    // elimination it can prove globally (same rationale as FTS/IVF)
-    spark.conf.set(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // the index side scans bucketed (exchange-free) — the engine's
+    // sessions run with autoBucketedScan off (see [[Layouts]]) so the
+    // probe never has to mutate shared session conf
     wins.join(spark.table(table), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
@@ -910,9 +921,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(TextFns.wordNgrams(col("tk"), w)).as(Seq("__p0", "g")))
       .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("g"))
-    // keep the bucketed scan (same rationale as dupSpansFromIndex)
-    spark.conf.set(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // bucketed index scan, no session-conf mutation (see [[Layouts]])
     val rem = wins.join(spark.table(table), Seq("g"))
       .filter(col("n_pos") >= minCount)
       .groupBy("doc_id")

@@ -18,7 +18,18 @@ import org.apache.spark.sql.functions._
   * a bucket-pruned scan or an exchange-free join. The manifest keeps
   * that contract auditable: a probe can check the layout it is about
   * to trust was published with the bucketing it assumes.
-  */
+  *
+  * SESSION REQUIREMENT — `spark.sql.sources.bucketing.autoBucketedScan
+  * .enabled=false` (set at builder time by every engine entry point:
+  * Verify/Bench/Cli/Explain/Scratch and the test suite). Spark's
+  * DisableUnnecessaryBucketedScan rule only credits bucketing it can
+  * use for exchange elimination; a point probe (`token = 'X'`,
+  * `cell IN (...)`) would be silently un-bucketed and lose bucket
+  * pruning — the exact read these layouts exist to serve. Every
+  * consumer of a published layout in this engine wants the bucketed
+  * scan, so the engine disables the rule session-wide instead of
+  * having probes mutate shared session conf mid-query (which would
+  * leak planner state into unrelated queries). */
 object Layouts {
 
   /** Single shared manifest table; one row per published layout

@@ -895,10 +895,9 @@ object Similarity {
     // bucketed scan prunes to the probed buckets
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    // keep the bucketed scan: the planner only credits exchange
-    // elimination, not bucket pruning (same rationale as the FTS probe)
-    spark.conf.set(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // the cell-pruned bucketed scan relies on the session-wide
+    // autoBucketedScan=false default (see [[Layouts]]) — the probe
+    // itself never mutates shared session conf
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     spark.table(table)

@@ -248,14 +248,14 @@ class Registry(
     require(terms.nonEmpty, "searchOwnersFts needs at least one term")
     val written = indexTable.orElse(
       Some(Registry.FtsTable).filter(spark.catalog.tableExists))
-    // Keep the bucketed scan for point probes: the planner's
+    // Point probes need the bucketed scan kept: the planner's
     // DisableUnnecessaryBucketedScan rule only credits exchange
     // elimination (joins/aggs on the bucket key), not bucket PRUNING,
-    // so it would silently fall back to scanning all buckets for a
-    // token = 'X' lookup — the exact read this layout exists to avoid.
-    if (written.isDefined)
-      spark.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // so it would fall back to scanning all buckets for a token = 'X'
+    // lookup. The engine's sessions therefore run with
+    // autoBucketedScan off from the start (see
+    // [[graft.operators.Layouts]]) — the probe never mutates shared
+    // session conf.
     val idx = written.map(spark.table).getOrElse(ownersFtsIndex)
     val hits = terms.map(t =>
         idx.filter(col("token") === t.toUpperCase)

@@ -12,6 +12,11 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // bucketed layouts here are only ever read by probes that WANT
+      // the bucketed scan (pruned point lookups, co-located joins) --
+      // see graft.operators.Layouts; keep the planner from silently
+      // un-bucketing them, and no operator mutates this mid-session
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

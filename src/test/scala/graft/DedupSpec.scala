@@ -71,6 +71,17 @@ class DedupSpec extends SparkSuite {
       s"chain not fully resolved: ${leaders.filter(_._2 != 1L)}")
   }
 
+  test("clusterLeaders records per-round wall-clock in result metadata") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = Dedup.clusterLeaders(pairs)
+    val meta = out.schema("leader_id").metadata
+    assert(meta.contains("cc_rounds") && meta.getLong("cc_rounds") >= 1)
+    assert(meta.contains("cc_converged") && meta.getBoolean("cc_converged"))
+    val ms = meta.getLongArray("cc_round_ms")
+    assert(ms.length == meta.getLong("cc_rounds"),
+      "one timing entry per executed round")
+  }
+
   test("nearDedupPipeline keeps one doc per near-dup cluster") {
     val res = Dedup.nearDedupPipeline(docs, col("doc_id"), col("text"),
         jaccardThreshold = 0.7)

@@ -119,6 +119,24 @@ class RegistrySpec extends SparkSuite {
       spark.sql(s"DROP TABLE IF EXISTS ${graft.registry.Registry.FtsTable}")
   }
 
+  test("layout probes never mutate session conf (autoBucketedScan)") {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = spark.conf.get(key)
+    try {
+      // sentinel differing from the engine default: a probe that still
+      // carried the old conf.set would flip it back to false
+      spark.conf.set(key, "true")
+      registry.writeFtsIndex(numBuckets = 4)
+      registry.searchOwnersFts(Seq("POLICE")).collect()
+      assert(spark.conf.get(key) == "true",
+        "FTS probe mutated shared session conf")
+    } finally {
+      spark.conf.set(key, prior)
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.registry.Registry.FtsTable}")
+      ()
+    }
+  }
+
   test("query runs ad-hoc SQL over registered views") {
     val df = registry.query(
       "SELECT maker, count(*) AS n FROM aircraft_decoded GROUP BY maker ORDER BY maker")

@@ -13,6 +13,9 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    // engine-wide default (see graft.operators.Layouts): bucketed
+    // layouts are only read by probes that want the bucketed scan
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
