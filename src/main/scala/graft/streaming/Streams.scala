@@ -54,6 +54,29 @@ object Streams {
     }
   }
 
+  /** Publish one snapshot version: run `write` into `out`, then move
+    * the pointer — UNLESS the pointer already names `out`. That
+    * happens exactly when the batch replays after its pointer move
+    * but before its checkpoint commit (the crash window every
+    * foreachBatch fold here shares): the fold is already durable, so
+    * the replay must be a NO-OP — re-running it would read from and
+    * overwrite the published path (Spark rejects that) and, for
+    * count-monoid folds, double-count the replayed batch. Because
+    * every fold is lazy until `write` fires, skipping the write
+    * skips the whole recompute. */
+  private def publishSnapshot(
+      latestFile: java.nio.file.Path, out: String)(
+      write: String => Unit): Unit = {
+    val current =
+      if (java.nio.file.Files.exists(latestFile))
+        java.nio.file.Files.readString(latestFile).trim
+      else ""
+    if (current != out) {
+      write(out)
+      writePointerAtomic(latestFile, out)
+    }
+  }
+
   /** Load the events stream. Schema-adaptive like [[graft.Tables.load]]:
     * `ts` has shipped both as TIMESTAMP(NANOS) (surfaced as int64 via
     * the legacy conf, truncated to micros here) and as plain parquet
@@ -257,12 +280,13 @@ object Streams {
           case Some(p) =>
             latestPerUser(spark.read.parquet(p).unionByName(delta))
         }
-        val out = s"$base/v$id"
-        merged.write.mode("overwrite").parquet(out)
-        // written AFTER the snapshot commits: a crash between the two
-        // re-runs the batch against the previous pointer (idempotent —
-        // latest-per-key of the same input), never serves a half-write
-        writePointerAtomic(latestFile, out)
+        // pointer moves only AFTER the snapshot commits: a crash in
+        // between re-runs the batch against the previous pointer
+        // (idempotent — latest-per-key of the same input); a replay
+        // AFTER the pointer move is skipped by publishSnapshot
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          merged.write.mode("overwrite").parquet(out)
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -326,9 +350,9 @@ object Streams {
             st.unionByName(
               keepB.join(st.select("fp"), Seq("fp"), "left_anti"))
         }
-        val out = s"$base/v$id"
-        merged.write.mode("overwrite").parquet(out)
-        writePointerAtomic(latestFile, out)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          merged.write.mode("overwrite").parquet(out)
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -434,9 +458,9 @@ object Streams {
             st.unionByName(
               scored.join(st.select("fp"), Seq("fp"), "left_anti"))
         }
-        val out = s"$base/v$id"
-        merged.write.mode("overwrite").parquet(out)
-        writePointerAtomic(latestFile, out)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          merged.write.mode("overwrite").parquet(out)
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -504,12 +528,12 @@ object Streams {
             spark.read.parquet(p).unionByName(big)
               .groupBy("bg").agg(sum(col("nb")).as("nb"))
         }
-        val out = s"$base/v$id"
         // the model is bounded by alphabet² rows at ANY corpus scale,
         // so a single snapshot file is correct even at 100 TB — and
         // avoids an 8-tiny-file write+list+read roundtrip per batch
-        merged.coalesce(1).write.mode("overwrite").parquet(out)
-        writePointerAtomic(latestFile, out)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          merged.coalesce(1).write.mode("overwrite").parquet(out)
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -577,10 +601,10 @@ object Streams {
               spark.read.parquet(s"$p/meta").unionByName(nDelta)
                 .agg(sum(col("n")).as("n")))
         }
-        val out = s"$base/v$id"
-        model.write.mode("overwrite").parquet(s"$out/model")
-        meta.write.mode("overwrite").parquet(s"$out/meta")
-        writePointerAtomic(latestFile, out)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          model.write.mode("overwrite").parquet(s"$out/model")
+          meta.write.mode("overwrite").parquet(s"$out/meta")
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -633,11 +657,11 @@ object Streams {
               .groupBy("b")
               .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
         }
-        val out = s"$base/v$id"
         // bounded at dim rows at ANY corpus scale: single-file
         // snapshot, same rationale as the p04 LM model
-        merged.coalesce(1).write.mode("overwrite").parquet(out)
-        writePointerAtomic(latestFile, out)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          merged.coalesce(1).write.mode("overwrite").parquet(out)
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -707,20 +731,12 @@ object Streams {
     * is that shape; the probe itself is already O(batch).
     *
     * Replay-idempotent: if a batch replays after a crash between the
-    * pointer move and the checkpoint commit, the published snapshot
-    * already contains that batch's bands, so the cross-batch probe
-    * would match each doc against its OWN prior bands — the
-    * `doc_id` inequality guard drops those self-hits, and on a
-    * replay the band union is `distinct()`ed so the replayed
-    * batch's band rows collapse into the existing ones instead of
-    * accumulating (normal batches skip that extra O(index) shuffle:
-    * their band rows are new by construction); the re-discovered
-    * genuine pairs collapse in the pairs `distinct()`. And because
-    * on replay the pointer already names this batch's preferred
-    * path, the rewrite diverts to a sibling `v{id}r` (same crash
-    * window as [[incrementalIvfIndex]]'s `v{id}c`) so the snapshot
-    * write never overwrites the path it is reading from. A replayed
-    * batch therefore reproduces the same snapshot. */
+    * pointer move and the checkpoint commit, the published pointer
+    * already names this batch's snapshot — [[publishSnapshot]]
+    * detects that and skips the fold entirely (the state is already
+    * durable; re-folding would self-join the batch against its own
+    * published bands and overwrite the path being read). The shared
+    * guard every snapshot fold here uses. */
   def incrementalMinhashPairs(
       stream: DataFrame,
       base: String): DataFrame = {
@@ -755,24 +771,19 @@ object Streams {
             .select(least(col("n.doc_id"), col("o.doc_id")).as("a_id"),
               greatest(col("n.doc_id"), col("o.doc_id")).as("b_id"))
         }
-        val preferred = s"$base/v$id"
-        // Replay detection: the published pointer already belongs to
-        // this batch id — its bands are in the snapshot, so the
-        // union must dedup; and if the pointer IS the preferred path
-        // we are reading from it, so the rewrite must divert.
-        val isReplay = prior.exists(p =>
-          p == preferred || p == s"${preferred}r")
         val newPairs = cross.map(within.unionByName(_)).getOrElse(within)
         val pairs = priorPairs.map(_.unionByName(newPairs))
           .getOrElse(newPairs).distinct()
-        val bands = priorBands.map { pb =>
-          val u = pb.unionByName(newBands)
-          if (isReplay) u.distinct() else u
-        }.getOrElse(newBands)
-        val out = if (prior.contains(preferred)) s"${preferred}r" else preferred
-        bands.write.mode("overwrite").parquet(s"$out/bands")
-        pairs.write.mode("overwrite").parquet(s"$out/pairs")
-        writePointerAtomic(latestFile, out)
+        // no distinct on the band union: batches never re-fold (a
+        // replayed published batch is skipped below), so band rows
+        // are new by construction — the O(index) dedup shuffle per
+        // batch would be pure overhead
+        val bands = priorBands.map(_.unionByName(newBands))
+          .getOrElse(newBands)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          bands.write.mode("overwrite").parquet(s"$out/bands")
+          pairs.write.mode("overwrite").parquet(s"$out/pairs")
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -862,9 +873,9 @@ object Streams {
             max(col("max_disorder_us")).as("max_disorder_us"),
             sum(col("total_disorder_us")).as("total_disorder_us"))
         }
-        val out = s"$base/v$id"
-        model.write.mode("overwrite").parquet(s"$out/model")
-        writePointerAtomic(latestFile, out)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          model.write.mode("overwrite").parquet(s"$out/model")
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -930,9 +941,9 @@ object Streams {
               .groupBy("fp").agg(sum(col("n_copies")).as("n_copies"),
                 min(col("keeper")).as("keeper"))
         }
-        val out = s"$base/v$id"
-        model.write.mode("overwrite").parquet(s"$out/model")
-        writePointerAtomic(latestFile, out)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          model.write.mode("overwrite").parquet(s"$out/model")
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -1007,9 +1018,9 @@ object Streams {
             st.unionByName(
               verdicts.join(st.select("vec_id"), Seq("vec_id"), "left_anti"))
         }
-        val out = s"$base/v$id"
-        merged.write.mode("overwrite").parquet(out)
-        writePointerAtomic(latestFile, out)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          merged.write.mode("overwrite").parquet(out)
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -1083,9 +1094,9 @@ object Streams {
             st.unionByName(
               verdicts.join(st.select("doc_id"), Seq("doc_id"), "left_anti"))
         }
-        val out = s"$base/v$id"
-        merged.write.mode("overwrite").parquet(out)
-        writePointerAtomic(latestFile, out)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          merged.write.mode("overwrite").parquet(out)
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -1135,9 +1146,9 @@ object Streams {
             st.unionByName(
               rewritten.join(st.select("doc_id"), Seq("doc_id"), "left_anti"))
         }
-        val out = s"$base/v$id"
-        merged.write.mode("overwrite").parquet(out)
-        writePointerAtomic(latestFile, out)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          merged.write.mode("overwrite").parquet(out)
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
