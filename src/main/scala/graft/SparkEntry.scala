@@ -1269,6 +1269,9 @@ object SparkEntry {
         trunc4(least(lit(1.0), col("__len") / 500.0) *
           (lit(0.7) + lit(0.3) * (col("__hits") / col("__ntok"))))
           .as("quality"))
+      // cache (lazy): the threshold pass and the gate both read the
+      // scored frame — uncached, the tokenize+score runs twice
+      .cache()
     val thr = operators.Percentiles.exact(q, "quality", Seq(0.25))
     q.crossJoin(broadcast(thr))
       .groupBy(col("source"), col("p25"))
@@ -1301,6 +1304,9 @@ object SparkEntry {
         trunc4(least(lit(1.0), col("__len") / 500.0) *
           (lit(0.7) + lit(0.3) * (col("__hits") / col("__ntok"))))
           .as("quality"))
+      // cache (lazy): quintile thresholds + bucket assignment both
+      // read the scored frame (same double-tokenize as t24)
+      .cache()
     val thr = operators.Percentiles.exact(q, "quality",
       Seq(0.2, 0.4, 0.6, 0.8))
     q.crossJoin(broadcast(thr))
@@ -2178,10 +2184,15 @@ object SparkEntry {
     * must be reproducible). Three one-row frames broadcast into one
     * decision row. */
   private def e21(s: SparkSession, dir: String): DataFrame = {
+    // cache (lazy): the count/mean aggregate and BOTH exact-percentile
+    // passes read this session frame — uncached, the sessionize window
+    // over the full events table runs three times (t22's cached-frame
+    // lesson; the frame is one small row per session)
     val sess = Temporal.sessionize(T(s, dir, "events"),
         "user_id", "ts", "event_id", 1800L)
       .select(col("n_events").cast("long").as("n_events"),
         (col("end_us") - col("start_us")).as("dur_us"))
+      .cache()
     val pe = operators.Percentiles.exact(sess, "n_events", Seq(0.5, 0.9))
       .select(floor(col("p50")).cast("long").as("p50_events"),
         floor(col("p90")).cast("long").as("p90_events"))
@@ -2262,6 +2273,10 @@ object SparkEntry {
       .withColumn("late_us",
         when(max(col("us")).over(w) > col("us"),
           max(col("us")).over(w) - col("us")).otherwise(lit(0L)))
+      // cache (lazy): the p99 threshold pass and the drop-count join
+      // both read the windowed lateness frame (t22's cached-frame
+      // lesson — uncached, the event-time window runs twice)
+      .cache()
     val thr = operators.Percentiles.exactByGroup(
         late, "event_type", "late_us", Seq(0.99))
       .select(col("event_type"),
@@ -2292,6 +2307,9 @@ object SparkEntry {
         unix_micros(col("ts")).as("us"))
       .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
       .filter(col("gap_us").isNotNull)
+      // cache (lazy): percentile pass + mean aggregate share the
+      // windowed gap frame (same shape as e19)
+      .cache()
     val quant = operators.Percentiles.exactByGroup(
         gaps, "event_type", "gap_us", Seq(0.5, 0.99))
       .select(col("event_type"),
