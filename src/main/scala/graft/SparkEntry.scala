@@ -1841,6 +1841,37 @@ object SparkEntry {
         trunc4(col("n_true") / col("n_candidates")).as("precision"))
   }
 
+  /** d20: quality-aware dedup keeper — d01's exact-dup groups with
+    * the KEEPER elected by t02's quality score (ties broken by min
+    * doc_id) instead of first/min-id: the production refinement where
+    * a duplicate set keeps its best-written copy, not its
+    * lowest-numbered one (the same fingerprint + score machinery,
+    * recombined — one scan, one window over the fingerprint groups).
+    * Per doc: quality, its group's keeper, and the keep verdict —
+    * the drop set differs from d01 exactly on groups whose best copy
+    * is not the oldest. At 100 TB: one hash shuffle on the
+    * fingerprint (same as d01); the score is map-side. */
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    val q = T(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(upper(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"),
+        length(col("text")).as("__len"),
+        TextFns.wordSetHits(TextFns.tokensLower(col("text")),
+          Seq("the", "a", "and", "of", "to", "in")).as("__hits"),
+        size(TextFns.tokensLower(col("text"))).as("__ntok"))
+      .select(col("doc_id"), col("fp"),
+        trunc4(least(lit(1.0), col("__len") / 500.0) *
+          (lit(0.7) + lit(0.3) * (col("__hits") / col("__ntok"))))
+          .as("quality"))
+    val w = Window.partitionBy("fp")
+      .orderBy(col("quality").desc, col("doc_id"))
+    q.select(col("doc_id"), col("quality"),
+        first(col("doc_id")).over(w).as("keeper_id"))
+      .select(col("doc_id"), col("quality"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** d12: duplicate-cluster resolution, ORACLE-CHECKED connected
     * components: consecutive-id pairs with token Jaccard >= 0.5 form
     * multi-hop chains (the adversarial diameter case for label
@@ -2154,6 +2185,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("cos_bin")
   }
+
+  /** s16: corpus-wide k-NN GRAPH ([[Similarity.knnGraphBucketed]]) —
+    * every vector's top-5 neighbors among its LSH bucket candidates,
+    * the all-nodes neighbor structure SemDeDup-shape cluster dedup
+    * and graph clustering consume. Rows-only oracle (LSH buckets are
+    * Spark-specific); neighbor-correctness and recall properties in
+    * SimilaritySpec. */
+  private def s16(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphBucketed(T(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5)
+      .select(col("vec_id"), col("rank"), col("nbr_id"),
+        trunc4(col("sim")).as("sim"))
+      .orderBy("vec_id", "rank")
 
   /** s04: brute-force top-k via the bounded-heap TypedImperative
     * aggregate — same results as s01 (shares its oracle), but the
@@ -2887,6 +2931,7 @@ object SparkEntry {
     "d17_substring_rewrite" -> (d17 _),
     "d18_dedup_savings" -> (d18 _),
     "d19_banding_precision" -> (d19 _),
+    "d20_quality_keeper" -> (d20 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
@@ -2902,6 +2947,7 @@ object SparkEntry {
     "s13_outlier_score" -> (s13 _),
     "s14_recall_audit" -> (s14 _),
     "s15_threshold_calib" -> (s15 _),
+    "s16_knn_graph" -> (s16 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_counts" -> (e02 _),
     "e03_asof_join" -> (e03 _),
@@ -3959,6 +4005,25 @@ object SparkEntry {
         |    / sum(b) * 10000) / 10000 AS saved_frac
         |FROM h JOIN k USING (hh) GROUP BY source
         |ORDER BY source""".stripMargin,
+    "d20_quality_keeper" ->
+      // d01's fingerprint + t02's quality formula; keeper = best
+      // quality, ties to min doc_id (both engines floor the score to
+      // 4 decimals first, so the ordering keys are identical)
+      """WITH q AS (SELECT doc_id,
+        |    md5(upper(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |    floor((least(1.0, length(text) / 500.0) *
+        |      (0.7 + 0.3 *
+        |        (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |          t -> t IN ('the','a','and','of','to','in')) ) /
+        |         len(string_split_regex(lower(trim(text)), '\s+'))))) * 10000)
+        |      / 10000 AS quality
+        |  FROM documents)
+        |SELECT doc_id, quality,
+        |  first_value(doc_id) OVER
+        |    (PARTITION BY fp ORDER BY quality DESC, doc_id) AS keeper_id,
+        |  (doc_id = first_value(doc_id) OVER
+        |    (PARTITION BY fp ORDER BY quality DESC, doc_id))::BIGINT AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents

@@ -122,6 +122,66 @@ object Similarity {
         col("col.id").as("cand_id"))
   }
 
+  /** Bucket-bounded k-NN GRAPH over the whole corpus: every vector's
+    * top-k nearest neighbors among its LSH bucket co-occupants — the
+    * all-nodes neighbor graph SemDeDup-style cluster dedup and graph
+    * clustering consume (vs [[knnBruteAgg]], which answers a BOUNDED
+    * query set exactly; an all-pairs brute graph is O(n²) and never
+    * viable at corpus scale). Candidates come from the same
+    * multi-table hyperplane buckets as the embedding near-dup path:
+    * a bucket equi-join bounds pair generation, each undirected
+    * candidate pair is scored once (one codegen cosine), and the
+    * per-node top-k is the bounded-heap aggregate — map-side
+    * partials, k-row state, no per-node sort. At 100 TB: one banded
+    * shuffle + one pair shuffle, both LSH-bounded; recall is tuned by
+    * numTables/planesPerTable exactly as d07.
+    * Output: (vec_id, rank, nbr_id, sim), rank 1..≤k (a node in no
+    * shared bucket yields no rows — isolated under this banding). */
+  def knnGraphBucketed(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numTables: Int = 12,
+      planesPerTable: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val tableBuckets = (0 until numTables).map { t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneBucket(col("v"), planesPerTable, dim,
+          seed + 7919L * t).as("bkt"))
+    }
+    // cache (lazy): the bucket self-join reads this frame for both
+    // sides — same rationale as the near-dup pair generator
+    val banded = v
+      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        col("tb.bkt").as("bkt"))
+      .cache()
+    val pairs = banded.alias("a").join(banded.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val scored = pairs
+      .join(v.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosine(col("va"), col("vb")).as("sim"))
+    // symmetrize (each undirected pair scored once, consumed twice)
+    val sym = scored
+      .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("sim"))
+      .unionByName(scored
+        .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"),
+          col("sim")))
+    sym.groupBy(col("vec_id"))
+      .agg(topKAgg(col("sim"), col("nbr_id"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("nbr_id"), col("col.score").as("sim"))
+  }
+
   /** Exact maximum-inner-product top-k (MIPS): retrieval/recommender
     * scoring where vector MAGNITUDE carries signal — cosine's
     * normalization deliberately NOT applied (a long high-engagement

@@ -105,6 +105,57 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("knn graph: ranks well-formed, sims exact, top-1 recall vs brute") {
+    val g = Similarity.knnGraphBucketed(emb, "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id"), r.getAs[Double]("sim")))
+    assert(g.nonEmpty)
+    // per node: ranks are 1..m (m <= k), sims non-increasing, no self
+    g.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"ranks not dense for $src")
+      assert(sorted.length <= 5)
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._4 >= y._4; case _ => true },
+        s"sims not non-increasing for $src")
+      assert(rows.forall(_._3 != src), s"self-neighbor for $src")
+      assert(rows.map(_._3).distinct.length == rows.length,
+        s"duplicate neighbor for $src")
+    }
+    // sims are the true cosine of the claimed pair (spot-check all)
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    g.foreach { case (src, _, nbr, sim) =>
+      assert(math.abs(cos(vecs(src), vecs(nbr)) - sim) < 1e-9,
+        s"sim mismatch for ($src,$nbr)")
+    }
+    // usable recall: each node's TRUE nearest neighbor appears in its
+    // graph list for a healthy share of nodes (bucket-bounded, so not
+    // 100% — same trade as d07/s02)
+    val top1 = vecs.keys.map { src =>
+      val best = vecs.collect { case (id, v) if id != src => (id, cos(vecs(src), v)) }
+        .maxBy { case (id, c) => (c, -id.toDouble) }._1
+      src -> best
+    }.toMap
+    val byNode = g.groupBy(_._1)
+    val hits = top1.count { case (src, best) =>
+      byNode.get(src).exists(_.exists(_._3 == best)) }
+    val recall = hits.toDouble / top1.size
+    info(s"knn-graph top-1 recall = $recall")
+    assert(recall >= 0.5, s"graph top-1 recall too low: $recall")
+  }
+
   test("ivfAnn recall vs brute force (tuned nprobe)") {
     val ann = resultSet(
       Similarity.ivfAnn(emb, queries, "vec_id", "embedding", "label", 5,

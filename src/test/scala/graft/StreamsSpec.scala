@@ -249,6 +249,57 @@ class StreamsSpec extends SparkSuite {
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
 
+  test("incremental LM model: replay after pointer move does not double-count") {
+    // The count-fold version of the p14 replay test: seed the state a
+    // committed batch 0 left behind (its counts published, pointer at
+    // v0) with NO checkpoint, so batch 0 replays. A fold that re-ran
+    // would ADD batch 0's counts to a snapshot that already includes
+    // them — a silently-wrong model, worse than the read-overwrite
+    // wedge. publishSnapshot must skip the replayed batch instead.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val chunks = Seq(
+      docs.filter(col("doc_id") <= n / 2),
+      docs.filter(col("doc_id") > n / 2))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p04_replay_src").toString
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"chunk$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      assert(dst.setLastModified(1000000L * (i + 1)))
+    }
+    def bigrams(df: org.apache.spark.sql.DataFrame) = df
+      .select(lower(trim(col("text"))).as("t"))
+      .select(explode(expr(
+        """CASE WHEN length(t) >= 2
+          |  THEN transform(sequence(1, length(t) - 1),
+          |    i -> substr(t, i, 2))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("nb"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p04_replay").toString
+    // what a committed batch 0 published, pointer included
+    bigrams(chunks(0)).coalesce(1).write
+      .mode("overwrite").parquet(s"$base/v0")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "_latest"), s"$base/v0")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "chunk*.parquet").parquet(srcDir)
+    val got = graft.streaming.Streams.incrementalLmModel(stream, base)
+      .collect()
+      .map(r => r.getAs[String]("bg") -> r.getAs[Long]("nb")).toMap
+    val expect = bigrams(docs).collect()
+      .map(r => r.getAs[String]("bg") -> r.getAs[Long]("nb")).toMap
+    assert(got == expect,
+      s"replayed fold diverged from batch training: " +
+        s"${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
+  }
+
   test("incremental df model: multi-batch fold equals batch derivation") {
     val docs = Tables.load(spark, sfDir, "documents")
     val srcDir = java.nio.file.Files
