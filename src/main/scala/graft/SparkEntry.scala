@@ -2685,6 +2685,17 @@ object SparkEntry {
   private def p14(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingMinhashPairs(s, dir)
 
+  /** p15: INCREMENTAL k-NN graph — s16's corpus-wide neighbor graph
+    * maintained at ingest
+    * ([[graft.streaming.Streams.incrementalKnnGraph]]): per batch,
+    * band + probe the accumulated bands, score only the NEW candidate
+    * pairs, merge into the stored per-node top-k (a commutative
+    * monoid, so the maintained graph equals the batch s16 under any
+    * chunking — the replay spec). Rows-only (LSH buckets are
+    * Spark-specific). */
+  private def p15(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingKnnGraph(s, dir)
+
   /** p13: INCREMENTAL disorder profile — e18's watermark-tuning
     * measurement maintained per micro-batch
     * ([[graft.streaming.Streams.incrementalDisorderProfile]]): each
@@ -2984,6 +2995,7 @@ object SparkEntry {
     "p12_incremental_media" -> (p12 _),
     "p13_incremental_disorder" -> (p13 _),
     "p14_incremental_minhash" -> (p14 _),
+    "p15_incremental_knn" -> (p15 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),

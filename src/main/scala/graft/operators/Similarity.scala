@@ -137,11 +137,15 @@ object Similarity {
     * numTables/planesPerTable exactly as d07.
     * Output: (vec_id, rank, nbr_id, sim), rank 1..≤k (a node in no
     * shared bucket yields no rows — isolated under this banding). */
-  def knnGraphBucketed(
+  /** The exploded (vec_id, tbl, bkt) multi-table hyperplane band
+    * table — the ANN candidate-generation shuffle key, factored out
+    * so it can feed the one-shot graph ([[knnGraphBucketed]]) or be
+    * accumulated incrementally
+    * ([[graft.streaming.Streams.incrementalKnnGraph]]). */
+  def embBandTable(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
       numTables: Int = 12,
       planesPerTable: Int = 4,
       dim: Int = 64,
@@ -152,13 +156,25 @@ object Similarity {
         hyperplaneBucket(col("v"), planesPerTable, dim,
           seed + 7919L * t).as("bkt"))
     }
-    // cache (lazy): the bucket self-join reads this frame for both
-    // sides — same rationale as the near-dup pair generator
-    val banded = v
-      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+    v.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"),
         col("tb.bkt").as("bkt"))
-      .cache()
+  }
+
+  def knnGraphBucketed(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numTables: Int = 12,
+      planesPerTable: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // cache (lazy): the bucket self-join reads this frame for both
+    // sides — same rationale as the near-dup pair generator
+    val banded = embBandTable(corpus, idCol, vecCol, numTables,
+      planesPerTable, dim, seed).cache()
     val pairs = banded.alias("a").join(banded.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))

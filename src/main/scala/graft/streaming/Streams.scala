@@ -824,6 +824,123 @@ object Streams {
     pairs.orderBy("a_id", "b_id")
   }
 
+  /** p15: incremental k-NN GRAPH maintenance — s16's corpus-wide
+    * neighbor graph folded at ingest: each micro-batch's vectors are
+    * hyperplane-banded once, probed against the ACCUMULATED band
+    * table for cross-batch candidate pairs (bucket-bounded
+    * equi-join) and self-joined within the batch, each new pair is
+    * scored ONCE (codegen cosine against the accumulated vector
+    * snapshot), symmetrized, and merged into the stored per-node
+    * top-k. A pair is discovered exactly when its later member
+    * arrives, and per-node top-k lists form a commutative monoid
+    * under merge-and-truncate (topk(topk(A) ∪ B) = topk(A ∪ B):
+    * any global top-k element survives every intermediate
+    * truncation), so the maintained graph EQUALS the batch
+    * [[graft.operators.Similarity.knnGraphBucketed]] under ANY
+    * chunking — new data refines existing nodes' neighbor lists
+    * without ever rescoring old pairs. State = bands + vectors
+    * (index-sized, the p14 trade) + graph (≤ k rows per node);
+    * snapshot rewrite per batch, replay-guarded by
+    * [[publishSnapshot]]. */
+  def incrementalKnnGraph(
+      stream: DataFrame,
+      base: String,
+      k: Int = 5,
+      numTables: Int = 12,
+      planesPerTable: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = spread(batch.toDF())
+        val newVecs = b.select(col("vec_id"), col("embedding").as("v"))
+        val newBands = graft.operators.Similarity.embBandTable(
+          b, "vec_id", "embedding", numTables, planesPerTable, dim, seed)
+        val prior = readPtr()
+        val priorBands = prior.map(p => spark.read.parquet(s"$p/bands"))
+        val priorVecs = prior.map(p => spark.read.parquet(s"$p/vecs"))
+        val priorGraph = prior.map(p => spark.read.parquet(s"$p/graph"))
+        val within = newBands.alias("a").join(newBands.alias("b"),
+            col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        val cross = priorBands.map { ob =>
+          newBands.alias("n").join(ob.alias("o"),
+              col("n.tbl") === col("o.tbl") && col("n.bkt") === col("o.bkt") &&
+                col("n.vec_id") =!= col("o.vec_id"))
+            .select(least(col("n.vec_id"), col("o.vec_id")).as("a_id"),
+              greatest(col("n.vec_id"), col("o.vec_id")).as("b_id"))
+        }
+        val newPairs = cross.map(within.unionByName(_)).getOrElse(within)
+          .distinct()
+        val vecs = priorVecs.map(_.unionByName(newVecs)).getOrElse(newVecs)
+        val scored = newPairs
+          .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")),
+            "a_id")
+          .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")),
+            "b_id")
+          .select(col("a_id"), col("b_id"),
+            graft.operators.Similarity.cosine(col("va"), col("vb"))
+              .as("sim"))
+        val sym = scored
+          .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
+            col("sim"))
+          .unionByName(scored.select(col("b_id").as("vec_id"),
+            col("a_id").as("nbr_id"), col("sim")))
+        val graph = priorGraph.map(_.unionByName(sym)).getOrElse(sym)
+          .groupBy(col("vec_id"))
+          .agg(graft.operators.Similarity
+            .topKAgg(col("sim"), col("nbr_id"), k).as("top"))
+          .select(col("vec_id"), posexplode(col("top")))
+          .select(col("vec_id"), col("col.id").as("nbr_id"),
+            col("col.score").as("sim"))
+        val bands = priorBands.map(_.unionByName(newBands))
+          .getOrElse(newBands)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          bands.write.mode("overwrite").parquet(s"$out/bands")
+          vecs.write.mode("overwrite").parquet(s"$out/vecs")
+          graph.write.mode("overwrite").parquet(s"$out/graph")
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p15_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("nbr_id"))
+    spark.read.parquet(s"$snap/graph")
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** [[incrementalKnnGraph]] over the embeddings table, finished in
+    * s16's column order — the maintained graph must reproduce the
+    * batch [[graft.operators.Similarity.knnGraphBucketed]] exactly
+    * (rows-only key; the equality IS the replay spec). */
+  def streamingKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p15").toString
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val vecs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val graph = withStreamPartitions(spark, 8) {
+      incrementalKnnGraph(vecs, base)
+    }
+    graph.select(col("vec_id"), col("rank"), col("nbr_id"),
+        (floor(col("sim") * 10000) / 10000).as("sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** p13: incremental event-time DISORDER profile — e18's
     * watermark-tuning measurement maintained at ingest, so e19's
     * recommended delay can be re-derived as traffic shifts without a

@@ -354,6 +354,36 @@ class StreamsSpec extends SparkSuite {
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
 
+  test("incremental knn graph: multi-batch fold equals batch s16 graph") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p15_src").toString
+    emb.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p15_spec").toString
+    val got = graft.streaming.Streams
+      .incrementalKnnGraph(stream, base, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id")))
+      .toSet
+    val expect = graft.operators.Similarity
+      .knnGraphBucketed(emb, "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id")))
+      .toSet
+    assert(got == expect,
+      s"maintained graph diverges from batch: extra=${(got -- expect).take(3)}, " +
+        s"missing=${(expect -- got).take(3)}")
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+  }
+
   test("incremental minhash pairs: replay after pointer move reproduces the snapshot") {
     // Simulates the crash window between the batch-0 pointer move and
     // its checkpoint commit: the published snapshot already holds
