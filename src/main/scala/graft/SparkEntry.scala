@@ -1854,15 +1854,8 @@ object SparkEntry {
   private def d20(s: SparkSession, dir: String): DataFrame = {
     val q = T(s, dir, "documents")
       .select(col("doc_id"),
-        md5(upper(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"),
-        length(col("text")).as("__len"),
-        TextFns.wordSetHits(TextFns.tokensLower(col("text")),
-          Seq("the", "a", "and", "of", "to", "in")).as("__hits"),
-        size(TextFns.tokensLower(col("text"))).as("__ntok"))
-      .select(col("doc_id"), col("fp"),
-        trunc4(least(lit(1.0), col("__len") / 500.0) *
-          (lit(0.7) + lit(0.3) * (col("__hits") / col("__ntok"))))
-          .as("quality"))
+        TextFns.textFingerprint(col("text")).as("fp"),
+        TextFns.qualityScore(col("text")).as("quality"))
     val w = Window.partitionBy("fp")
       .orderBy(col("quality").desc, col("doc_id"))
     q.select(col("doc_id"), col("quality"),
@@ -2696,6 +2689,15 @@ object SparkEntry {
   private def p15(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingKnnGraph(s, dir)
 
+  /** p16: INCREMENTAL quality-aware keeper — d20's best-copy
+    * election maintained at ingest
+    * ([[graft.streaming.Streams.incrementalQualityKeeper]]): per-
+    * fingerprint champions fold via a max-by monoid, so the
+    * maintained verdicts equal the batch election under any chunking
+    * and share d20's DuckDB oracle. */
+  private def p16(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingQualityKeeper(s, dir)
+
   /** p13: INCREMENTAL disorder profile — e18's watermark-tuning
     * measurement maintained per micro-batch
     * ([[graft.streaming.Streams.incrementalDisorderProfile]]): each
@@ -2996,6 +2998,7 @@ object SparkEntry {
     "p13_incremental_disorder" -> (p13 _),
     "p14_incremental_minhash" -> (p14 _),
     "p15_incremental_knn" -> (p15 _),
+    "p16_incremental_keeper" -> (p16 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),
@@ -4017,6 +4020,24 @@ object SparkEntry {
         |    / sum(b) * 10000) / 10000 AS saved_frac
         |FROM h JOIN k USING (hh) GROUP BY source
         |ORDER BY source""".stripMargin,
+    // p16 maintains d20's election incrementally; the snapshot must
+    // equal the batch query, so it shares the same oracle SQL
+    "p16_incremental_keeper" ->
+      """WITH q AS (SELECT doc_id,
+        |    md5(upper(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |    floor((least(1.0, length(text) / 500.0) *
+        |      (0.7 + 0.3 *
+        |        (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |          t -> t IN ('the','a','and','of','to','in')) ) /
+        |         len(string_split_regex(lower(trim(text)), '\s+'))))) * 10000)
+        |      / 10000 AS quality
+        |  FROM documents)
+        |SELECT doc_id, quality,
+        |  first_value(doc_id) OVER
+        |    (PARTITION BY fp ORDER BY quality DESC, doc_id) AS keeper_id,
+        |  (doc_id = first_value(doc_id) OVER
+        |    (PARTITION BY fp ORDER BY quality DESC, doc_id))::BIGINT AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
     "d20_quality_keeper" ->
       // d01's fingerprint + t02's quality formula; keeper = best
       // quality, ties to min doc_id (both engines floor the score to

@@ -29,6 +29,23 @@ object TextFns {
   def wordSetHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** The engine's shared corpus quality score (t02's formula): length
+    * saturation × stopword-ratio blend, floored to 4 decimals so both
+    * engines (and every consumer — gates, keepers, curricula) order
+    * documents identically. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokensLower(text)
+    floor(least(lit(1.0), length(text) / 500.0) *
+      (lit(0.7) + lit(0.3) *
+        (wordSetHits(toks, Seq("the", "a", "and", "of", "to", "in")) /
+          size(toks))) * 10000) / 10000
+  }
+
+  /** d01's canonical text fingerprint: md5 of the upper-cased,
+    * whitespace-collapsed, trimmed text. */
+  def textFingerprint(text: Column): Column =
+    md5(upper(regexp_replace(trim(text), "\\s+", " ")))
+
   /** Stopword sets per language for the heuristic language ID.
     * Order matters: ties resolve to the earlier language. */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(

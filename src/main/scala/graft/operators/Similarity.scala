@@ -198,6 +198,67 @@ object Similarity {
         col("col.id").as("nbr_id"), col("col.score").as("sim"))
   }
 
+  /** Publish the ANN band table as a bucketed+sorted layout (the
+    * embedding analog of the MinHash banded layout): bands + vectors
+    * written once per corpus snapshot through [[Layouts.publish]];
+    * every subsequent graph build / candidate generation self-joins
+    * the stored bands with ZERO exchanges. `<table>_vecs` carries the
+    * vectors for the scoring join. */
+  def writeEmbBandedLayout(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      numBuckets: Int = 16,
+      numTables: Int = 12,
+      planesPerTable: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): Unit = {
+    Layouts.publish(
+      embBandTable(corpus, idCol, vecCol, numTables, planesPerTable,
+        dim, seed),
+      table, "emb_bands", Seq("tbl", "bkt"), numBuckets,
+      props = Map("numTables" -> numTables.toString,
+        "planesPerTable" -> planesPerTable.toString,
+        "dim" -> dim.toString, "seed" -> seed.toString,
+        "vecs_table" -> s"${table}_vecs"))
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .write.mode("overwrite").saveAsTable(s"${table}_vecs")
+  }
+
+  /** [[knnGraphBucketed]] served from a published
+    * [[writeEmbBandedLayout]] table — identical output, and the
+    * candidate self-join on the stored bands plans with no shuffle
+    * (both sides read the same bucketed layout). */
+  def knnGraphFromLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      k: Int): DataFrame = {
+    val banded = spark.table(table)
+    val v = spark.table(s"${table}_vecs")
+    val pairs = banded.alias("a").join(banded.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val scored = pairs
+      .join(v.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosine(col("va"), col("vb")).as("sim"))
+    val sym = scored
+      .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
+        col("sim"))
+      .unionByName(scored
+        .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"),
+          col("sim")))
+    sym.groupBy(col("vec_id"))
+      .agg(topKAgg(col("sim"), col("nbr_id"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("nbr_id"), col("col.score").as("sim"))
+  }
+
   /** Exact maximum-inner-product top-k (MIPS): retrieval/recommender
     * scoring where vector MAGNITUDE carries signal — cosine's
     * normalization deliberately NOT applied (a long high-engagement

@@ -941,6 +941,80 @@ object Streams {
       .orderBy("vec_id", "rank")
   }
 
+  /** p16: incremental quality-aware KEEPER election — d20's
+    * best-copy-per-duplicate-group verdict maintained at ingest: each
+    * micro-batch's docs are fingerprinted + scored once (map-side),
+    * the per-fingerprint champion folds into the stored keeper table
+    * via a max-by monoid (min of (-quality, doc_id) structs: best
+    * quality wins, ties to the smaller id — associative and
+    * commutative, so the elected keeper equals the batch election
+    * under ANY chunking), and the per-doc verdict view joins the
+    * accumulated docs against the current keepers. Old docs are never
+    * re-scored; a new better copy flips its group's verdicts on
+    * arrival. State = docs (index-sized, the p14/p15 trade) +
+    * keepers (|distinct fingerprints|); replay-guarded by
+    * [[publishSnapshot]]. */
+  def incrementalQualityKeeper(
+      stream: DataFrame,
+      base: String): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = spread(batch.toDF())
+        val newDocs = b.select(col("doc_id"),
+          graft.functions.TextFns.textFingerprint(col("text")).as("fp"),
+          graft.functions.TextFns.qualityScore(col("text")).as("quality"))
+        val prior = readPtr()
+        val docs = prior.map(p => spark.read.parquet(s"$p/docs")
+            .unionByName(newDocs)).getOrElse(newDocs)
+        val batchKeepers = newDocs.groupBy("fp")
+          .agg(min(struct((-col("quality")).as("nq"),
+            col("doc_id").as("id"))).as("m"))
+        val keepers = prior.map(p => spark.read.parquet(s"$p/keepers")
+            .unionByName(batchKeepers)
+            .groupBy("fp").agg(min(col("m")).as("m")))
+          .getOrElse(batchKeepers)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          docs.write.mode("overwrite").parquet(s"$out/docs")
+          keepers.write.mode("overwrite").parquet(s"$out/keepers")
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p16_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(s"$snap/docs")
+      .join(spark.read.parquet(s"$snap/keepers")
+        .select(col("fp"), col("m.id").as("keeper_id")), Seq("fp"))
+      .select(col("doc_id"), col("quality"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("long").as("keep"))
+  }
+
+  /** [[incrementalQualityKeeper]] over the documents table, finished
+    * in d20's column order — the maintained verdicts must reproduce
+    * the batch election exactly (shares d20's DuckDB oracle). */
+  def streamingQualityKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p16").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val verdicts = withStreamPartitions(spark, 8) {
+      incrementalQualityKeeper(docs, base)
+    }
+    verdicts.orderBy("doc_id")
+  }
+
   /** p13: incremental event-time DISORDER profile — e18's
     * watermark-tuning measurement maintained at ingest, so e19's
     * recommended delay can be re-derived as traffic shifts without a

@@ -384,6 +384,42 @@ class StreamsSpec extends SparkSuite {
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
 
+  test("incremental quality keeper: multi-batch election equals batch d20") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p16_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p16_spec").toString
+    val got = graft.streaming.Streams
+      .incrementalQualityKeeper(stream, base)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("keep")))
+      .toSet
+    val q = docs.select(col("doc_id"),
+      graft.functions.TextFns.textFingerprint(col("text")).as("fp"),
+      graft.functions.TextFns.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy("fp")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val expect = q
+      .select(col("doc_id"), first(col("doc_id")).over(w).as("keeper_id"))
+      .select(col("doc_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("long").as("keep"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("keep")))
+      .toSet
+    assert(got == expect,
+      s"maintained election diverges: extra=${(got -- expect).take(3)}, " +
+        s"missing=${(expect -- got).take(3)}")
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+  }
+
   test("incremental minhash pairs: replay after pointer move reproduces the snapshot") {
     // Simulates the crash window between the batch-0 pointer move and
     // its checkpoint commit: the published snapshot already holds
