@@ -2698,6 +2698,16 @@ object SparkEntry {
   private def p16(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingQualityKeeper(s, dir)
 
+  /** p17: INCREMENTAL embedding-cluster dedup — d11's SemDeDup
+    * verdict with pair discovery maintained at ingest
+    * ([[graft.streaming.Streams.incrementalEmbPairs]]); the CC
+    * fixpoint runs at read time over the accumulated LSH-pruned pair
+    * set (clustering is global — one new edge can merge clusters —
+    * so labels can't fold; the corpus-sized hashing + scoring never
+    * re-runs). Rows-only (as d11). */
+  private def p17(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingClusterDedup(s, dir)
+
   /** p13: INCREMENTAL disorder profile — e18's watermark-tuning
     * measurement maintained per micro-batch
     * ([[graft.streaming.Streams.incrementalDisorderProfile]]): each
@@ -2999,6 +3009,7 @@ object SparkEntry {
     "p14_incremental_minhash" -> (p14 _),
     "p15_incremental_knn" -> (p15 _),
     "p16_incremental_keeper" -> (p16 _),
+    "p17_incremental_cluster_dedup" -> (p17 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),

@@ -941,6 +941,120 @@ object Streams {
       .orderBy("vec_id", "rank")
   }
 
+  /** p17: incremental embedding near-dup PAIR discovery — the
+    * expensive half of d11's SemDeDup-shape cluster dedup maintained
+    * at ingest: per batch, vectors hyperplane-banded once, probed
+    * against the ACCUMULATED band table (bucket-bounded equi-join) +
+    * within-batch self-join, each NEW candidate pair cosine-scored
+    * once against the accumulated vector snapshot, survivors above
+    * the threshold appended to the stored pair set. A pair is
+    * discovered exactly when its later member arrives (p14's
+    * argument), so the accumulated thresholded pairs equal the batch
+    * [[graft.operators.Dedup.embeddingNearDupPairsBucketed]] set
+    * under ANY chunking. Clustering itself is a GLOBAL property (one
+    * new edge can merge two existing clusters), so labels cannot
+    * fold incrementally — the CC fixpoint runs at read time over the
+    * accumulated LSH-pruned pair set ([[streamingClusterDedup]]);
+    * what never re-runs is the corpus-sized hashing + scoring.
+    * State = bands + vectors (index-sized) + pairs; replay-guarded
+    * by [[publishSnapshot]]. */
+  def incrementalEmbPairs(
+      stream: DataFrame,
+      base: String,
+      threshold: Double,
+      numTables: Int = 12,
+      planesPerTable: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val spark = stream.sparkSession
+    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    def readPtr(): Option[String] =
+      if (java.nio.file.Files.exists(latestFile))
+        Some(java.nio.file.Files.readString(latestFile).trim)
+          .filter(_.nonEmpty)
+      else None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = spread(batch.toDF())
+        val newVecs = b.select(col("vec_id"), col("embedding").as("v"))
+        val newBands = graft.operators.Similarity.embBandTable(
+          b, "vec_id", "embedding", numTables, planesPerTable, dim, seed)
+        val prior = readPtr()
+        val priorBands = prior.map(p => spark.read.parquet(s"$p/bands"))
+        val priorVecs = prior.map(p => spark.read.parquet(s"$p/vecs"))
+        val priorPairs = prior.map(p => spark.read.parquet(s"$p/pairs"))
+        val within = newBands.alias("a").join(newBands.alias("b"),
+            col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        val cross = priorBands.map { ob =>
+          newBands.alias("n").join(ob.alias("o"),
+              col("n.tbl") === col("o.tbl") && col("n.bkt") === col("o.bkt") &&
+                col("n.vec_id") =!= col("o.vec_id"))
+            .select(least(col("n.vec_id"), col("o.vec_id")).as("a_id"),
+              greatest(col("n.vec_id"), col("o.vec_id")).as("b_id"))
+        }
+        val newPairs = cross.map(within.unionByName(_)).getOrElse(within)
+          .distinct()
+        val vecs = priorVecs.map(_.unionByName(newVecs)).getOrElse(newVecs)
+        val survivors = newPairs
+          .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")),
+            "a_id")
+          .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")),
+            "b_id")
+          .withColumn("sim",
+            graft.operators.Similarity.cosine(col("va"), col("vb")))
+          .filter(col("sim") > threshold)
+          .select(col("a_id"), col("b_id"))
+        val pairs = priorPairs.map(_.unionByName(survivors))
+          .getOrElse(survivors)
+        val bands = priorBands.map(_.unionByName(newBands))
+          .getOrElse(newBands)
+        publishSnapshot(latestFile, s"$base/v$id") { out =>
+          bands.write.mode("overwrite").parquet(s"$out/bands")
+          vecs.write.mode("overwrite").parquet(s"$out/vecs")
+          pairs.write.mode("overwrite").parquet(s"$out/pairs")
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p17_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = readPtr().getOrElse(
+      sys.error("no snapshot: stream produced no batches and none recorded"))
+    spark.read.parquet(s"$snap/pairs")
+  }
+
+  /** [[incrementalEmbPairs]] over the embeddings table, finished as
+    * d11's verdict: CC leaders over the maintained pair set, one
+    * keeper per cluster, singletons keep themselves — must reproduce
+    * the batch [[graft.operators.Dedup.embeddingClusterDedup]]
+    * exactly (rows-only key; the equality IS the replay spec). */
+  def streamingClusterDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p17").toString
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val vecs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val pairs = withStreamPartitions(spark, 8) {
+      incrementalEmbPairs(vecs, base, threshold = 0.3)
+    }
+    val latest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(base, "_latest")).trim
+    val corpus = spark.read.parquet(s"$latest/vecs").select(col("vec_id"))
+    val leaders = graft.operators.Dedup
+      .clusterLeaders(pairs.select(col("a_id"), col("b_id")))
+      .select(col("doc_id").as("vec_id"), col("leader_id"))
+    corpus.join(leaders, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("leader_id"), col("vec_id")).as("cluster_id"),
+        (coalesce(col("leader_id"), col("vec_id")) === col("vec_id"))
+          .cast("long").as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** p16: incremental quality-aware KEEPER election — d20's
     * best-copy-per-duplicate-group verdict maintained at ingest: each
     * micro-batch's docs are fingerprinted + scored once (map-side),

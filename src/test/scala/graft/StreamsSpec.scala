@@ -384,6 +384,49 @@ class StreamsSpec extends SparkSuite {
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
   }
 
+  test("incremental cluster dedup: multi-batch pair fold equals batch d11") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p17_src").toString
+    emb.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p17_spec").toString
+    val pairs = graft.streaming.Streams
+      .incrementalEmbPairs(stream, base, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    val expectPairs = graft.operators.Dedup
+      .embeddingNearDupPairsBucketed(emb, col("vec_id"), col("embedding"),
+        threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    assert(pairs == expectPairs,
+      s"maintained pairs diverge: extra=${(pairs -- expectPairs).take(3)}, " +
+        s"missing=${(expectPairs -- pairs).take(3)}")
+    // and the finished verdict equals batch d11 end-to-end
+    val latest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(base, "_latest")).trim
+    val corpus = spark.read.parquet(s"$latest/vecs").select(col("vec_id"))
+    val leaders = graft.operators.Dedup
+      .clusterLeaders(spark.read.parquet(s"$latest/pairs")
+        .select(col("a_id"), col("b_id")))
+      .select(col("doc_id").as("vec_id"), col("leader_id"))
+    val got = corpus.join(leaders, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("leader_id"), col("vec_id")).as("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = graft.operators.Dedup
+      .embeddingClusterDedup(emb, col("vec_id"), col("embedding"), 0.3)
+      .select(col("vec_id"), col("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect,
+      s"verdict diverges from batch d11: ${(got -- expect).take(3)} vs " +
+        s"${(expect -- got).take(3)}")
+  }
+
   test("incremental quality keeper: multi-batch election equals batch d20") {
     val docs = Tables.load(spark, sfDir, "documents")
     val srcDir = java.nio.file.Files
