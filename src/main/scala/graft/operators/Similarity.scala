@@ -185,18 +185,29 @@ object Similarity {
       .join(v.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
       .select(col("a_id"), col("b_id"),
         cosine(col("va"), col("vb")).as("sim"))
-    // symmetrize (each undirected pair scored once, consumed twice)
-    val sym = scored
-      .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("sim"))
-      .unionByName(scored
-        .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"),
-          col("sim")))
-    sym.groupBy(col("vec_id"))
+    symTopK(scored, k)
+  }
+
+  /** Symmetrize scored undirected pairs and take the per-node top-k:
+    * each pair's cosine is computed ONCE and exploded into both
+    * directions in the same pass (a two-branch union would evaluate
+    * the whole scoring subtree — joins + cosine — twice), then the
+    * bounded-heap aggregate keeps k rows per node with map-side
+    * partials. Shared by the in-memory, layout-probe, and
+    * incremental graph paths. */
+  private[graft] def symTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .select(explode(array(
+        struct(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
+          col("sim")),
+        struct(col("b_id").as("vec_id"), col("a_id").as("nbr_id"),
+          col("sim")))).as("e"))
+      .select(col("e.vec_id"), col("e.nbr_id"), col("e.sim"))
+      .groupBy(col("vec_id"))
       .agg(topKAgg(col("sim"), col("nbr_id"), k).as("top"))
       .select(col("vec_id"), posexplode(col("top")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("nbr_id"), col("col.score").as("sim"))
-  }
 
   /** Publish the ANN band table as a bucketed+sorted layout (the
     * embedding analog of the MinHash banded layout): bands + vectors
@@ -246,17 +257,7 @@ object Similarity {
       .join(v.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
       .select(col("a_id"), col("b_id"),
         cosine(col("va"), col("vb")).as("sim"))
-    val sym = scored
-      .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
-        col("sim"))
-      .unionByName(scored
-        .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"),
-          col("sim")))
-    sym.groupBy(col("vec_id"))
-      .agg(topKAgg(col("sim"), col("nbr_id"), k).as("top"))
-      .select(col("vec_id"), posexplode(col("top")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("nbr_id"), col("col.score").as("sim"))
+    symTopK(scored, k)
   }
 
   /** Exact maximum-inner-product top-k (MIPS): retrieval/recommender

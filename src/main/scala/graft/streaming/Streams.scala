@@ -763,8 +763,11 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
+        // cache (lazy): within-batch self-join (both sides), the
+        // cross-batch probe, and the band accumulation all read this
+        // frame — uncached, the batch pays its MinHash signatures 4x
         val newBands = graft.operators.Dedup.minHashBandTable(
-          b, col("doc_id"), col("text"))
+          b, col("doc_id"), col("text")).cache()
         val prior = readPtr()
         val priorBands = prior.map(p => spark.read.parquet(s"$p/bands"))
         val priorPairs = prior.map(p => spark.read.parquet(s"$p/pairs"))
@@ -797,6 +800,7 @@ object Streams {
           bands.write.mode("overwrite").parquet(s"$out/bands")
           pairs.write.mode("overwrite").parquet(s"$out/pairs")
         }
+        newBands.unpersist(blocking = false)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -861,8 +865,12 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
         val newVecs = b.select(col("vec_id"), col("embedding").as("v"))
+        // cache (lazy): self-join (both sides), cross probe, and band
+        // accumulation all read this frame — uncached, the batch pays
+        // its hyperplane projections 4x
         val newBands = graft.operators.Similarity.embBandTable(
           b, "vec_id", "embedding", numTables, planesPerTable, dim, seed)
+          .cache()
         val prior = readPtr()
         val priorBands = prior.map(p => spark.read.parquet(s"$p/bands"))
         val priorVecs = prior.map(p => spark.read.parquet(s"$p/vecs"))
@@ -889,11 +897,15 @@ object Streams {
           .select(col("a_id"), col("b_id"),
             graft.operators.Similarity.cosine(col("va"), col("vb"))
               .as("sim"))
+        // one-pass symmetrize (explode both directions from the single
+        // scored row — a two-branch union would score each pair twice)
         val sym = scored
-          .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
-            col("sim"))
-          .unionByName(scored.select(col("b_id").as("vec_id"),
-            col("a_id").as("nbr_id"), col("sim")))
+          .select(explode(array(
+            struct(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
+              col("sim")),
+            struct(col("b_id").as("vec_id"), col("a_id").as("nbr_id"),
+              col("sim")))).as("e"))
+          .select(col("e.vec_id"), col("e.nbr_id"), col("e.sim"))
         val graph = priorGraph.map(_.unionByName(sym)).getOrElse(sym)
           .groupBy(col("vec_id"))
           .agg(graft.operators.Similarity
@@ -908,6 +920,7 @@ object Streams {
           vecs.write.mode("overwrite").parquet(s"$out/vecs")
           graph.write.mode("overwrite").parquet(s"$out/graph")
         }
+        newBands.unpersist(blocking = false)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -977,8 +990,12 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
         val newVecs = b.select(col("vec_id"), col("embedding").as("v"))
+        // cache (lazy): self-join (both sides), cross probe, and band
+        // accumulation all read this frame — uncached, the batch pays
+        // its hyperplane projections 4x
         val newBands = graft.operators.Similarity.embBandTable(
           b, "vec_id", "embedding", numTables, planesPerTable, dim, seed)
+          .cache()
         val prior = readPtr()
         val priorBands = prior.map(p => spark.read.parquet(s"$p/bands"))
         val priorVecs = prior.map(p => spark.read.parquet(s"$p/vecs"))
@@ -1015,6 +1032,7 @@ object Streams {
           vecs.write.mode("overwrite").parquet(s"$out/vecs")
           pairs.write.mode("overwrite").parquet(s"$out/pairs")
         }
+        newBands.unpersist(blocking = false)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
