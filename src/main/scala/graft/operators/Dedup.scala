@@ -76,9 +76,13 @@ object Dedup {
       numHashes: Int = 64,
       shingleSize: Int = 2,
       rowsPerBand: Int = 4): DataFrame =
+    // cache (lazy): the candidate self-join reads the band table for
+    // BOTH sides — uncached, every doc pays its MinHash signature
+    // aggregation twice (same rationale as the embedding-side
+    // generator; blocks are recomputable and LRU-evictable)
     pairsFromBandTable(
       minHashBandTable(df, idCol, textCol, numHashes, shingleSize,
-        rowsPerBand))
+        rowsPerBand).cache())
 
   /** The exploded (doc_id, band, band_hash) band table — the LSH
     * shuffle key, factored out so it can either feed the self-join
