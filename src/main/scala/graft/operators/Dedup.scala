@@ -215,11 +215,16 @@ object Dedup {
       textCol: Column,
       maxHamming: Int = 16): DataFrame = {
     val sigs = simHashSignatures(df, idCol, textCol)
+    // cache (lazy): the banded self-join reads this frame for BOTH
+    // sides — uncached, every doc pays its SimHash signature
+    // (tokenize + per-bit vote) twice (same rationale as the MinHash
+    // and embedding pair generators)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"), col(s"chunk$i").as("cv"))): _*)).as("c"))
       .select(col("doc_id"), col("simhash"),
         col("c.ci").as("ci"), col("c.cv").as("cv"))
+      .cache()
     val a = chunked.alias("a")
     val b = chunked.alias("b")
     a.join(b, col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
