@@ -66,6 +66,32 @@ object Schemas {
     StructField("horsepower", IntegerType),
     StructField("cylinders", IntegerType)))
 
+  /** Stable provenance hash of a schema (hangarbay/schemas.py:7
+    * schema_hash parity): SHA-256 over a canonical per-field
+    * rendering (name:type:nullable joined in declaration order),
+    * truncated to 32 hex chars like the reference's blake2b-16.
+    * Deterministic across JVMs — field order matters (a reordered
+    * schema IS a different physical contract), metadata does not. */
+  def schemaHash(schema: StructType): String = {
+    val canonical = schema.fields
+      .map(f => s"${f.name}:${f.dataType.sql}:${f.nullable}")
+      .mkString("\n")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+  }
+
+  /** Every named table schema with its provenance hash
+    * (schemas.py:109 get_all_schema_hashes parity) — the map a
+    * publish manifest records so a reader can detect schema drift
+    * without comparing full schemas. */
+  def allSchemaHashes: Map[String, String] = Map(
+    "aircraft" -> schemaHash(aircraft),
+    "registrations" -> schemaHash(registrations),
+    "owners" -> schemaHash(owners),
+    "aircraft_make_model" -> schemaHash(aircraftMakeModel),
+    "engines" -> schemaHash(engines))
+
   /** FAA code → description lookups (public FAA registry codebook,
     * as inlined by the reference at pipelines/publish.py:75-149). */
   val statusCodes: Seq[(String, String)] = Seq(

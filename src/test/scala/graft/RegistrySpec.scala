@@ -137,6 +137,26 @@ class RegistrySpec extends SparkSuite {
     }
   }
 
+  test("schema hashes: deterministic, distinct per table, drift-sensitive") {
+    import org.apache.spark.sql.types._
+    val h = graft.registry.Schemas.allSchemaHashes
+    assert(h.keySet == Set("aircraft", "registrations", "owners",
+      "aircraft_make_model", "engines"))
+    assert(h.values.forall(_.matches("[0-9a-f]{32}")))
+    assert(h.values.toSet.size == h.size, "hash collision across tables")
+    // deterministic across invocations
+    assert(graft.registry.Schemas.allSchemaHashes == h)
+    // sensitive to any field change (type, name, order)
+    val base = graft.registry.Schemas.engines
+    val retyped = StructType(base.fields.map(f =>
+      if (f.name == "horsepower") f.copy(dataType = LongType) else f))
+    val reordered = StructType(base.fields.reverse)
+    assert(graft.registry.Schemas.schemaHash(retyped) !=
+      graft.registry.Schemas.schemaHash(base))
+    assert(graft.registry.Schemas.schemaHash(reordered) !=
+      graft.registry.Schemas.schemaHash(base))
+  }
+
   test("query runs ad-hoc SQL over registered views") {
     val df = registry.query(
       "SELECT maker, count(*) AS n FROM aircraft_decoded GROUP BY maker ORDER BY maker")
