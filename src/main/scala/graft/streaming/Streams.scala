@@ -90,6 +90,52 @@ object Streams {
     }
   }
 
+  /** Name of the versioned BUCKETED band table a band-accumulating
+    * fold (p14/p15/p17) maintains alongside its parquet snapshot.
+    * Derived from the fold's base dir + the snapshot version, so a
+    * restarted (or replayed) fold resolves the same name from the
+    * pointer alone. */
+  private[graft] def bandsTableName(base: String, snapshot: String): String = {
+    val ver = snapshot.substring(snapshot.lastIndexOf('/') + 1)
+    f"graft_bands_${base.hashCode & 0xffffffffL}%08x_$ver"
+  }
+
+  /** Publish the accumulated band table of a fold snapshot as a
+    * bucketed+sorted table on its probe key, and drop the previous
+    * version's table once the new one is durable. WHY a table and not
+    * parquet like the sibling state: the band table is the stored
+    * side of every later batch's cross-probe equi-join — the one join
+    * in these folds whose left side is O(index), not O(batch). From a
+    * plain parquet snapshot that side re-shuffles EVERY batch once
+    * the batch outgrows the broadcast threshold (the 100 TB regime);
+    * from a bucketed table the scan reports its hash partitioning, so
+    * only the O(batch) probe side exchanges (the bucketed write
+    * itself never shuffles — tasks split their output into bucket
+    * files). Same trade as [[graft.operators.Layouts.publish]], held
+    * per snapshot version inside the fold. */
+  private def publishBandsBucketed(
+      bands: DataFrame,
+      base: String,
+      out: String,
+      bucketCols: Seq[String],
+      numBuckets: Int = 8): Unit =
+    bands.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.drop(1): _*)
+      .sortBy(bucketCols.head, bucketCols.drop(1): _*)
+      .mode("overwrite").saveAsTable(bandsTableName(base, out))
+
+  /** Drop the superseded band-table version — called only AFTER the
+    * pointer durably names the new snapshot (dropping before the move
+    * would leave a crash window where the pointer names a version
+    * whose band table is gone). */
+  private def dropPriorBands(
+      spark: SparkSession, base: String,
+      prior: Option[String], published: Option[String]): Unit =
+    prior.filter(p => published.exists(_ != p)).foreach { p =>
+      spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(base, p)}")
+      ()
+    }
+
   /** Load the events stream. Schema-adaptive like [[graft.Tables.load]]:
     * `ts` has shipped both as TIMESTAMP(NANOS) (surfaced as int64 via
     * the legacy conf, truncated to micros here) and as plain parquet
@@ -738,10 +784,13 @@ object Streams {
     * the accumulated pair set equals the batch d02 pairs under ANY
     * chunking (replay spec) — near-dup candidates stream out at
     * ingest and the corpus is never re-banded. State = the band
-    * table (index-sized) + discovered pairs; this simple snapshot
-    * rewrites both per batch — a production layout appends bucketed
-    * partitions instead ([[graft.operators.Dedup.writeBandedLayout]]
-    * is that shape; the probe itself is already O(batch).
+    * table (index-sized, held as a versioned BUCKETED table on the
+    * probe key `(band, band_hash)` — the [[graft.operators.Dedup
+    * .writeBandedLayout]] shape maintained per snapshot, so the
+    * cross-probe exchanges only the O(batch) side) + discovered
+    * pairs; the snapshot still rewrites per batch — a production
+    * layout appends bucketed partitions instead (the probe itself
+    * is already O(batch)).
     *
     * Replay-idempotent: if a batch replays after a crash between the
     * pointer move and the checkpoint commit, the published pointer
@@ -769,7 +818,11 @@ object Streams {
         val newBands = graft.operators.Dedup.minHashBandTable(
           b, col("doc_id"), col("text")).cache()
         val prior = readPtr()
-        val priorBands = prior.map(p => spark.read.parquet(s"$p/bands"))
+        // the accumulated bands live in a BUCKETED table keyed on the
+        // probe key: the cross-probe below joins O(index) stored rows
+        // against O(batch) new ones — bucketed, only the batch side
+        // exchanges (see publishBandsBucketed)
+        val priorBands = prior.map(p => spark.table(bandsTableName(base, p)))
         val priorPairs = prior.map(p => spark.read.parquet(s"$p/pairs"))
         val within = {
           val a = newBands.alias("a")
@@ -797,9 +850,11 @@ object Streams {
         val bands = priorBands.map(_.unionByName(newBands))
           .getOrElse(newBands)
         publishSnapshot(latestFile, s"$base/v$id") { out =>
-          bands.write.mode("overwrite").parquet(s"$out/bands")
+          publishBandsBucketed(bands, base, out,
+            Seq("band", "band_hash"))
           pairs.write.mode("overwrite").parquet(s"$out/pairs")
         }
+        dropPriorBands(spark, base, prior, readPtr())
         newBands.unpersist(blocking = false)
         ()
       }
@@ -842,8 +897,9 @@ object Streams {
     * truncation), so the maintained graph EQUALS the batch
     * [[graft.operators.Similarity.knnGraphBucketed]] under ANY
     * chunking — new data refines existing nodes' neighbor lists
-    * without ever rescoring old pairs. State = bands + vectors
-    * (index-sized, the p14 trade) + graph (≤ k rows per node);
+    * without ever rescoring old pairs. State = bands (bucketed on
+    * the `(tbl, bkt)` probe key, the p14 trade) + vectors
+    * (index-sized) + graph (≤ k rows per node);
     * snapshot rewrite per batch, replay-guarded by
     * [[publishSnapshot]]. */
   def incrementalKnnGraph(
@@ -872,7 +928,9 @@ object Streams {
           b, "vec_id", "embedding", numTables, planesPerTable, dim, seed)
           .cache()
         val prior = readPtr()
-        val priorBands = prior.map(p => spark.read.parquet(s"$p/bands"))
+        // bucketed stored bands: only the O(batch) probe side
+        // exchanges in the cross-probe (see publishBandsBucketed)
+        val priorBands = prior.map(p => spark.table(bandsTableName(base, p)))
         val priorVecs = prior.map(p => spark.read.parquet(s"$p/vecs"))
         val priorGraph = prior.map(p => spark.read.parquet(s"$p/graph"))
         val within = newBands.alias("a").join(newBands.alias("b"),
@@ -916,10 +974,11 @@ object Streams {
         val bands = priorBands.map(_.unionByName(newBands))
           .getOrElse(newBands)
         publishSnapshot(latestFile, s"$base/v$id") { out =>
-          bands.write.mode("overwrite").parquet(s"$out/bands")
+          publishBandsBucketed(bands, base, out, Seq("tbl", "bkt"))
           vecs.write.mode("overwrite").parquet(s"$out/vecs")
           graph.write.mode("overwrite").parquet(s"$out/graph")
         }
+        dropPriorBands(spark, base, prior, readPtr())
         newBands.unpersist(blocking = false)
         ()
       }
@@ -969,8 +1028,9 @@ object Streams {
     * fold incrementally — the CC fixpoint runs at read time over the
     * accumulated LSH-pruned pair set ([[streamingClusterDedup]]);
     * what never re-runs is the corpus-sized hashing + scoring.
-    * State = bands + vectors (index-sized) + pairs; replay-guarded
-    * by [[publishSnapshot]]. */
+    * State = bands (bucketed on the `(tbl, bkt)` probe key, the p14
+    * trade) + vectors (index-sized) + pairs; replay-guarded by
+    * [[publishSnapshot]]. */
   def incrementalEmbPairs(
       stream: DataFrame,
       base: String,
@@ -997,7 +1057,9 @@ object Streams {
           b, "vec_id", "embedding", numTables, planesPerTable, dim, seed)
           .cache()
         val prior = readPtr()
-        val priorBands = prior.map(p => spark.read.parquet(s"$p/bands"))
+        // bucketed stored bands: only the O(batch) probe side
+        // exchanges in the cross-probe (see publishBandsBucketed)
+        val priorBands = prior.map(p => spark.table(bandsTableName(base, p)))
         val priorVecs = prior.map(p => spark.read.parquet(s"$p/vecs"))
         val priorPairs = prior.map(p => spark.read.parquet(s"$p/pairs"))
         val within = newBands.alias("a").join(newBands.alias("b"),
@@ -1028,10 +1090,11 @@ object Streams {
         val bands = priorBands.map(_.unionByName(newBands))
           .getOrElse(newBands)
         publishSnapshot(latestFile, s"$base/v$id") { out =>
-          bands.write.mode("overwrite").parquet(s"$out/bands")
+          publishBandsBucketed(bands, base, out, Seq("tbl", "bkt"))
           vecs.write.mode("overwrite").parquet(s"$out/vecs")
           pairs.write.mode("overwrite").parquet(s"$out/pairs")
         }
+        dropPriorBands(spark, base, prior, readPtr())
         newBands.unpersist(blocking = false)
         ()
       }

@@ -382,6 +382,36 @@ class StreamsSpec extends SparkSuite {
     val versions = new java.io.File(base).listFiles()
       .map(_.getName).filter(_.startsWith("v"))
     assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+    // the maintained band state is a bucketed table on the probe key:
+    // a cross-batch probe against it exchanges ONLY the new side
+    // (broadcast off to force the sort-merge regime — the 100 TB
+    // shape, where the batch outgrows the broadcast threshold)
+    val latest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(base, "_latest")).trim
+    val stored = spark.table(
+      graft.streaming.Streams.bandsTableName(base, latest))
+    val probe = graft.operators.Similarity
+      .embBandTable(emb.limit(20), "vec_id", "embedding")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val join = probe.alias("n").join(stored.alias("o"),
+        col("n.tbl") === col("o.tbl") && col("n.bkt") === col("o.bkt") &&
+          col("n.vec_id") =!= col("o.vec_id"))
+      join.collect()
+      val exec = (join.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }).toString
+      assert(exec.contains("SortMergeJoin"),
+        s"expected a sort-merge probe in:\n$exec")
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(exec).length
+      assert(exchanges == 1,
+        s"expected exactly one exchange (the batch side), got $exchanges in:\n$exec")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("incremental cluster dedup: multi-batch pair fold equals batch d11") {
@@ -489,10 +519,14 @@ class StreamsSpec extends SparkSuite {
     }
     val base = java.nio.file.Files
       .createTempDirectory("graft_p14_replay").toString
-    // Seed exactly what a committed batch 0 publishes, pointer included.
+    // Seed exactly what a committed batch 0 publishes, pointer included
+    // (bands as the fold's versioned bucketed table).
     val seedBands = graft.operators.Dedup
       .minHashBandTable(chunks(0), col("doc_id"), col("text"))
-    seedBands.write.mode("overwrite").parquet(s"$base/v0/bands")
+    seedBands.write.bucketBy(8, "band", "band_hash")
+      .sortBy("band", "band_hash").mode("overwrite")
+      .saveAsTable(graft.streaming.Streams
+        .bandsTableName(base, s"$base/v0"))
     graft.operators.Dedup
       .minHashCandidatePairs(chunks(0), col("doc_id"), col("text"))
       .write.mode("overwrite").parquet(s"$base/v0/pairs")
@@ -514,7 +548,8 @@ class StreamsSpec extends SparkSuite {
     // the replayed batch's bands must have collapsed, not doubled
     val latest = java.nio.file.Files
       .readString(java.nio.file.Paths.get(base, "_latest")).trim
-    val finalBands = spark.read.parquet(s"$latest/bands")
+    val finalBands = spark.table(
+      graft.streaming.Streams.bandsTableName(base, latest))
     assert(finalBands.count() == finalBands.distinct().count(),
       "band table accumulated duplicate rows across the replay")
   }
