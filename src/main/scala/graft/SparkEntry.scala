@@ -1865,6 +1865,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** d21: LSH banding-parameter plan ([[Dedup.bandingPlan]]) — the
+    * analytic S-curve table over every bands×rows factorization of
+    * the 64-hash signature budget: curve threshold and candidate
+    * probability below/at/above the 0.5 dup threshold per config,
+    * `in_use` marking d02's 16×4. The decision table d19's measured
+    * precision is judged against; arithmetic-only, no scan. */
+  private def d21(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandingPlan(s)
+
   /** d12: duplicate-cluster resolution, ORACLE-CHECKED connected
     * components: consecutive-id pairs with token Jaccard >= 0.5 form
     * multi-hop chains (the adversarial diameter case for label
@@ -2471,6 +2480,18 @@ object SparkEntry {
       .crossJoin(broadcast(pq))
   }
 
+  /** e23: top session opening paths ([[Temporal.sessionPaths]]) —
+    * the funnel-EXPLORATION report: each session's first 3 event
+    * types joined with '>' as its path, counted across e01's
+    * sessions, top 20 by frequency (total order, so the limit is
+    * engine-portable). One shuffle: the ranking window's
+    * (user, session) partition is a superset of the session
+    * window's user partition. */
+  private def e23(s: SparkSession, dir: String): DataFrame =
+    Temporal.sessionPaths(T(s, dir, "events"),
+      "user_id", "ts", "event_id", "event_type", 1800L, depth = 3,
+      topK = 20)
+
   /** e12: incremental rollup merge ([[Temporal.mergeRollup]]): the
     * stored per-day rollup of history (ts < cutoff) merges with the
     * delta's partial aggregates (ts >= cutoff) by re-summing the
@@ -2955,6 +2976,7 @@ object SparkEntry {
     "d18_dedup_savings" -> (d18 _),
     "d19_banding_precision" -> (d19 _),
     "d20_quality_keeper" -> (d20 _),
+    "d21_banding_plan" -> (d21 _),
     "s01_knn_brute" -> (s01 _),
     "s02_lsh_ann" -> (s02 _),
     "s03_ivf_ann" -> (s03 _),
@@ -2993,6 +3015,7 @@ object SparkEntry {
     "e20_arrival_profile" -> (e20 _),
     "e21_session_profile" -> (e21 _),
     "e22_conversion_latency" -> (e22 _),
+    "e23_event_paths" -> (e23 _),
     "p01_corpus_pipeline" -> (p01 _),
     "p02_preprocess_chain" -> (p02 _),
     "p03_incremental_clean" -> (p03 _),
@@ -4073,6 +4096,23 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(upper(regexp_replace(trim(text), '\s+', ' ', 'g')))
         |ORDER BY keep_id""".stripMargin,
+    "d21_banding_plan" ->
+      // the analytic S-curve over every b·r = 64 factorization; both
+      // engines truncate the probabilities at 4 dp
+      """WITH g AS (SELECT b::BIGINT AS bands, (64 // b)::BIGINT
+        |      AS rows_per_band
+        |    FROM generate_series(1, 64) AS t(b) WHERE 64 % b = 0)
+        |SELECT bands, rows_per_band,
+        |  floor(power(1.0 / bands, 1.0 / rows_per_band) * 10000)
+        |    / 10000 AS curve_t,
+        |  floor((1 - power(1 - power(0.3, rows_per_band), bands))
+        |    * 10000) / 10000 AS p_below,
+        |  floor((1 - power(1 - power(0.5, rows_per_band), bands))
+        |    * 10000) / 10000 AS p_at,
+        |  floor((1 - power(1 - power(0.7, rows_per_band), bands))
+        |    * 10000) / 10000 AS p_above,
+        |  (bands = 16)::BIGINT AS in_use
+        |FROM g ORDER BY bands""".stripMargin,
     "d03_jaccard_verify" ->
       """WITH t AS (SELECT doc_id,
         |    list_distinct(string_split_regex(lower(trim(text)), '\s+'))
@@ -4597,6 +4637,26 @@ object SparkEntry {
         |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "e23_event_paths" ->
+      // e01's sessionization CTEs + per-session first-3 path
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM events),
+        |  y AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN prev IS NULL OR
+        |      epoch_us(ts) - epoch_us(prev) > 1800000000
+        |      THEN 1 ELSE 0 END AS newf FROM x),
+        |  z AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id FROM y),
+        |  r AS (SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS rn FROM z),
+        |  p AS (SELECT user_id, session_id,
+        |      string_agg(event_type, '>' ORDER BY rn) AS path
+        |    FROM r WHERE rn <= 3 GROUP BY user_id, session_id)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "e02_tumbling_counts" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value

@@ -150,6 +150,49 @@ object Dedup {
       spark: SparkSession, table: String): DataFrame =
     pairsFromBandTable(spark.table(table))
 
+  /** Analytic LSH banding plan — the S-curve table that decides how
+    * a MinHash signature budget splits into bands × rows BEFORE any
+    * data is scanned (the standard construction, e.g. Mining of
+    * Massive Datasets §3.4): for each factorization b·r = numHashes,
+    * the curve threshold (1/b)^(1/r) (the similarity where the
+    * collision probability rises steepest) and the candidate
+    * probability 1−(1−s^r)^b at the dup threshold and ±0.2 around
+    * it — reading a row gives the false-negative risk below the
+    * threshold (`p_below` should be small) and the recall at/above
+    * it (`p_at`/`p_above` should be large). `in_use` marks the
+    * engine's own d02 configuration; d19 then MEASURES what this
+    * table predicts (predicted precision vs measured survival).
+    *
+    * Pure arithmetic over a ≤numHashes-row frame — no data scan at
+    * any scale; probabilities truncated at 4 dp so the row set is
+    * engine-portable. */
+  def bandingPlan(
+      spark: SparkSession,
+      numHashes: Int = 64,
+      threshold: Double = 0.5,
+      inUseBands: Int = 16): DataFrame = {
+    require(numHashes > 0, s"numHashes must be positive: $numHashes")
+    require(threshold - 0.2 >= 0.0 && threshold + 0.2 <= 1.0,
+      s"threshold must be in [0.2, 0.8] so the ±0.2 probes stay in [0,1]: $threshold")
+    def trunc4(c: Column): Column = floor(c * 10000) / 10000
+    def pCand(s: Double): Column =
+      lit(1.0) - pow(
+        lit(1.0) - pow(lit(s), col("rows_per_band").cast("double")),
+        col("bands").cast("double"))
+    spark.range(1, numHashes + 1L).toDF("bands")
+      .filter((lit(numHashes) % col("bands")) === 0)
+      .withColumn("rows_per_band",
+        (lit(numHashes.toLong) / col("bands")).cast("long"))
+      .select(col("bands"), col("rows_per_band"),
+        trunc4(pow(lit(1.0) / col("bands").cast("double"),
+          lit(1.0) / col("rows_per_band").cast("double"))).as("curve_t"),
+        trunc4(pCand(threshold - 0.2)).as("p_below"),
+        trunc4(pCand(threshold)).as("p_at"),
+        trunc4(pCand(threshold + 0.2)).as("p_above"),
+        (col("bands") === inUseBands).cast("long").as("in_use"))
+      .orderBy("bands")
+  }
+
   /** Blocked fuzzy string matching (record linkage): pairs share a
     * cheap deterministic block key — bounding the quadratic verify to
     * within-block — then exact edit-distance verification. The

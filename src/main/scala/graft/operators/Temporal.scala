@@ -62,6 +62,57 @@ object Temporal {
         max(unix_micros(col(ts))).as("end_us"))
   }
 
+  /** Top opening event-type paths across sessions — the funnel-
+    * EXPLORATION report that precedes a funnel definition (e11
+    * measures a path you already chose; this surfaces which paths
+    * exist and how common they are): each session's first `depth`
+    * event types joined with '>' form its path, counted across all
+    * sessions, top `topK` by frequency.
+    *
+    * One shuffle at 100 TB: the session labeling reuses
+    * [[sessionize]]'s (key-partition, time-sort) window; the
+    * per-session ranking window partitions by (key, session_id) —
+    * a superset of the key partitioning, so Spark adds only a sort,
+    * no second exchange. Path cardinality is bounded by
+    * |event types|^depth, so the final count is a tiny hash
+    * aggregate and the top-k is TakeOrdered (per-partition heap +
+    * k-row driver merge). Ordering (n_sessions desc, path) is total,
+    * so the limit is deterministic and engine-portable. */
+  def sessionPaths(
+      events: DataFrame,
+      key: String,
+      ts: String,
+      tie: String,
+      typeCol: String,
+      gapSeconds: Long,
+      depth: Int = 3,
+      topK: Int = 20): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySess = Window.partitionBy(col(key), col("session_id"))
+      .orderBy(col(ts), col(tie))
+    events
+      .withColumn("__prev", lag(col(ts), 1).over(byKey))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col(ts)) - unix_micros(col("__prev")) >
+            gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(cum))
+      .withColumn("__rn", row_number().over(bySess))
+      .filter(col("__rn") <= depth)
+      .groupBy(col(key), col("session_id"))
+      // collect_list order is nondeterministic — sort by the rank
+      // carried inside the struct, then project the types out
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__rn").as("rn"),
+            col(typeCol).as("t")))),
+          s => s.getField("t")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Backward as-of join: for each left row, the latest right row
     * with right.ts <= left.ts on the same key; ties on ts resolve to
     * the largest right `value`. `left` must carry columns (key, ts,

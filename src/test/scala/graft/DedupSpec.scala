@@ -443,4 +443,31 @@ class DedupSpec extends SparkSuite {
     assert((nA, nB, nCommon) == (3L, 2L, 1L))
     assert(jac == 0.25) // 1 / (3 + 2 - 1)
   }
+
+  test("bandingPlan: closed-form S-curve rows, in_use marks the d02 config") {
+    val rows = Dedup.bandingPlan(spark).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // every factorization of 64, each bands*rows == 64
+    assert(rows.keySet == Set(1L, 2L, 4L, 8L, 16L, 32L, 64L))
+    rows.values.foreach { r =>
+      assert(r.getLong(0) * r.getLong(1) == 64L)
+    }
+    // closed forms: b=64,r=1 → curve (1/64)^1 = 0.0156…;
+    // p_at = 1-(1-0.5)^64 ≈ 1 (to 4dp)
+    val b64 = rows(64L)
+    assert(b64.getAs[Double]("curve_t") == math.floor(1.0 / 64 * 10000) / 10000)
+    assert(b64.getAs[Double]("p_at") == 0.9999 ||
+      b64.getAs[Double]("p_at") == 1.0)
+    // the d02 config (16 bands × 4 rows) is flagged, nothing else
+    assert(rows.values.count(_.getAs[Long]("in_use") == 1L) == 1)
+    assert(rows(16L).getAs[Long]("in_use") == 1L)
+    // monotonicity: more bands (fewer rows) = more permissive at the
+    // threshold — p_at strictly nondecreasing in bands
+    val pAts = rows.toSeq.sortBy(_._1).map(_._2.getAs[Double]("p_at"))
+    assert(pAts == pAts.sorted, s"p_at not monotone: $pAts")
+    // b=16,r=4 closed form: 1-(1-0.5^4)^16
+    val expected = math.floor(
+      (1.0 - math.pow(1.0 - math.pow(0.5, 4), 16)) * 10000) / 10000
+    assert(rows(16L).getAs[Double]("p_at") == expected)
+  }
 }

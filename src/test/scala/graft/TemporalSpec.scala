@@ -24,6 +24,29 @@ class TemporalSpec extends SparkSuite {
     assert(res(2).getAs[Long]("n_events") == 1) // user 2
   }
 
+  test("sessionPaths builds ordered first-k paths and ranks them") {
+    val events = Seq(
+      // user 1, session 1: a > b > c (and a 4th event that must drop)
+      (1L, ts("2024-01-01 10:00:00"), 100L, "a"),
+      (1L, ts("2024-01-01 10:05:00"), 101L, "b"),
+      (1L, ts("2024-01-01 10:10:00"), 102L, "c"),
+      (1L, ts("2024-01-01 10:15:00"), 103L, "d"),
+      // user 1, session 2 (gap > 30 min): a > b
+      (1L, ts("2024-01-01 12:00:00"), 104L, "a"),
+      (1L, ts("2024-01-01 12:01:00"), 105L, "b"),
+      // user 2: a > b > c again — paths count across users
+      (2L, ts("2024-01-01 09:00:00"), 106L, "a"),
+      (2L, ts("2024-01-01 09:01:00"), 107L, "b"),
+      (2L, ts("2024-01-01 09:02:00"), 108L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val res = Temporal
+      .sessionPaths(events, "user_id", "ts", "event_id", "event_type",
+        1800L, depth = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(res.toSeq == Seq(("a>b>c", 2L), ("a>b", 1L)),
+      s"unexpected paths: ${res.toSeq}")
+  }
+
   test("asofBackward picks latest right <= left ts, ties to max value") {
     val left = Seq(
       (1L, ts("2024-01-05 00:00:00"), 900L),
