@@ -217,9 +217,12 @@ object Dedup {
     val sameBlock = blockKeys.indices
       .map(i => col(s"a.__blk$i") <=> col(s"b.__blk$i")).reduce(_ && _)
     a.join(b, sameBlock && col("a.id") < col("b.id"))
-      .filter(levenshtein(col("a.name"), col("b.name")) <= maxDistance)
+      // project the distance BEFORE filtering on it so the O(len²)
+      // levenshtein runs once per candidate pair, not once in the
+      // filter and again in the projection
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDistance)
   }
 
   /** Per-doc 64-bit SimHash: each token votes ±1 on every bit of its
