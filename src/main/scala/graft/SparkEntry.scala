@@ -2729,6 +2729,20 @@ object SparkEntry {
   private def p17(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingClusterDedup(s, dir)
 
+  /** p18: INCREMENTAL graph-cluster dedup — d11's SemDeDup verdict
+    * derived from p15's MAINTAINED k-NN graph
+    * ([[graft.streaming.Streams.streamingGraphClusterDedup]]): the
+    * graph fold runs with threshold retention (every above-threshold
+    * edge survives the per-node prune alongside the top-k), so at
+    * read time the retained edges above the threshold ARE d11's exact
+    * pair set and CC leaders over them reproduce the batch verdict —
+    * ONE maintained structure serving both ANN browsing (rank ≤ k)
+    * and dedup (sim > threshold), vs p17's dedicated pair-set state.
+    * Exact-equality-vs-batch replay spec in StreamsSpec; rows-only
+    * (as d11 — LSH buckets are Spark-specific). */
+  private def p18(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingGraphClusterDedup(s, dir)
+
   /** p13: INCREMENTAL disorder profile — e18's watermark-tuning
     * measurement maintained per micro-batch
     * ([[graft.streaming.Streams.incrementalDisorderProfile]]): each
@@ -3033,6 +3047,7 @@ object SparkEntry {
     "p15_incremental_knn" -> (p15 _),
     "p16_incremental_keeper" -> (p16 _),
     "p17_incremental_cluster_dedup" -> (p17 _),
+    "p18_incremental_graph_dedup" -> (p18 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),

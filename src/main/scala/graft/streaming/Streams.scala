@@ -47,26 +47,6 @@ object Streams {
     df.repartition(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8").toInt)
 
-  /** Atomically publish a snapshot pointer: temp file + ATOMIC_MOVE so
-    * readers see the old path or the new, never a truncated one. The
-    * temp file is removed if the move fails (deleteIfExists is a no-op
-    * after a successful move — the temp no longer exists) so a failing
-    * sink can't strew `_latest*.tmp` files beside the pointer. */
-  private def writePointerAtomic(
-      latestFile: java.nio.file.Path, value: String): Unit = {
-    val tmp = java.nio.file.Files.createTempFile(
-      latestFile.getParent, "_latest", ".tmp")
-    try {
-      java.nio.file.Files.writeString(tmp, value)
-      java.nio.file.Files.move(tmp, latestFile,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally {
-      java.nio.file.Files.deleteIfExists(tmp)
-      ()
-    }
-  }
-
   /** Publish one snapshot version: run `write` into `out`, then move
     * the pointer — UNLESS the pointer already names `out`. That
     * happens exactly when the batch replays after its pointer move
@@ -76,7 +56,14 @@ object Streams {
     * overwrite the published path (Spark rejects that) and, for
     * count-monoid folds, double-count the replayed batch. Because
     * every fold is lazy until `write` fires, skipping the write
-    * skips the whole recompute. */
+    * skips the whole recompute.
+    *
+    * Used by the SMALL-state folds only (p04/p07/p11/p12/p13:
+    * |alphabet²|-, vocabulary-, dim-, |signatures|- or |types|-row
+    * models) where rewriting the snapshot per batch IS O(batch)-ish
+    * because the state is bounded. Corpus-sized state goes through
+    * [[LsmState]], whose per-batch writes are O(batch) by
+    * construction. */
   private def publishSnapshot(
       latestFile: java.nio.file.Path, out: String)(
       write: String => Unit): Unit = {
@@ -86,55 +73,9 @@ object Streams {
       else ""
     if (current != out) {
       write(out)
-      writePointerAtomic(latestFile, out)
+      LsmState.writePointerAtomic(latestFile, out)
     }
   }
-
-  /** Name of the versioned BUCKETED band table a band-accumulating
-    * fold (p14/p15/p17) maintains alongside its parquet snapshot.
-    * Derived from the fold's base dir + the snapshot version, so a
-    * restarted (or replayed) fold resolves the same name from the
-    * pointer alone. */
-  private[graft] def bandsTableName(base: String, snapshot: String): String = {
-    val ver = snapshot.substring(snapshot.lastIndexOf('/') + 1)
-    f"graft_bands_${base.hashCode & 0xffffffffL}%08x_$ver"
-  }
-
-  /** Publish the accumulated band table of a fold snapshot as a
-    * bucketed+sorted table on its probe key, and drop the previous
-    * version's table once the new one is durable. WHY a table and not
-    * parquet like the sibling state: the band table is the stored
-    * side of every later batch's cross-probe equi-join — the one join
-    * in these folds whose left side is O(index), not O(batch). From a
-    * plain parquet snapshot that side re-shuffles EVERY batch once
-    * the batch outgrows the broadcast threshold (the 100 TB regime);
-    * from a bucketed table the scan reports its hash partitioning, so
-    * only the O(batch) probe side exchanges (the bucketed write
-    * itself never shuffles — tasks split their output into bucket
-    * files). Same trade as [[graft.operators.Layouts.publish]], held
-    * per snapshot version inside the fold. */
-  private def publishBandsBucketed(
-      bands: DataFrame,
-      base: String,
-      out: String,
-      bucketCols: Seq[String],
-      numBuckets: Int = 8): Unit =
-    bands.write
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.drop(1): _*)
-      .sortBy(bucketCols.head, bucketCols.drop(1): _*)
-      .mode("overwrite").saveAsTable(bandsTableName(base, out))
-
-  /** Drop the superseded band-table version — called only AFTER the
-    * pointer durably names the new snapshot (dropping before the move
-    * would leave a crash window where the pointer names a version
-    * whose band table is gone). */
-  private def dropPriorBands(
-      spark: SparkSession, base: String,
-      prior: Option[String], published: Option[String]): Unit =
-    prior.filter(p => published.exists(_ != p)).foreach { p =>
-      spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(base, p)}")
-      ()
-    }
 
   /** Load the events stream. Schema-adaptive like [[graft.Tables.load]]:
     * `ts` has shipped both as TIMESTAMP(NANOS) (surfaced as int64 via
@@ -299,31 +240,23 @@ object Streams {
 
   /** PRODUCTION upsert sink: a foreachBatch CDC merge maintaining a
     * "latest event per user" parquet snapshot — the streaming MERGE
-    * pattern on plain parquet: each micro-batch reduces to one row
-    * per key, merges with the current snapshot (union + latest-wins
-    * window), writes a NEW versioned directory, and swaps the
-    * pointer. Readers of the previous version are never disturbed and
-    * a failed batch never half-overwrites the target (write-new +
-    * atomic pointer swap = poor man's table format; swap in
-    * Delta/Iceberg MERGE on a real deployment, same plan shape).
+    * pattern on plain parquet, LSM-shaped ([[LsmState]]): each
+    * micro-batch reduces to one row per key (the O(batch) delta) and
+    * APPENDS it as a part; every `compactEvery` batches the parts
+    * fold into a compacted snapshot behind an atomic pointer. Readers
+    * fold (compacted ∪ parts) through the same latest-wins window —
+    * latest-per-key is a commutative monoid, so the fold order never
+    * matters. Swap in Delta/Iceberg MERGE on a real deployment, same
+    * plan shape — the point here is the WRITE cost: O(batch) per
+    * trigger, O(state) only 1/compactEvery of the time, where the
+    * round-9 form rewrote the whole snapshot every batch.
     *
-    * The final snapshot equals the batch "latest per key" query over
+    * The final state equals the batch "latest per key" query over
     * the whole input regardless of how the stream was chunked into
-    * micro-batches — that invariant IS the oracle (and
-    * StreamsSpec drives a forced multi-batch replay through the same
-    * merge). */
-  def upsertLatestOf(stream: DataFrame, base: String): DataFrame = {
-    val spark = stream.sparkSession
-    // the snapshot pointer is DURABLE (a _latest file beside the
-    // checkpoint), not process memory: the checkpoint makes a restart
-    // skip committed batches, so a memory-only pointer would silently
-    // drop their accumulated state on the first post-restart merge
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
-    def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+    * micro-batches — that invariant IS the oracle (and StreamsSpec
+    * drives a forced multi-batch replay through the same merge). */
+  def upsertLatestOf(
+      stream: DataFrame, base: String, compactEvery: Int = 8): DataFrame = {
     def latestPerUser(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id")
@@ -331,21 +264,12 @@ object Streams {
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
+    val st = new LsmState(
+      stream.sparkSession, base, latestPerUser, compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val delta = latestPerUser(batch.toDF())
-        val merged = readPtr() match {
-          case None => delta
-          case Some(p) =>
-            latestPerUser(spark.read.parquet(p).unionByName(delta))
-        }
-        // pointer moves only AFTER the snapshot commits: a crash in
-        // between re-runs the batch against the previous pointer
-        // (idempotent — latest-per-key of the same input); a replay
-        // AFTER the pointer move is skipped by publishSnapshot
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
-          merged.write.mode("overwrite").parquet(out)
-        }
+        st.append(id, latestPerUser(batch.toDF()))
+        st.maybeCompact(id)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -353,9 +277,7 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val snap = readPtr().getOrElse(
-      sys.error("no snapshot: stream produced no batches and none recorded"))
-    spark.read.parquet(snap)
+    st.result()
   }
 
   /** p03: incremental corpus cleaning — the decontaminate →
@@ -375,19 +297,23 @@ object Streams {
     * dedup, so the final snapshot equals the one-shot batch
     * decontaminate → dedup over the whole input regardless of
     * micro-batch chunking (forced multi-file replay in
-    * StreamsSpec; DuckDB re-derives the batch form as the oracle). */
+    * StreamsSpec; DuckDB re-derives the batch form as the oracle).
+    *
+    * Storage is [[LsmState]]: each batch writes ONLY its newly
+    * accepted rows (anti-joined against the current accepted-fp view,
+    * EXCLUDING its own part so a checkpoint replay recomputes the
+    * identical delta rather than rejecting itself) — O(batch) per
+    * trigger where the round-9 form rewrote the whole accepted corpus
+    * every batch. Parts are fp-disjoint by construction, so the fold
+    * is a crash-window-only `dropDuplicates(fp)`. */
   def incrementalClean(
       stream: DataFrame,
       benchmark: DataFrame,
       base: String,
-      n: Int = 8): DataFrame = {
-    val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
-    def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+      n: Int = 8,
+      compactEvery: Int = 8): DataFrame = {
+    val st = new LsmState(
+      stream.sparkSession, base, _.dropDuplicates("fp"), compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
@@ -402,16 +328,13 @@ object Streams {
           .partitionBy("fp").orderBy("doc_id")
         val keepB = withFp.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val merged = readPtr() match {
+        val delta = st.view(except = Some(id)) match {
           case None => keepB
-          case Some(p) =>
-            val st = spark.read.parquet(p)
-            st.unionByName(
-              keepB.join(st.select("fp"), Seq("fp"), "left_anti"))
+          case Some(v) =>
+            keepB.join(v.select("fp"), Seq("fp"), "left_anti")
         }
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
-          merged.write.mode("overwrite").parquet(out)
-        }
+        st.append(id, delta)
+        st.maybeCompact(id)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -419,9 +342,7 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val snap = readPtr().getOrElse(
-      sys.error("no snapshot: stream produced no batches and none recorded"))
-    spark.read.parquet(snap)
+    st.result()
   }
 
   /** [[incrementalClean]] over the documents table: corpus =
@@ -464,14 +385,14 @@ object Streams {
       stream: DataFrame,
       benchmark: DataFrame,
       base: String,
-      n: Int = 8): DataFrame = {
-    val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
-    def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+      n: Int = 8,
+      compactEvery: Int = 8): DataFrame = {
+    // LSM state as p03: each part carries only that batch's accepted
+    // + finished rows, fp-disjoint across parts (the anti-join runs
+    // against the own-part-excluded view), fold dedups the
+    // compaction crash window only
+    val st = new LsmState(
+      stream.sparkSession, base, _.dropDuplicates("fp"), compactEvery)
     def trunc4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -510,16 +431,13 @@ object Streams {
               lit(graft.functions.TextFns.PhoneRe), lit(0)))
               .cast("long").as("n_phones"),
             graft.functions.TextFns.redactPii(col("__t")).as("redacted"))
-        val merged = readPtr() match {
+        val delta = st.view(except = Some(id)) match {
           case None => scored
-          case Some(p) =>
-            val st = spark.read.parquet(p)
-            st.unionByName(
-              scored.join(st.select("fp"), Seq("fp"), "left_anti"))
+          case Some(v) =>
+            scored.join(v.select("fp"), Seq("fp"), "left_anti")
         }
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
-          merged.write.mode("overwrite").parquet(out)
-        }
+        st.append(id, delta)
+        st.maybeCompact(id)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -527,9 +445,7 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val snap = readPtr().getOrElse(
-      sys.error("no snapshot: stream produced no batches and none recorded"))
-    spark.read.parquet(snap)
+    st.result()
   }
 
   /** [[incrementalCleanScore]] over the documents table: the same
@@ -783,47 +699,40 @@ object Streams {
     * A pair is discovered exactly when its LATER member arrives, so
     * the accumulated pair set equals the batch d02 pairs under ANY
     * chunking (replay spec) — near-dup candidates stream out at
-    * ingest and the corpus is never re-banded. State = the band
-    * table (index-sized, held as a versioned BUCKETED table on the
-    * probe key `(band, band_hash)` — the [[graft.operators.Dedup
-    * .writeBandedLayout]] shape maintained per snapshot, so the
-    * cross-probe exchanges only the O(batch) side) + discovered
-    * pairs; the snapshot still rewrites per batch — a production
-    * layout appends bucketed partitions instead (the probe itself
-    * is already O(batch)).
+    * ingest and the corpus is never re-banded.
     *
-    * Replay-idempotent: if a batch replays after a crash between the
-    * pointer move and the checkpoint commit, the published pointer
-    * already names this batch's snapshot — [[publishSnapshot]]
-    * detects that and skips the fold entirely (the state is already
-    * durable; re-folding would self-join the batch against its own
-    * published bands and overwrite the path being read). The shared
-    * guard every snapshot fold here uses. */
+    * State, both sides O(batch) per write:
+    *   - bands: ONE bucketed table on the probe key `(band,
+    *     band_hash)` ([[BandState]]), APPENDED per batch — the
+    *     cross-probe's stored side scans bucketed (zero index-side
+    *     exchange, plan-asserted in StreamsSpec) and the write is the
+    *     batch's own band rows only.
+    *   - pairs: [[LsmState]] parts — each batch's newly discovered
+    *     pairs (deduped WITHIN the batch only: a pair is discovered
+    *     exactly once globally, in its later member's batch, so no
+    *     cross-batch distinct is ever needed), compacted 1/compactEvery.
+    *
+    * Replay-idempotent: the pairs part overwrites by batch id; the
+    * band append is marker-guarded. A replaying batch sees its own
+    * pre-crash bands in the table — the probe then finds each
+    * within-batch pair twice (self-join + cross), which the per-batch
+    * distinct collapses, so the rewritten part is identical. */
   def incrementalMinhashPairs(
       stream: DataFrame,
-      base: String): DataFrame = {
+      base: String,
+      compactEvery: Int = 8): DataFrame = {
     val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
-    def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+    val pairsSt = new LsmState(
+      spark, s"$base/pairs", _.distinct(), compactEvery)
+    val bands = new BandState(spark, base, Seq("band", "band_hash"))
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
-        // cache (lazy): within-batch self-join (both sides), the
-        // cross-batch probe, and the band accumulation all read this
-        // frame — uncached, the batch pays its MinHash signatures 4x
+        // cache (lazy): within-batch self-join (both sides) and the
+        // band append all read this frame — uncached, the batch pays
+        // its MinHash signatures 3x
         val newBands = graft.operators.Dedup.minHashBandTable(
           b, col("doc_id"), col("text")).cache()
-        val prior = readPtr()
-        // the accumulated bands live in a BUCKETED table keyed on the
-        // probe key: the cross-probe below joins O(index) stored rows
-        // against O(batch) new ones — bucketed, only the batch side
-        // exchanges (see publishBandsBucketed)
-        val priorBands = prior.map(p => spark.table(bandsTableName(base, p)))
-        val priorPairs = prior.map(p => spark.read.parquet(s"$p/pairs"))
         val within = {
           val a = newBands.alias("a")
           val bb = newBands.alias("b")
@@ -832,7 +741,7 @@ object Streams {
               col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         }
-        val cross = priorBands.map { ob =>
+        val cross = bands.scan().map { ob =>
           newBands.alias("n").join(ob.alias("o"),
               col("n.band") === col("o.band") &&
                 col("n.band_hash") === col("o.band_hash") &&
@@ -841,20 +750,12 @@ object Streams {
               greatest(col("n.doc_id"), col("o.doc_id")).as("b_id"))
         }
         val newPairs = cross.map(within.unionByName(_)).getOrElse(within)
-        val pairs = priorPairs.map(_.unionByName(newPairs))
-          .getOrElse(newPairs).distinct()
-        // no distinct on the band union: batches never re-fold (a
-        // replayed published batch is skipped below), so band rows
-        // are new by construction — the O(index) dedup shuffle per
-        // batch would be pure overhead
-        val bands = priorBands.map(_.unionByName(newBands))
-          .getOrElse(newBands)
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
-          publishBandsBucketed(bands, base, out,
-            Seq("band", "band_hash"))
-          pairs.write.mode("overwrite").parquet(s"$out/pairs")
-        }
-        dropPriorBands(spark, base, prior, readPtr())
+          .distinct()
+        // pairs part FIRST (it executes the lazy cross-probe against
+        // the band table as it stood BEFORE this batch), bands after
+        pairsSt.append(id, newPairs)
+        bands.append(id, newBands)
+        pairsSt.maybeCompact(id)
         newBands.unpersist(blocking = false)
         ()
       }
@@ -863,14 +764,15 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val snap = readPtr().getOrElse(
-      sys.error("no snapshot: stream produced no batches and none recorded"))
-    spark.read.parquet(s"$snap/pairs")
+    pairsSt.result()
   }
 
   /** [[incrementalMinhashPairs]] over the documents table — the
     * maintained pair set must equal d02's batch candidates exactly
-    * (rows-only key; the equality IS the replay spec). */
+    * (rows-only key; the equality IS the replay spec). Short-lived
+    * wrapper, so the fold's band table is dropped once the result no
+    * longer needs it (the pairs live in parquet parts); a production
+    * fold on a stable base keeps the table and resumes it. */
   def streamingMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files
       .createTempDirectory("graft_p14").toString
@@ -880,7 +782,41 @@ object Streams {
     val pairs = withStreamPartitions(spark, 8) {
       incrementalMinhashPairs(docs, base)
     }
+    new BandState(spark, base, Seq("band", "band_hash")).drop()
     pairs.orderBy("a_id", "b_id")
+  }
+
+  /** Per-node graph prune — the [[LsmState]] fold for the maintained
+    * k-NN graph: collapse crash-window duplicates (a (vec_id, nbr_id)
+    * edge exists once globally — its pair was scored exactly once —
+    * so duplicates are identical rows), then keep each node's top-k
+    * edges by (sim desc, nbr_id) — the SAME total order as the
+    * bounded-heap [[graft.operators.Similarity.topKAgg]], so the
+    * folded graph ties out against the batch s16 build — plus, when
+    * `keepThreshold` is set, EVERY edge above the threshold. The
+    * threshold retention is what makes the maintained graph serve
+    * dedup as well as ANN browsing: top-k truncation alone could drop
+    * an above-threshold edge from a high-degree node, and the
+    * cluster verdict derived from the graph would silently diverge
+    * from the batch pair set (p18's equality needs every
+    * above-threshold edge).
+    *
+    * Both prunes are merge-and-truncate monoids under the
+    * deterministic order: prune(prune(A) ∪ B) = prune(A ∪ B) — any
+    * globally-kept edge survives every intermediate prune (top-k:
+    * it is top-k in every subset containing it; threshold: kept
+    * unconditionally). */
+  private def graphFold(k: Int, keepThreshold: Option[Double])(
+      edges: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("nbr_id"))
+    val ranked = edges.dropDuplicates("vec_id", "nbr_id")
+      .withColumn("__rn", row_number().over(w))
+    val keep = keepThreshold match {
+      case None => col("__rn") <= k
+      case Some(t) => col("__rn") <= k || col("sim") > t
+    }
+    ranked.filter(keep).drop("__rn")
   }
 
   /** p15: incremental k-NN GRAPH maintenance — s16's corpus-wide
@@ -889,19 +825,26 @@ object Streams {
     * table for cross-batch candidate pairs (bucket-bounded
     * equi-join) and self-joined within the batch, each new pair is
     * scored ONCE (codegen cosine against the accumulated vector
-    * snapshot), symmetrized, and merged into the stored per-node
-    * top-k. A pair is discovered exactly when its later member
-    * arrives, and per-node top-k lists form a commutative monoid
-    * under merge-and-truncate (topk(topk(A) ∪ B) = topk(A ∪ B):
-    * any global top-k element survives every intermediate
-    * truncation), so the maintained graph EQUALS the batch
+    * state), symmetrized, and appended as edges. A pair is
+    * discovered exactly when its later member arrives, and the
+    * per-node prune ([[graphFold]]) is a commutative monoid under
+    * merge-and-truncate, so the maintained graph EQUALS the batch
     * [[graft.operators.Similarity.knnGraphBucketed]] under ANY
     * chunking — new data refines existing nodes' neighbor lists
-    * without ever rescoring old pairs. State = bands (bucketed on
-    * the `(tbl, bkt)` probe key, the p14 trade) + vectors
-    * (index-sized) + graph (≤ k rows per node);
-    * snapshot rewrite per batch, replay-guarded by
-    * [[publishSnapshot]]. */
+    * without ever rescoring old pairs.
+    *
+    * State, every per-batch write O(batch):
+    *   - bands: ONE bucketed table on the `(tbl, bkt)` probe key
+    *     ([[BandState]], appended; zero index-side exchange in the
+    *     cross-probe, plan-asserted);
+    *   - vecs: [[LsmState]] parts (the batch's vectors);
+    *   - graph: [[LsmState]] parts carrying the batch's new
+    *     symmetrized edges; compaction folds them into the pruned
+    *     per-node lists 1/compactEvery of the time.
+    *
+    * `keepThreshold` retains all edges above the threshold alongside
+    * the top-k (see [[graphFold]]) — the dedup-serving variant p18
+    * reads ([[streamingGraphClusterDedup]]). */
   def incrementalKnnGraph(
       stream: DataFrame,
       base: String,
@@ -909,35 +852,30 @@ object Streams {
       numTables: Int = 12,
       planesPerTable: Int = 4,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      keepThreshold: Option[Double] = None,
+      compactEvery: Int = 8): DataFrame = {
     val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
-    def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+    val vecsSt = new LsmState(
+      spark, s"$base/vecs", _.dropDuplicates("vec_id"), compactEvery)
+    val graphSt = new LsmState(
+      spark, s"$base/graph", graphFold(k, keepThreshold), compactEvery)
+    val bands = new BandState(spark, base, Seq("tbl", "bkt"))
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
         val newVecs = b.select(col("vec_id"), col("embedding").as("v"))
         // cache (lazy): self-join (both sides), cross probe, and band
-        // accumulation all read this frame — uncached, the batch pays
-        // its hyperplane projections 4x
+        // append all read this frame — uncached, the batch pays its
+        // hyperplane projections 4x
         val newBands = graft.operators.Similarity.embBandTable(
           b, "vec_id", "embedding", numTables, planesPerTable, dim, seed)
           .cache()
-        val prior = readPtr()
-        // bucketed stored bands: only the O(batch) probe side
-        // exchanges in the cross-probe (see publishBandsBucketed)
-        val priorBands = prior.map(p => spark.table(bandsTableName(base, p)))
-        val priorVecs = prior.map(p => spark.read.parquet(s"$p/vecs"))
-        val priorGraph = prior.map(p => spark.read.parquet(s"$p/graph"))
         val within = newBands.alias("a").join(newBands.alias("b"),
             col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
               col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        val cross = priorBands.map { ob =>
+        val cross = bands.scan().map { ob =>
           newBands.alias("n").join(ob.alias("o"),
               col("n.tbl") === col("o.tbl") && col("n.bkt") === col("o.bkt") &&
                 col("n.vec_id") =!= col("o.vec_id"))
@@ -946,7 +884,11 @@ object Streams {
         }
         val newPairs = cross.map(within.unionByName(_)).getOrElse(within)
           .distinct()
-        val vecs = priorVecs.map(_.unionByName(newVecs)).getOrElse(newVecs)
+        // vectors for scoring: accumulated state (own part excluded —
+        // a replaying batch must recompute against the pre-batch
+        // state) plus this batch's rows
+        val vecs = vecsSt.view(except = Some(id))
+          .map(_.unionByName(newVecs)).getOrElse(newVecs)
         val scored = newPairs
           .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")),
             "a_id")
@@ -964,21 +906,13 @@ object Streams {
             struct(col("b_id").as("vec_id"), col("a_id").as("nbr_id"),
               col("sim")))).as("e"))
           .select(col("e.vec_id"), col("e.nbr_id"), col("e.sim"))
-        val graph = priorGraph.map(_.unionByName(sym)).getOrElse(sym)
-          .groupBy(col("vec_id"))
-          .agg(graft.operators.Similarity
-            .topKAgg(col("sim"), col("nbr_id"), k).as("top"))
-          .select(col("vec_id"), posexplode(col("top")))
-          .select(col("vec_id"), col("col.id").as("nbr_id"),
-            col("col.score").as("sim"))
-        val bands = priorBands.map(_.unionByName(newBands))
-          .getOrElse(newBands)
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
-          publishBandsBucketed(bands, base, out, Seq("tbl", "bkt"))
-          vecs.write.mode("overwrite").parquet(s"$out/vecs")
-          graph.write.mode("overwrite").parquet(s"$out/graph")
-        }
-        dropPriorBands(spark, base, prior, readPtr())
+        // edge part FIRST (executes the lazy cross-probe against the
+        // pre-batch band table), then vecs, then bands
+        graphSt.append(id, sym)
+        vecsSt.append(id, newVecs)
+        bands.append(id, newBands)
+        graphSt.maybeCompact(id)
+        vecsSt.maybeCompact(id)
         newBands.unpersist(blocking = false)
         ()
       }
@@ -987,12 +921,11 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val snap = readPtr().getOrElse(
-      sys.error("no snapshot: stream produced no batches and none recorded"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("nbr_id"))
-    spark.read.parquet(s"$snap/graph")
+    graphSt.result()
       .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** [[incrementalKnnGraph]] over the embeddings table, finished in
@@ -1008,9 +941,71 @@ object Streams {
     val graph = withStreamPartitions(spark, 8) {
       incrementalKnnGraph(vecs, base)
     }
+    new BandState(spark, base, Seq("tbl", "bkt")).drop()
     graph.select(col("vec_id"), col("rank"), col("nbr_id"),
         (floor(col("sim") * 10000) / 10000).as("sim"))
       .orderBy("vec_id", "rank")
+  }
+
+  /** p18: incremental GRAPH-CLUSTER dedup — d11's SemDeDup verdict
+    * derived from p15's MAINTAINED k-NN graph rather than p17's pair
+    * re-discovery: the fold runs with `keepThreshold` retention
+    * ([[graphFold]]), so every above-threshold edge survives the
+    * per-node prune; at read time the retained edges above the
+    * threshold ARE d11's exact pair set (same LSH candidates, same
+    * codegen cosine — bit-equal comparisons), and CC leaders over
+    * them reproduce the batch
+    * [[graft.operators.Dedup.embeddingClusterDedup]] verdict exactly
+    * (equality replay spec in StreamsSpec). The CC fixpoint itself
+    * still runs at read — clustering is global, one new edge can
+    * merge two clusters, so labels cannot fold — but the corpus-sized
+    * hashing + scoring never re-runs, and the graph state serves ANN
+    * browsing (rank ≤ k) and dedup (sim > threshold) from ONE
+    * maintained structure. */
+  def streamingGraphClusterDedup(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.3, k: Int = 5): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p18").toString
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val vecs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    withStreamPartitions(spark, 8) {
+      incrementalKnnGraph(vecs, base, k = k,
+        keepThreshold = Some(threshold))
+    }
+    new BandState(spark, base, Seq("tbl", "bkt")).drop()
+    graphClusterVerdict(spark, base, threshold)
+  }
+
+  /** The read-time half of p18, separated so specs can re-derive the
+    * verdict from an existing fold base: threshold-prune the
+    * maintained graph state, recover undirected pairs (each edge is
+    * stored in both directions — keep vec_id < nbr_id), CC leaders,
+    * one keeper per cluster, singletons keep themselves (d11's exact
+    * output shape). */
+  def graphClusterVerdict(
+      spark: SparkSession, base: String, threshold: Double): DataFrame = {
+    // the reader keeps ALL retained edges (dedup-only fold — a prune
+    // here would be redundant: the state was maintained with the
+    // threshold-retaining fold, so every above-threshold edge is
+    // present and the filter below selects exactly d11's pair set)
+    val graphSt = new LsmState(
+      spark, s"$base/graph", _.dropDuplicates("vec_id", "nbr_id"))
+    val vecsSt = new LsmState(
+      spark, s"$base/vecs", _.dropDuplicates("vec_id"))
+    val pairs = graphSt.result()
+      .filter(col("sim") > threshold && col("vec_id") < col("nbr_id"))
+      .select(col("vec_id").as("a_id"), col("nbr_id").as("b_id"))
+    val leaders = graft.operators.Dedup.clusterLeaders(pairs)
+      .select(col("doc_id").as("vec_id"), col("leader_id"))
+    vecsSt.result().select(col("vec_id"))
+      .join(leaders, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("leader_id"), col("vec_id")).as("cluster_id"),
+        (coalesce(col("leader_id"), col("vec_id")) === col("vec_id"))
+          .cast("long").as("keep"))
+      .orderBy("vec_id")
   }
 
   /** p17: incremental embedding near-dup PAIR discovery — the
@@ -1028,9 +1023,12 @@ object Streams {
     * fold incrementally — the CC fixpoint runs at read time over the
     * accumulated LSH-pruned pair set ([[streamingClusterDedup]]);
     * what never re-runs is the corpus-sized hashing + scoring.
-    * State = bands (bucketed on the `(tbl, bkt)` probe key, the p14
-    * trade) + vectors (index-sized) + pairs; replay-guarded by
-    * [[publishSnapshot]]. */
+    *
+    * State, every per-batch write O(batch): bands ([[BandState]],
+    * appended bucketed table on the `(tbl, bkt)` probe key — zero
+    * index-side exchange in the cross-probe), vecs and pairs
+    * ([[LsmState]] parts; pairs are discovered exactly once, so the
+    * fold's distinct only covers crash windows). */
   def incrementalEmbPairs(
       stream: DataFrame,
       base: String,
@@ -1038,35 +1036,29 @@ object Streams {
       numTables: Int = 12,
       planesPerTable: Int = 4,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      compactEvery: Int = 8): DataFrame = {
     val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
-    def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+    val vecsSt = new LsmState(
+      spark, s"$base/vecs", _.dropDuplicates("vec_id"), compactEvery)
+    val pairsSt = new LsmState(
+      spark, s"$base/pairs", _.distinct(), compactEvery)
+    val bands = new BandState(spark, base, Seq("tbl", "bkt"))
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
         val newVecs = b.select(col("vec_id"), col("embedding").as("v"))
         // cache (lazy): self-join (both sides), cross probe, and band
-        // accumulation all read this frame — uncached, the batch pays
-        // its hyperplane projections 4x
+        // append all read this frame — uncached, the batch pays its
+        // hyperplane projections 4x
         val newBands = graft.operators.Similarity.embBandTable(
           b, "vec_id", "embedding", numTables, planesPerTable, dim, seed)
           .cache()
-        val prior = readPtr()
-        // bucketed stored bands: only the O(batch) probe side
-        // exchanges in the cross-probe (see publishBandsBucketed)
-        val priorBands = prior.map(p => spark.table(bandsTableName(base, p)))
-        val priorVecs = prior.map(p => spark.read.parquet(s"$p/vecs"))
-        val priorPairs = prior.map(p => spark.read.parquet(s"$p/pairs"))
         val within = newBands.alias("a").join(newBands.alias("b"),
             col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
               col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        val cross = priorBands.map { ob =>
+        val cross = bands.scan().map { ob =>
           newBands.alias("n").join(ob.alias("o"),
               col("n.tbl") === col("o.tbl") && col("n.bkt") === col("o.bkt") &&
                 col("n.vec_id") =!= col("o.vec_id"))
@@ -1075,7 +1067,8 @@ object Streams {
         }
         val newPairs = cross.map(within.unionByName(_)).getOrElse(within)
           .distinct()
-        val vecs = priorVecs.map(_.unionByName(newVecs)).getOrElse(newVecs)
+        val vecs = vecsSt.view(except = Some(id))
+          .map(_.unionByName(newVecs)).getOrElse(newVecs)
         val survivors = newPairs
           .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")),
             "a_id")
@@ -1085,16 +1078,13 @@ object Streams {
             graft.operators.Similarity.cosine(col("va"), col("vb")))
           .filter(col("sim") > threshold)
           .select(col("a_id"), col("b_id"))
-        val pairs = priorPairs.map(_.unionByName(survivors))
-          .getOrElse(survivors)
-        val bands = priorBands.map(_.unionByName(newBands))
-          .getOrElse(newBands)
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
-          publishBandsBucketed(bands, base, out, Seq("tbl", "bkt"))
-          vecs.write.mode("overwrite").parquet(s"$out/vecs")
-          pairs.write.mode("overwrite").parquet(s"$out/pairs")
-        }
-        dropPriorBands(spark, base, prior, readPtr())
+        // pairs part FIRST (executes the lazy cross-probe against the
+        // pre-batch band table), then vecs, then bands
+        pairsSt.append(id, survivors)
+        vecsSt.append(id, newVecs)
+        bands.append(id, newBands)
+        pairsSt.maybeCompact(id)
+        vecsSt.maybeCompact(id)
         newBands.unpersist(blocking = false)
         ()
       }
@@ -1103,9 +1093,7 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val snap = readPtr().getOrElse(
-      sys.error("no snapshot: stream produced no batches and none recorded"))
-    spark.read.parquet(s"$snap/pairs")
+    pairsSt.result()
   }
 
   /** [[incrementalEmbPairs]] over the embeddings table, finished as
@@ -1122,9 +1110,10 @@ object Streams {
     val pairs = withStreamPartitions(spark, 8) {
       incrementalEmbPairs(vecs, base, threshold = 0.3)
     }
-    val latest = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(base, "_latest")).trim
-    val corpus = spark.read.parquet(s"$latest/vecs").select(col("vec_id"))
+    new BandState(spark, base, Seq("tbl", "bkt")).drop()
+    val corpus = new LsmState(
+        spark, s"$base/vecs", _.dropDuplicates("vec_id"))
+      .result().select(col("vec_id"))
     val leaders = graft.operators.Dedup
       .clusterLeaders(pairs.select(col("a_id"), col("b_id")))
       .select(col("doc_id").as("vec_id"), col("leader_id"))
@@ -1146,39 +1135,37 @@ object Streams {
     * under ANY chunking), and the per-doc verdict view joins the
     * accumulated docs against the current keepers. Old docs are never
     * re-scored; a new better copy flips its group's verdicts on
-    * arrival. State = docs (index-sized, the p14/p15 trade) +
-    * keepers (|distinct fingerprints|); replay-guarded by
-    * [[publishSnapshot]]. */
+    * arrival.
+    *
+    * State is pure [[LsmState]] — the simplest fold here: no probe at
+    * batch time at all. Each batch appends its scored docs and its
+    * per-fp champions as O(batch) parts; the global election happens
+    * in the keeper fold (groupBy fp, min(m)) at compaction/read.
+    * Round 9 rewrote both the full doc table and the full keeper
+    * table every batch. */
   def incrementalQualityKeeper(
       stream: DataFrame,
-      base: String): DataFrame = {
+      base: String,
+      compactEvery: Int = 8): DataFrame = {
     val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
-    def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+    val docsSt = new LsmState(
+      spark, s"$base/docs", _.dropDuplicates("doc_id"), compactEvery)
+    val keepersSt = new LsmState(
+      spark, s"$base/keepers",
+      _.groupBy("fp").agg(min(col("m")).as("m")), compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
         val newDocs = b.select(col("doc_id"),
           graft.functions.TextFns.textFingerprint(col("text")).as("fp"),
           graft.functions.TextFns.qualityScore(col("text")).as("quality"))
-        val prior = readPtr()
-        val docs = prior.map(p => spark.read.parquet(s"$p/docs")
-            .unionByName(newDocs)).getOrElse(newDocs)
         val batchKeepers = newDocs.groupBy("fp")
           .agg(min(struct((-col("quality")).as("nq"),
             col("doc_id").as("id"))).as("m"))
-        val keepers = prior.map(p => spark.read.parquet(s"$p/keepers")
-            .unionByName(batchKeepers)
-            .groupBy("fp").agg(min(col("m")).as("m")))
-          .getOrElse(batchKeepers)
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
-          docs.write.mode("overwrite").parquet(s"$out/docs")
-          keepers.write.mode("overwrite").parquet(s"$out/keepers")
-        }
+        docsSt.append(id, newDocs)
+        keepersSt.append(id, batchKeepers)
+        docsSt.maybeCompact(id)
+        keepersSt.maybeCompact(id)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -1186,10 +1173,8 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val snap = readPtr().getOrElse(
-      sys.error("no snapshot: stream produced no batches and none recorded"))
-    spark.read.parquet(s"$snap/docs")
-      .join(spark.read.parquet(s"$snap/keepers")
+    docsSt.result()
+      .join(keepersSt.result()
         .select(col("fp"), col("m.id").as("keeper_id")), Seq("fp"))
       .select(col("doc_id"), col("quality"), col("keeper_id"),
         (col("doc_id") === col("keeper_id")).cast("long").as("keep"))
@@ -1388,38 +1373,29 @@ object Streams {
     * micro-batch chunking (replay spec in StreamsSpec) and each
     * batch costs O(batch × |eval|) map-side work — new vectors are
     * screened once at ingest, the accumulated corpus is never
-    * rescanned. Replayed ids collapse through the first-arrival
-    * anti-join (verdicts are deterministic, so keep-first is
-    * idempotent). Versioned snapshot dirs + atomic pointer, as
-    * p03/p04. A NEW eval set is a different screen: run a fresh
+    * rescanned. State is the simplest [[LsmState]] case: verdicts are
+    * a pure per-row function of the frozen eval set, so each batch
+    * APPENDS its own verdicts with no probe against prior state at
+    * all — O(batch) reads AND writes per trigger (round 9 rewrote the
+    * whole verdict accumulator each batch); replays overwrite their
+    * part, the fold's id-dedup covers only the compaction crash
+    * window. A NEW eval set is a different screen: run a fresh
     * instance against the accumulated corpus (one batch pass), it
     * does not invalidate this one's state. */
   def incrementalSemanticScreen(
       stream: DataFrame,
       eval: DataFrame,
       base: String,
-      threshold: Double): DataFrame = {
-    val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
-    def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+      threshold: Double,
+      compactEvery: Int = 8): DataFrame = {
+    val st = new LsmState(
+      stream.sparkSession, base, _.dropDuplicates("vec_id"), compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val verdicts = graft.operators.Dedup.semanticDecontaminate(
-          spread(batch.toDF()), eval, col("vec_id"), col("embedding"), threshold)
-        val merged = readPtr() match {
-          case None => verdicts
-          case Some(p) =>
-            val st = spark.read.parquet(p)
-            st.unionByName(
-              verdicts.join(st.select("vec_id"), Seq("vec_id"), "left_anti"))
-        }
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
-          merged.write.mode("overwrite").parquet(out)
-        }
+        st.append(id, graft.operators.Dedup.semanticDecontaminate(
+          spread(batch.toDF()), eval, col("vec_id"), col("embedding"),
+          threshold))
+        st.maybeCompact(id)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -1427,9 +1403,7 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val snap = readPtr().getOrElse(
-      sys.error("no snapshot: stream produced no batches and none recorded"))
-    spark.read.parquet(snap)
+    st.result()
   }
 
   /** [[incrementalSemanticScreen]] over the embeddings table —
@@ -1464,38 +1438,26 @@ object Streams {
     * index, so the maintained snapshot EQUALS the batch
     * [[graft.operators.Dedup.dupSpansFromIndex]] screen over the same
     * rows under ANY micro-batch chunking (replay spec in
-    * IncrementalStreamSpec); replayed ids collapse through the
-    * first-arrival anti-join (verdicts deterministic → keep-first is
-    * idempotent). Index REBUILD cadence is a publish decision,
-    * exactly as the IVF layout's quantizer. Versioned snapshot dirs +
-    * atomic pointer, as p03/p04/p08. */
+    * StreamsSpec); each batch APPENDS its verdicts as an [[LsmState]]
+    * part — pure O(batch), no probe against prior verdicts (the
+    * fold's id-dedup covers only the compaction crash window). Index
+    * REBUILD cadence is a publish decision, exactly as the IVF
+    * layout's quantizer. */
   def incrementalSpanScreen(
       stream: DataFrame,
       indexTable: String,
       base: String,
-      w: Int = 8): DataFrame = {
+      w: Int = 8,
+      compactEvery: Int = 8): DataFrame = {
     val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
-    def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+    val st = new LsmState(
+      spark, base, _.dropDuplicates("doc_id"), compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val verdicts = graft.operators.Dedup.dupSpansFromIndex(
-          spark, spread(batch.toDF()), col("doc_id"), col("text"), indexTable,
-          w, minCount = 1L)
-        val merged = readPtr() match {
-          case None => verdicts
-          case Some(p) =>
-            val st = spark.read.parquet(p)
-            st.unionByName(
-              verdicts.join(st.select("doc_id"), Seq("doc_id"), "left_anti"))
-        }
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
-          merged.write.mode("overwrite").parquet(out)
-        }
+        st.append(id, graft.operators.Dedup.dupSpansFromIndex(
+          spark, spread(batch.toDF()), col("doc_id"), col("text"),
+          indexTable, w, minCount = 1L))
+        st.maybeCompact(id)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -1503,9 +1465,7 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val snap = readPtr().getOrElse(
-      sys.error("no snapshot: stream produced no batches and none recorded"))
-    spark.read.parquet(snap)
+    st.result()
   }
 
   /** p10: incremental span REWRITE — the action twin of p09's
@@ -1518,36 +1478,25 @@ object Streams {
     * first-occurrence election runs at ingest — the verdict is a pure
     * per-row function of the frozen index, hence the snapshot EQUALS
     * the batch rewrite over the same rows under ANY chunking (replay
-    * spec) and replayed ids collapse through the first-arrival
-    * anti-join. O(batch windows) per batch, corpus never recounted;
-    * versioned snapshot dirs + atomic pointer, as p03-p09. */
+    * spec). O(batch windows) per batch, corpus never recounted; each
+    * batch APPENDS its rewrites as an [[LsmState]] part — no probe
+    * against prior output (round 9 rewrote the whole accumulator each
+    * batch). */
   def incrementalSpanRewrite(
       stream: DataFrame,
       indexTable: String,
       base: String,
-      w: Int = 8): DataFrame = {
+      w: Int = 8,
+      compactEvery: Int = 8): DataFrame = {
     val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
-    def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+    val st = new LsmState(
+      spark, base, _.dropDuplicates("doc_id"), compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val rewritten = graft.operators.Dedup.rewriteFromIndex(
-          spark, spread(batch.toDF()), col("doc_id"), col("text"), indexTable,
-          w, minCount = 1L)
-        val merged = readPtr() match {
-          case None => rewritten
-          case Some(p) =>
-            val st = spark.read.parquet(p)
-            st.unionByName(
-              rewritten.join(st.select("doc_id"), Seq("doc_id"), "left_anti"))
-        }
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
-          merged.write.mode("overwrite").parquet(out)
-        }
+        st.append(id, graft.operators.Dedup.rewriteFromIndex(
+          spark, spread(batch.toDF()), col("doc_id"), col("text"),
+          indexTable, w, minCount = 1L))
+        st.maybeCompact(id)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -1555,9 +1504,7 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val snap = readPtr().getOrElse(
-      sys.error("no snapshot: stream produced no batches and none recorded"))
-    spark.read.parquet(snap)
+    st.result()
   }
 
   /** [[incrementalSpanRewrite]] over the documents table: index from
@@ -1644,78 +1591,25 @@ object Streams {
     * min(cell) merge makes replayed ids idempotent (assignment is
     * deterministic, so min = the value).
     *
-    * Storage is LSM-shaped so the per-batch write really is O(batch):
-    * each micro-batch APPENDS its assigned rows as one part dir
-    * (`parts/b<id>`, overwritten on checkpoint replay — idempotent),
-    * and every `compactEvery` batches the accumulated parts are folded
-    * into the compacted snapshot (versioned dir + atomic pointer) and
-    * the parts removed. Compaction is O(index) but amortized 1/compactEvery
-    * per batch; between compactions readers pay a groupBy over
-    * (compacted ∪ ≤compactEvery parts). Every crash window is safe:
-    * parts replay by batch id; a compaction that died before the
-    * pointer move left the old pointer + intact parts; one that died
-    * after the move but before cleanup leaves duplicate rows that the
-    * min(cell) fold collapses (assignment is deterministic); a batch
-    * that replays after its own pointer move compacts into a sibling
-    * path (`v<id>c`) rather than reading and overwriting the
-    * already-published `v<id>` in the same job. */
+    * Storage is [[LsmState]] (this fold is where the LSM shape was
+    * first built; the helper generalizes it to every corpus-sized
+    * fold here): per-batch O(batch) part appends, amortized
+    * compaction behind an atomic pointer, the min(cell) fold
+    * collapsing every crash-window duplicate (assignment is
+    * deterministic, so min = the value). */
   def incrementalIvfIndex(
       stream: DataFrame,
       centroids: Seq[Seq[Double]],
       base: String,
       compactEvery: Int = 8): DataFrame = {
-    require(compactEvery >= 1, s"compactEvery must be >= 1: $compactEvery")
-    val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
-    val partsRoot = java.nio.file.Paths.get(base, "parts")
-    def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
-    def listParts(): Seq[String] =
-      if (java.nio.file.Files.isDirectory(partsRoot)) {
-        val s = java.nio.file.Files.list(partsRoot)
-        try s.iterator().asScala.filter(p =>
-            p.getFileName.toString.startsWith("b"))
-          .map(_.toString).toList.sorted
-        finally s.close()
-      } else Nil
-    def currentView(): Option[DataFrame] = {
-      val srcs = readPtr().toSeq ++ listParts()
-      if (srcs.isEmpty) None
-      else Some(srcs.map(spark.read.parquet(_)).reduce(_ unionByName _)
-        .groupBy("vec_id").agg(min(col("cell")).as("cell")))
-    }
+    val st = new LsmState(
+      stream.sparkSession, base,
+      _.groupBy("vec_id").agg(min(col("cell")).as("cell")), compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val assigned = graft.operators.Similarity
-          .assignCells(batch.toDF(), "vec_id", "embedding", centroids)
-        // O(batch): append this batch's rows as one part dir, keyed by
-        // batch id so a checkpoint replay overwrites instead of duplicating
-        assigned.write.mode("overwrite").parquet(s"$base/parts/b$id")
-        if ((id + 1) % compactEvery == 0) currentView().foreach { view =>
-          // If this batch replays after its own pointer move (crash
-          // between move and checkpoint commit), readPtr() is already
-          // v$id — compacting back into it would read and overwrite
-          // the same path (Spark rejects that). Divert to a sibling
-          // path so the output is always distinct from every input.
-          val preferred = s"$base/v$id"
-          val out =
-            if (readPtr().contains(preferred)) s"$base/v${id}c"
-            else preferred
-          view.write.mode("overwrite").parquet(out)
-          writePointerAtomic(latestFile, out)
-          // only after the pointer is durable; a crash here leaves
-          // duplicates the min(cell) fold collapses
-          listParts().foreach { p =>
-            val dir = java.nio.file.Paths.get(p)
-            val files = java.nio.file.Files.walk(dir)
-            try files.sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-            finally files.close()
-          }
-        }
+        st.append(id, graft.operators.Similarity
+          .assignCells(batch.toDF(), "vec_id", "embedding", centroids))
+        st.maybeCompact(id)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -1723,8 +1617,7 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    currentView().getOrElse(
-      sys.error("no snapshot: stream produced no batches and none recorded"))
+    st.result()
   }
 
   /** [[incrementalIvfIndex]] over the embeddings table: quantizer

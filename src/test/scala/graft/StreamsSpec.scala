@@ -96,10 +96,10 @@ class StreamsSpec extends SparkSuite {
         (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"))).toMap
     assert(snap == expect)
     // the merge really ran over >1 batch (otherwise this spec proves
-    // nothing): versioned snapshot dirs v0..vN must exist beyond v0
-    val versions = new java.io.File(base).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+    // nothing): one LSM part dir per micro-batch beyond the first
+    val parts = new java.io.File(s"$base/parts").listFiles()
+      .map(_.getName).filter(_.startsWith("b"))
+    assert(parts.length > 1, s"expected multiple batch parts: ${parts.toSeq}")
   }
 
   test("incremental clean: multi-batch replay equals batch decontaminate+dedup") {
@@ -145,9 +145,9 @@ class StreamsSpec extends SparkSuite {
         r.getAs[String]("source"), r.getAs[String]("fp"))).toSet
     assert(got == expect,
       s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
-    val versions = new java.io.File(base).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+    val parts = new java.io.File(s"$base/parts").listFiles()
+      .map(_.getName).filter(_.startsWith("b"))
+    assert(parts.length > 1, s"expected multiple batch parts: ${parts.toSeq}")
   }
 
   test("incremental clean+score chain: replay equals batch chain") {
@@ -349,9 +349,9 @@ class StreamsSpec extends SparkSuite {
       .toSet
     assert(got == expect,
       s"maintained pairs diverge from batch: extra=${got -- expect}, missing=${expect -- got}")
-    val versions = new java.io.File(base).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+    val parts = new java.io.File(s"$base/pairs/parts").listFiles()
+      .map(_.getName).filter(_.startsWith("b"))
+    assert(parts.length > 1, s"expected multiple batch parts: ${parts.toSeq}")
   }
 
   test("incremental knn graph: multi-batch fold equals batch s16 graph") {
@@ -379,17 +379,18 @@ class StreamsSpec extends SparkSuite {
     assert(got == expect,
       s"maintained graph diverges from batch: extra=${(got -- expect).take(3)}, " +
         s"missing=${(expect -- got).take(3)}")
-    val versions = new java.io.File(base).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
-    // the maintained band state is a bucketed table on the probe key:
-    // a cross-batch probe against it exchanges ONLY the new side
-    // (broadcast off to force the sort-merge regime — the 100 TB
-    // shape, where the batch outgrows the broadcast threshold)
-    val latest = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(base, "_latest")).trim
-    val stored = spark.table(
-      graft.streaming.Streams.bandsTableName(base, latest))
+    // O(batch) evidence: one edge part and one vec part per
+    // micro-batch (no compaction at the default cadence for 3
+    // batches — and so no O(corpus) snapshot rewrite either)
+    val parts = new java.io.File(s"$base/graph/parts").listFiles()
+      .map(_.getName).filter(_.startsWith("b"))
+    assert(parts.length > 1, s"expected multiple batch parts: ${parts.toSeq}")
+    // the maintained band state is ONE bucketed table on the probe
+    // key, appended per batch: a cross-batch probe against it
+    // exchanges ONLY the new side (broadcast off to force the
+    // sort-merge regime — the 100 TB shape, where the batch outgrows
+    // the broadcast threshold)
+    val stored = spark.table(graft.streaming.BandState.tableName(base))
     val probe = graft.operators.Similarity
       .embBandTable(emb.limit(20), "vec_id", "embedding")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -436,13 +437,15 @@ class StreamsSpec extends SparkSuite {
     assert(pairs == expectPairs,
       s"maintained pairs diverge: extra=${(pairs -- expectPairs).take(3)}, " +
         s"missing=${(expectPairs -- pairs).take(3)}")
-    // and the finished verdict equals batch d11 end-to-end
-    val latest = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(base, "_latest")).trim
-    val corpus = spark.read.parquet(s"$latest/vecs").select(col("vec_id"))
+    // and the finished verdict equals batch d11 end-to-end (state
+    // read back through the same LSM folds the fold maintains)
+    val corpus = new graft.streaming.LsmState(
+        spark, s"$base/vecs", _.dropDuplicates("vec_id"))
+      .result().select(col("vec_id"))
     val leaders = graft.operators.Dedup
-      .clusterLeaders(spark.read.parquet(s"$latest/pairs")
-        .select(col("a_id"), col("b_id")))
+      .clusterLeaders(new graft.streaming.LsmState(
+          spark, s"$base/pairs", _.distinct())
+        .result().select(col("a_id"), col("b_id")))
       .select(col("doc_id").as("vec_id"), col("leader_id"))
     val got = corpus.join(leaders, Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -488,19 +491,20 @@ class StreamsSpec extends SparkSuite {
     assert(got == expect,
       s"maintained election diverges: extra=${(got -- expect).take(3)}, " +
         s"missing=${(expect -- got).take(3)}")
-    val versions = new java.io.File(base).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+    val parts = new java.io.File(s"$base/docs/parts").listFiles()
+      .map(_.getName).filter(_.startsWith("b"))
+    assert(parts.length > 1, s"expected multiple batch parts: ${parts.toSeq}")
   }
 
-  test("incremental minhash pairs: replay after pointer move reproduces the snapshot") {
-    // Simulates the crash window between the batch-0 pointer move and
-    // its checkpoint commit: the published snapshot already holds
-    // batch 0's bands/pairs and the pointer names v0, but the
-    // checkpoint is gone — so batch 0 REPLAYS with its own output as
-    // the prior state. The rewrite must divert to a sibling path
-    // (reading v0 while overwriting v0 is rejected by Spark) and the
-    // band union must dedup, or bands double and pairs self-hit.
+  /** Seed a 2-chunk ingest-ordered file source + the durable state a
+    * committed-but-uncheckpointed batch 0 leaves behind, then run the
+    * p14 fold so batch 0 REPLAYS. `withMarker` selects the crash
+    * window: true = died between band append+marker and checkpoint
+    * commit (the common window — append must be skipped); false =
+    * died between the band append and ITS marker (the narrow window —
+    * bands duplicate, pairs must stay exact anyway). */
+  private def runP14Replay(withMarker: Boolean): (
+      Set[(Long, Long)], Set[(Long, Long)], org.apache.spark.sql.DataFrame) = {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val n = docs.count()
@@ -519,19 +523,24 @@ class StreamsSpec extends SparkSuite {
     }
     val base = java.nio.file.Files
       .createTempDirectory("graft_p14_replay").toString
-    // Seed exactly what a committed batch 0 publishes, pointer included
-    // (bands as the fold's versioned bucketed table).
-    val seedBands = graft.operators.Dedup
+    // Seed exactly what a committed batch 0 leaves durable: its bands
+    // appended to the fold's bucketed band table (+ marker per the
+    // window under test) and its pairs as LSM part b0.
+    graft.operators.Dedup
       .minHashBandTable(chunks(0), col("doc_id"), col("text"))
-    seedBands.write.bucketBy(8, "band", "band_hash")
-      .sortBy("band", "band_hash").mode("overwrite")
-      .saveAsTable(graft.streaming.Streams
-        .bandsTableName(base, s"$base/v0"))
+      .write.bucketBy(8, "band", "band_hash")
+      .sortBy("band", "band_hash").mode("append")
+      .saveAsTable(graft.streaming.BandState.tableName(base))
+    if (withMarker) {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(base, "band_marks"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(base, "band_marks", "b0"),
+        Array.emptyByteArray)
+    }
     graft.operators.Dedup
       .minHashCandidatePairs(chunks(0), col("doc_id"), col("text"))
-      .write.mode("overwrite").parquet(s"$base/v0/pairs")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(base, "_latest"), s"$base/v0")
+      .write.mode("overwrite").parquet(s"$base/pairs/parts/b0")
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "chunk*.parquet").parquet(srcDir)
@@ -543,15 +552,28 @@ class StreamsSpec extends SparkSuite {
       .minHashCandidatePairs(docs, col("doc_id"), col("text"))
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
       .toSet
+    (got, expect, spark.table(graft.streaming.BandState.tableName(base)))
+  }
+
+  test("incremental minhash pairs: replay of a committed batch reproduces the state") {
+    val (got, expect, finalBands) = runP14Replay(withMarker = true)
     assert(got == expect,
       s"replayed pairs diverge: extra=${got -- expect}, missing=${expect -- got}")
-    // the replayed batch's bands must have collapsed, not doubled
-    val latest = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(base, "_latest")).trim
-    val finalBands = spark.table(
-      graft.streaming.Streams.bandsTableName(base, latest))
+    // the replayed batch's marker-guarded band append was skipped
     assert(finalBands.count() == finalBands.distinct().count(),
       "band table accumulated duplicate rows across the replay")
+  }
+
+  test("incremental minhash pairs: crash before the band marker keeps pairs exact") {
+    val (got, expect, finalBands) = runP14Replay(withMarker = false)
+    // bands duplicated (the documented residual window)…
+    assert(finalBands.count() > finalBands.distinct().count(),
+      "fixture failed to exercise the duplicate-band window")
+    // …but every pair generator dedups per batch, so candidates are
+    // still the exact batch set
+    assert(got == expect,
+      s"duplicated bands corrupted pairs: extra=${got -- expect}, " +
+        s"missing=${expect -- got}")
   }
 
   test("incremental disorder profile: ordered multi-batch fold equals e18 batch") {
@@ -688,9 +710,9 @@ class StreamsSpec extends SparkSuite {
       .toMap
     assert(got == expect,
       s"diverged: ${(expect.toSet -- got.toSet).take(3)}")
-    val versions = new java.io.File(base).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+    val parts = new java.io.File(s"$base/parts").listFiles()
+      .map(_.getName).filter(_.startsWith("b"))
+    assert(parts.length > 1, s"expected multiple batch parts: ${parts.toSeq}")
   }
 
   test("incremental span screen: multi-batch replay equals batch probe") {
@@ -722,10 +744,10 @@ class StreamsSpec extends SparkSuite {
       // at least one external doc shares a corpus window (else the
       // screen isn't discriminating on this fixture)
       assert(got.values.exists(_._2 >= 1L), "no external dup found")
-      val versions = new java.io.File(base).listFiles()
-        .map(_.getName).filter(_.startsWith("v"))
-      assert(versions.length > 1,
-        s"expected multiple batches: ${versions.toSeq}")
+      val parts = new java.io.File(s"$base/parts").listFiles()
+        .map(_.getName).filter(_.startsWith("b"))
+      assert(parts.length > 1,
+        s"expected multiple batch parts: ${parts.toSeq}")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
@@ -758,10 +780,10 @@ class StreamsSpec extends SparkSuite {
       // the fixture must actually cut something, or the rewrite
       // isn't discriminating here
       assert(got.values.exists(_._2 >= 1L), "no external span cut")
-      val versions = new java.io.File(base).listFiles()
-        .map(_.getName).filter(_.startsWith("v"))
-      assert(versions.length > 1,
-        s"expected multiple batches: ${versions.toSeq}")
+      val parts = new java.io.File(s"$base/parts").listFiles()
+        .map(_.getName).filter(_.startsWith("b"))
+      assert(parts.length > 1,
+        s"expected multiple batch parts: ${parts.toSeq}")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
@@ -838,5 +860,158 @@ class StreamsSpec extends SparkSuite {
     val litter = new java.io.File(base).listFiles()
       .map(_.getName).filter(n => n.startsWith("_latest") && n.endsWith(".tmp"))
     assert(litter.isEmpty, s"temp pointer files left behind: ${litter.toSeq}")
+  }
+
+  /** Write `chunks` as single-file id-ordered sources with pinned
+    * mtimes (the file source replays in modification-time order) and
+    * return the stream + per-chunk row counts. */
+  private def orderedChunkStream(
+      chunks: Seq[org.apache.spark.sql.DataFrame],
+      schema: org.apache.spark.sql.types.StructType,
+      prefix: String): (org.apache.spark.sql.DataFrame, Seq[Long]) = {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory(prefix).toString
+    val counts = chunks.zipWithIndex.map { case (chunk, i) =>
+      chunk.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"chunk$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      assert(dst.setLastModified(1000000L * (i + 1)))
+      chunk.count()
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "chunk*.parquet").parquet(srcDir)
+    (stream, counts)
+  }
+
+  test("LSM fold state: per-batch writes carry only that batch's delta") {
+    // The round-10 scale contract: an incremental fold's write cost
+    // must be O(batch), never an O(corpus) snapshot rewrite. Drive
+    // p16 through 3 known-size batches below the compaction cadence
+    // and audit the bytes on disk: one part per batch holding exactly
+    // that batch's rows, and NO compacted snapshot dir (nothing
+    // corpus-sized was written at all).
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.select(max(col("doc_id"))).head.getLong(0)
+    val chunks = Seq(
+      docs.filter(col("doc_id") <= n / 3),
+      docs.filter(col("doc_id") > n / 3 && col("doc_id") <= 2 * n / 3),
+      docs.filter(col("doc_id") > 2 * n / 3))
+    val (stream, counts) = orderedChunkStream(
+      chunks, docs.schema, "graft_lsm_obatch_src")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lsm_obatch").toString
+    graft.streaming.Streams
+      .incrementalQualityKeeper(stream, base).collect()
+    val partsDir = new java.io.File(s"$base/docs/parts")
+    val parts = partsDir.listFiles().map(_.getName)
+      .filter(_.startsWith("b")).sorted
+    assert(parts.length == 3, s"expected 3 parts: ${parts.toSeq}")
+    parts.zip(counts).foreach { case (p, expect) =>
+      val got = spark.read.parquet(s"$base/docs/parts/$p").count()
+      assert(got == expect,
+        s"part $p carries $got rows, its batch delta was $expect — " +
+          "the write was not O(batch)")
+    }
+    val versions = new java.io.File(s"$base/docs").listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.isEmpty,
+      s"unexpected snapshot rewrite below the compaction cadence: ${versions.toSeq}")
+  }
+
+  test("LSM fold state: compaction folds parts behind the pointer, result unchanged") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_lsm_compact_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lsm_compact").toString
+    // compactEvery=2 forces at least one compaction across 3 batches
+    val got = graft.streaming.Streams
+      .incrementalQualityKeeper(stream, base, compactEvery = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("keep")))
+      .toSet
+    val q = docs.select(col("doc_id"),
+      graft.functions.TextFns.textFingerprint(col("text")).as("fp"),
+      graft.functions.TextFns.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy("fp")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val expect = q
+      .select(col("doc_id"), first(col("doc_id")).over(w).as("keeper_id"))
+      .select(col("doc_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("long").as("keep"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("keep")))
+      .toSet
+    assert(got == expect, "compaction changed the folded result")
+    // compaction evidence on BOTH sub-states: a versioned snapshot,
+    // the durable pointer naming it, compacted parts removed
+    Seq("docs", "keepers").foreach { sub =>
+      val versions = new java.io.File(s"$base/$sub").listFiles()
+        .map(_.getName).filter(_.startsWith("v"))
+      assert(versions.nonEmpty, s"$sub: expected a compacted snapshot")
+      val ptr = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(base, sub, "_latest")).trim
+      assert(versions.map(v => s"$base/$sub/$v").contains(ptr),
+        s"$sub pointer $ptr")
+      val parts = Option(new java.io.File(s"$base/$sub/parts").listFiles())
+        .map(_.map(_.getName).count(_.startsWith("b"))).getOrElse(0)
+      assert(parts < 3, s"$sub: compacted parts not removed ($parts left)")
+    }
+  }
+
+  test("incremental graph-cluster dedup (p18): maintained-graph verdict equals batch d11") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p18_src").toString
+    emb.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p18_spec").toString
+    // ONE maintained graph state serves both views: the fold runs
+    // with threshold retention…
+    val kView = graft.streaming.Streams
+      .incrementalKnnGraph(stream, base, k = 5, keepThreshold = Some(0.3))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id")))
+      .toSet
+    // …the dedup verdict from the retained above-threshold edges
+    // equals batch d11 exactly…
+    val got = graft.streaming.Streams
+      .graphClusterVerdict(spark, base, 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("keep")))
+      .toSet
+    val expect = graft.operators.Dedup
+      .embeddingClusterDedup(emb, col("vec_id"), col("embedding"), 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("keep")))
+      .toSet
+    assert(got == expect,
+      s"graph verdict diverges from batch d11: extra=${(got -- expect).take(3)}, " +
+        s"missing=${(expect -- got).take(3)}")
+    // …and the rank ≤ k view is still the exact batch s16 graph
+    // (threshold retention must not perturb the top-k)
+    val s16 = graft.operators.Similarity
+      .knnGraphBucketed(emb, "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id")))
+      .toSet
+    assert(kView == s16,
+      s"threshold retention perturbed the k-NN view: " +
+        s"extra=${(kView -- s16).take(3)}, missing=${(s16 -- kView).take(3)}")
   }
 }
