@@ -40,13 +40,15 @@ object Cli {
       |                                tables whose raw dump changed
       |  status                        snapshot date, age, row counts
       |  sql <query>                   ad-hoc SQL over registry views
+      |  --format table|json|csv       output format for any tabular
+      |                                command (default table)
       |  search <n-number>             N-number lookup w/ owner
       |  index-fts                     materialize the owner FTS index
       |                                (bucketed on token) for fast fts
       |  fts <term> [term...]          owner full-text search, all
       |                                terms must match (probes the
       |                                written index when present)
-      |  fleet <owner> [--state ST] [--limit N]
+      |  fleet <owner> [--state ST] [--limit N] [--export FILE.csv]
       |  diff <otherDataRoot> [table]  what changed vs another
       |                                snapshot's publish (default
       |                                aircraft): added/removed/changed
@@ -151,17 +153,35 @@ object Cli {
         // --limit, or an unknown token is a usage error (the sliding
         // collectFirst form silently dropped all three)
         def parse(xs: List[String], state: Option[String],
-            limit: Option[Int]): (Option[String], Option[Int]) = xs match {
-          case Nil => (state, limit)
+            limit: Option[Int], export: Option[String]): (
+            Option[String], Option[Int], Option[String]) = xs match {
+          case Nil => (state, limit, export)
           case "--state" :: v :: t if !v.startsWith("--") =>
-            parse(t, Some(v), limit)
+            parse(t, Some(v), limit, export)
           case "--limit" :: v :: t if v.nonEmpty && v.forall(_.isDigit) =>
-            parse(t, state, Some(v.toInt))
+            parse(t, state, Some(v.toInt), export)
+          case "--export" :: v :: t if !v.startsWith("--") =>
+            parse(t, state, limit, Some(v))
           case bad => throw new IllegalArgumentException(
             s"bad fleet arguments: ${bad.mkString(" ")}\n$usage")
         }
-        val (state, limit) = parse(rest, None, None)
-        Some(reg.fleet(owner, state, limit.getOrElse(0)))
+        val (state, limit, export) = parse(rest, None, None, None)
+        val result = reg.fleet(owner, state, limit.getOrElse(0))
+        // cli.py:655-660 parity: --export writes the FULL result as
+        // CSV, n_number re-prefixed with the registration 'N' the
+        // registry strips at normalize time
+        export.foreach { path =>
+          val frame =
+            if (result.columns.contains("n_number"))
+              result.withColumn("n_number",
+                org.apache.spark.sql.functions.concat(
+                  org.apache.spark.sql.functions.lit("N"),
+                  org.apache.spark.sql.functions.col("n_number")))
+            else result
+          writeCsv(frame, path)
+          warningSink(s"exported to $path")
+        }
+        Some(result)
 
       case "diff" :: otherRoot :: rest =>
         // what changed between another snapshot's publish and ours —
@@ -267,6 +287,126 @@ object Cli {
     out.result()
   }
 
+  /** One CSV-escaped cell: RFC-4180 minimal quoting (quote only when
+    * the value carries a comma, quote, or line break; embedded quotes
+    * doubled), nulls empty — the same conventions pandas' `to_csv`
+    * uses in the reference (cli.py:217-220). Dates/timestamps render
+    * ISO (`java.sql` toString), not the human table format. */
+  private def csvCell(v: Any): String = {
+    val s = v match {
+      case null => ""
+      case other => other.toString
+    }
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+  }
+
+  /** CSV render of the whole frame — the scripting output the
+    * reference's `sql --output-format csv` dumps (cli.py:217-220).
+    * Streams partition-at-a-time via `toLocalIterator`: the full
+    * result is the contract here (unlike the human table's 100-row
+    * page), but the driver never holds more than one partition of
+    * rows plus the text being built. */
+  def formatCsv(df: org.apache.spark.sql.DataFrame): String = {
+    val sb = new StringBuilder
+    sb ++= df.columns.map(csvCell).mkString(",") += '\n'
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      sb ++= df.columns.indices.map(i => csvCell(r.get(i))).mkString(",")
+      sb += '\n'
+    }
+    sb.result()
+  }
+
+  /** Write [[formatCsv]]-formatted rows to a file without building
+    * the whole document in memory — the `fleet --export` path. */
+  def writeCsv(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val w = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(path))
+    try {
+      w.write(df.columns.map(csvCell).mkString(","))
+      w.newLine()
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        w.write(df.columns.indices.map(i => csvCell(r.get(i))).mkString(","))
+        w.newLine()
+      }
+    } finally w.close()
+  }
+
+  /** JSON render: an array of records, one object per row — the
+    * reference's `sql --output-format json` (cli.py:215 `to_json(
+    * orient="records")`). Numbers and booleans unquoted, nulls
+    * literal, strings escaped; dates/timestamps as ISO strings
+    * (deliberately NOT pandas' epoch-millis default — a scripted
+    * consumer wants the value, not a pandas serialization quirk).
+    * Streams via `toLocalIterator` like [[formatCsv]]. */
+  def formatJson(df: org.apache.spark.sql.DataFrame): String = {
+    def jsonString(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"' => sb ++= "\\\""
+        case '\\' => sb ++= "\\\\"
+        case '\n' => sb ++= "\\n"
+        case '\r' => sb ++= "\\r"
+        case '\t' => sb ++= "\\t"
+        case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+        case c => sb += c
+      }
+      (sb += '"').result()
+    }
+    def jsonValue(v: Any): String = v match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case n: Byte => n.toString
+      case n: Short => n.toString
+      case n: Int => n.toString
+      case n: Long => n.toString
+      case n: Float => if (n.isNaN || n.isInfinite) "null" else n.toString
+      case n: Double => if (n.isNaN || n.isInfinite) "null" else n.toString
+      case n: java.math.BigDecimal => n.toPlainString
+      case other => jsonString(other.toString)
+    }
+    val cols = df.columns
+    val sb = new StringBuilder("[")
+    val it = df.toLocalIterator()
+    var first = true
+    while (it.hasNext) {
+      val r = it.next()
+      sb ++= (if (first) "\n" else ",\n")
+      first = false
+      sb ++= cols.indices.map(i =>
+          "    " + jsonString(cols(i)) + ": " + jsonValue(r.get(i)))
+        .mkString("  {\n", ",\n", "\n  }")
+    }
+    (sb ++= (if (first) "]" else "\n]")).result()
+  }
+
+  /** Render `df` in the requested format — the `--format` surface of
+    * every tabular subcommand (reference: sql's `--output-format`,
+    * cli.py:185). */
+  def render(df: org.apache.spark.sql.DataFrame, format: String): String =
+    format match {
+      case "table" => formatTable(df)
+      case "json" => formatJson(df)
+      case "csv" => formatCsv(df)
+      case other => throw new IllegalArgumentException(
+        s"unknown format: $other (expected table, json, or csv)\n$usage")
+    }
+
+  /** Strip a `--format X` flag (anywhere in the args) and return
+    * (format, remaining args). Default "table". */
+  private[graft] def parseFormat(args: Seq[String]): (String, Seq[String]) = {
+    val i = args.indexOf("--format")
+    if (i < 0) ("table", args)
+    else if (i + 1 >= args.length)
+      throw new IllegalArgumentException(s"--format needs a value\n$usage")
+    else (args(i + 1), args.patch(i, Nil, 2))
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val spark = SparkSession.builder()
@@ -279,8 +419,10 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args.head, args.tail.toSeq)
-      .foreach(df => println(formatTable(df)))
-    finally spark.stop()
+    try {
+      val (format, rest) = parseFormat(args.tail.toSeq)
+      run(spark, args.head, rest)
+        .foreach(df => println(render(df, format)))
+    } finally spark.stop()
   }
 }

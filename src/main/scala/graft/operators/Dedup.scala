@@ -20,6 +20,21 @@ import graft.functions.{Normalize, TextFns}
   */
 object Dedup {
 
+  /** Single source of truth for the engine's own MinHash-LSH banding
+    * configuration: d02's candidate generator, d21's analytic plan
+    * (`in_use` row), and d19's precision audit all read THESE values,
+    * so changing the banding here moves all three together —
+    * previously each site carried its own literal defaults and a
+    * generator change would silently leave d21 marking the wrong
+    * row as in use (the audit would then grade a config nobody
+    * runs). Spec-pinned in DedupSpec. */
+  object BandingConfig {
+    val numHashes: Int = 64
+    val shingleSize: Int = 2
+    val rowsPerBand: Int = 4
+    def numBands: Int = numHashes / rowsPerBand
+  }
+
   /** Normalized content hash (exact-dup key). */
   def contentHash(text: Column): Column = md5(Normalize.cleanText(text))
 
@@ -44,8 +59,8 @@ object Dedup {
       df: DataFrame,
       idCol: Column,
       textCol: Column,
-      numHashes: Int = 64,
-      shingleSize: Int = 2): DataFrame = {
+      numHashes: Int = BandingConfig.numHashes,
+      shingleSize: Int = BandingConfig.shingleSize): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     // materialize the token array before the ngram lambda: element_at
     // inside transform() would otherwise re-run split() per shingle
@@ -73,9 +88,9 @@ object Dedup {
       df: DataFrame,
       idCol: Column,
       textCol: Column,
-      numHashes: Int = 64,
-      shingleSize: Int = 2,
-      rowsPerBand: Int = 4): DataFrame =
+      numHashes: Int = BandingConfig.numHashes,
+      shingleSize: Int = BandingConfig.shingleSize,
+      rowsPerBand: Int = BandingConfig.rowsPerBand): DataFrame =
     // cache (lazy): the candidate self-join reads the band table for
     // BOTH sides — uncached, every doc pays its MinHash signature
     // aggregation twice (same rationale as the embedding-side
@@ -92,9 +107,9 @@ object Dedup {
       df: DataFrame,
       idCol: Column,
       textCol: Column,
-      numHashes: Int = 64,
-      shingleSize: Int = 2,
-      rowsPerBand: Int = 4): DataFrame = {
+      numHashes: Int = BandingConfig.numHashes,
+      shingleSize: Int = BandingConfig.shingleSize,
+      rowsPerBand: Int = BandingConfig.rowsPerBand): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
@@ -134,9 +149,9 @@ object Dedup {
       textCol: Column,
       table: String,
       numBuckets: Int = 32,
-      numHashes: Int = 64,
-      shingleSize: Int = 2,
-      rowsPerBand: Int = 4): Unit =
+      numHashes: Int = BandingConfig.numHashes,
+      shingleSize: Int = BandingConfig.shingleSize,
+      rowsPerBand: Int = BandingConfig.rowsPerBand): Unit =
     Layouts.publish(
       minHashBandTable(df, idCol, textCol, numHashes, shingleSize, rowsPerBand),
       table, "lsh_bands", Seq("band", "band_hash"), numBuckets,
@@ -168,9 +183,9 @@ object Dedup {
     * engine-portable. */
   def bandingPlan(
       spark: SparkSession,
-      numHashes: Int = 64,
+      numHashes: Int = BandingConfig.numHashes,
       threshold: Double = 0.5,
-      inUseBands: Int = 16): DataFrame = {
+      inUseBands: Int = BandingConfig.numBands): DataFrame = {
     require(numHashes > 0, s"numHashes must be positive: $numHashes")
     require(threshold - 0.2 >= 0.0 && threshold + 0.2 <= 1.0,
       s"threshold must be in [0.2, 0.8] so the ±0.2 probes stay in [0,1]: $threshold")
@@ -179,6 +194,12 @@ object Dedup {
       lit(1.0) - pow(
         lit(1.0) - pow(lit(s), col("rows_per_band").cast("double")),
         col("bands").cast("double"))
+    // snap the ±0.2 probe similarities back to one decimal: double
+    // arithmetic gives 0.5 - 0.2 = 0.30000000000000004, while the
+    // DuckDB oracle (and any reader of the report) uses the exact
+    // literal 0.3 — the 4-dp floor truncation downstream can flip on
+    // the discrepancy for non-default thresholds
+    def probe(s: Double): Double = math.rint(s * 10) / 10
     spark.range(1, numHashes + 1L).toDF("bands")
       .filter((lit(numHashes) % col("bands")) === 0)
       .withColumn("rows_per_band",
@@ -186,9 +207,9 @@ object Dedup {
       .select(col("bands"), col("rows_per_band"),
         trunc4(pow(lit(1.0) / col("bands").cast("double"),
           lit(1.0) / col("rows_per_band").cast("double"))).as("curve_t"),
-        trunc4(pCand(threshold - 0.2)).as("p_below"),
-        trunc4(pCand(threshold)).as("p_at"),
-        trunc4(pCand(threshold + 0.2)).as("p_above"),
+        trunc4(pCand(probe(threshold - 0.2))).as("p_below"),
+        trunc4(pCand(probe(threshold))).as("p_at"),
+        trunc4(pCand(probe(threshold + 0.2))).as("p_above"),
         (col("bands") === inUseBands).cast("long").as("in_use"))
       .orderBy("bands")
   }
@@ -217,9 +238,13 @@ object Dedup {
     val sameBlock = blockKeys.indices
       .map(i => col(s"a.__blk$i") <=> col(s"b.__blk$i")).reduce(_ && _)
     a.join(b, sameBlock && col("a.id") < col("b.id"))
-      // project the distance BEFORE filtering on it so the O(len²)
-      // levenshtein runs once per candidate pair, not once in the
-      // filter and again in the projection
+      // Catalyst pushes the deterministic filter back through the
+      // Project by alias substitution, so levenshtein lands in BOTH
+      // the join condition and the projection (verified on the
+      // optimized plan) — the join-side evaluation bounds the cost at
+      // one O(len²) distance per candidate pair; the projection
+      // re-evaluates only for the dist ≤ maxDistance SURVIVORS, a
+      // vanishing fraction of candidates under any useful threshold
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
       .filter(col("dist") <= maxDistance)

@@ -305,4 +305,61 @@ class CliSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("usage"))
   }
+
+  test("--format json renders records; csv renders RFC-4180 rows (cli.py parity)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("plain"), Option(2.5)),
+      (2L, Option("with,comma \"quoted\""), None),
+      (3L, None: Option[String], Option(0.0)))
+      .toDF("id", "s", "v")
+    // csv: header + minimal quoting + empty nulls
+    val csv = Cli.formatCsv(df)
+    val lines = csv.split("\n").toSeq
+    assert(lines.head == "id,s,v")
+    assert(lines(1) == "1,plain,2.5")
+    assert(lines(2) == "2,\"with,comma \"\"quoted\"\"\",")
+    assert(lines(3) == "3,,0.0")
+    // json: records array, numbers unquoted, null literal, escaping
+    val json = Cli.formatJson(df)
+    assert(json.startsWith("[") && json.endsWith("]"))
+    assert(json.contains("\"id\": 1"))
+    assert(json.contains("\"s\": \"with,comma \\\"quoted\\\"\""))
+    assert(json.contains("\"s\": null"))
+    assert(json.contains("\"v\": 2.5"))
+    // the --format flag reaches the renderer from anywhere in argv
+    val (fmt, rest) = Cli.parseFormat(
+      Seq("sql", "SELECT 1 AS x", "--format", "json"))
+    assert(fmt == "json" && rest == Seq("sql", "SELECT 1 AS x"))
+    val e = intercept[IllegalArgumentException] {
+      Cli.render(df, "xml")
+    }
+    assert(e.getMessage.contains("unknown format"))
+    // empty frame still renders valid json/csv
+    assert(Cli.formatJson(df.filter($"id" < 0)) == "[]")
+    assert(Cli.formatCsv(df.filter($"id" < 0)) == "id,s,v\n")
+  }
+
+  test("fleet --export writes the result CSV with the N prefix (cli.py:655-660)") {
+    val out = Files.createTempDirectory("graft_cli_export")
+      .resolve("fleet.csv").toString
+    var messages = List.empty[String]
+    val df = Cli.run(spark, dataRoot,
+      Seq("fleet", "POLICE|UNITED", "--export", out),
+      messages ::= _).get
+    assert(messages.exists(_.contains("exported")), s"messages: $messages")
+    val content = new String(Files.readAllBytes(Paths.get(out)), "UTF-8")
+    val lines = content.split("\n").toSeq
+    // header carries the fleet columns; every data row re-prefixes
+    // the registration N the normalizer strips
+    assert(lines.head.startsWith("n_number,"))
+    assert(lines.tail.forall(_.startsWith("N")), s"rows: ${lines.tail}")
+    assert(lines.length - 1 == df.count(),
+      "export row count diverges from the result frame")
+    assert(lines.exists(_.startsWith("N221LA,")))
+    // the returned frame itself is unprefixed (display parity with
+    // the non-export path)
+    assert(df.collect().map(_.getAs[String]("n_number")).toSet
+      .contains("221LA"))
+  }
 }

@@ -470,4 +470,50 @@ class DedupSpec extends SparkSuite {
       (1.0 - math.pow(1.0 - math.pow(0.5, 4), 16)) * 10000) / 10000
     assert(rows(16L).getAs[Double]("p_at") == expected)
   }
+
+  test("BandingConfig is the single source of truth for d02/d21/d19") {
+    // the plan's in_use row must mark exactly the generator's actual
+    // configuration — both read BandingConfig, so a config change
+    // moves the generator, the plan's flag, and the audit together
+    val inUse = Dedup.bandingPlan(spark)
+      .filter(col("in_use") === 1).collect()
+    assert(inUse.length == 1)
+    assert(inUse.head.getAs[Long]("bands") ==
+      Dedup.BandingConfig.numBands.toLong)
+    assert(inUse.head.getAs[Long]("rows_per_band") ==
+      Dedup.BandingConfig.rowsPerBand.toLong)
+    // and the generator's band table really is shaped by that config:
+    // numBands rows per doc, band ids 0..numBands-1
+    import spark.implicits._
+    val bands = Dedup.minHashBandTable(
+      Seq((1L, "one two three four five")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    assert(bands.count() == Dedup.BandingConfig.numBands.toLong)
+    assert(bands.agg(max(col("band"))).head.getAs[Number](0).longValue ==
+      Dedup.BandingConfig.numBands - 1L)
+  }
+
+  test("bandingPlan: probe similarities snap to one decimal (engine parity)") {
+    // 0.5 - 0.2 = 0.30000000000000004 in doubles; the oracle uses the
+    // literal 0.3 — the probes must be rounded before the 4-dp floor
+    // or boundary values flip for non-default thresholds
+    val got = Dedup.bandingPlan(spark, threshold = 0.5)
+      .filter(col("bands") === 16).head
+    val pBelow = math.floor(
+      (1.0 - math.pow(1.0 - math.pow(0.3, 4), 16)) * 10000) / 10000
+    val pAbove = math.floor(
+      (1.0 - math.pow(1.0 - math.pow(0.7, 4), 16)) * 10000) / 10000
+    assert(got.getAs[Double]("p_below") == pBelow)
+    assert(got.getAs[Double]("p_above") == pAbove)
+    // a threshold whose ±0.2 probes are representable only after
+    // snapping: 0.3 → probes 0.1/0.5 exactly
+    val t03 = Dedup.bandingPlan(spark, threshold = 0.3)
+      .filter(col("bands") === 16).head
+    val pAt03 = math.floor(
+      (1.0 - math.pow(1.0 - math.pow(0.3, 4), 16)) * 10000) / 10000
+    val pBelow03 = math.floor(
+      (1.0 - math.pow(1.0 - math.pow(0.1, 4), 16)) * 10000) / 10000
+    assert(t03.getAs[Double]("p_at") == pAt03)
+    assert(t03.getAs[Double]("p_below") == pBelow03)
+  }
 }
