@@ -39,7 +39,9 @@ object Cli {
       |  refresh <rawDir>              incremental normalize: only
       |                                tables whose raw dump changed
       |  status                        snapshot date, age, row counts
-      |  sql <query>                   ad-hoc SQL over registry views
+      |  sql <query> [-i]              ad-hoc SQL over registry views
+      |                                (-i / --case-insensitive:
+      |                                LIKE matches become ILIKE)
       |  --format table|json|csv       output format for any tabular
       |                                command (default table)
       |  search <n-number>             N-number lookup w/ owner
@@ -136,7 +138,24 @@ object Cli {
           .map(r => s"rows.${r.getString(0)}" -> r.getLong(1).toString)
         Some((ageRows ++ counts).toDF("field", "value"))
 
-      case "sql" :: q :: Nil => Some(reg.query(q))
+      case "sql" :: rest if rest.nonEmpty =>
+        // cli.py:185-210 parity: --case-insensitive / -i rewrites
+        // LIKE → ILIKE (word-boundary, case-blind, NOT LIKE → NOT
+        // ILIKE falls out of the same rewrite) — Spark SQL has ILIKE
+        // as a first-class operator, same as DuckDB
+        val (flags, qs) = rest.partition(a =>
+          a == "--case-insensitive" || a == "-i")
+        qs match {
+          case q :: Nil =>
+            val sql =
+              if (flags.nonEmpty) {
+                warningSink("case-insensitive matching (LIKE -> ILIKE)")
+                q.replaceAll("(?i)\\bLIKE\\b", "ILIKE")
+              } else q
+            Some(reg.query(sql))
+          case bad => throw new IllegalArgumentException(
+            s"sql takes one query: ${bad.mkString(" ")}\n$usage")
+        }
 
       case "search" :: n :: Nil => Some(reg.search(n))
 

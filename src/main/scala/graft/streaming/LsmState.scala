@@ -27,14 +27,17 @@ import scala.jdk.CollectionConverters._
   *   - [[view]]/[[result]]: readers fold (compacted ∪ ≤compactEvery
   *     parts) through the state's `fold` function.
   *
-  * The `fold` contract: applied to the bare union of the compacted
-  * snapshot and any live parts, it must reproduce the exact state —
-  * so it must collapse the duplicates each crash window can leave
-  * (a compaction that died after its pointer move but before part
-  * cleanup re-presents part rows already folded into the snapshot):
-  * idempotent key-collapses like `dropDuplicates(key)`, `distinct()`,
-  * or a per-key monoid aggregate (`groupBy(k).agg(min/max/sum…)` over
-  * deltas that are themselves per-key folds) all qualify.
+  * Each compacted snapshot carries a `_folded` manifest naming the
+  * parts merged into it, and [[view]] excludes manifest-listed parts
+  * — so a crash between the pointer move and part cleanup can NEVER
+  * present a part's rows twice, and reads pay no defensive
+  * dedup shuffle. The `fold` contract is therefore purely
+  * semantic: applied to the duplicate-free union of the snapshot and
+  * live parts, it merges per-batch partial states into the exact
+  * global state — a per-key monoid aggregate (`groupBy(k).agg(
+  * min/max/sum…)`, latest-per-key, bounded top-k) — or `identity`
+  * when parts are already disjoint rows of the final state (per-id
+  * verdicts, anti-joined accepted sets, discovered-once pair sets).
   *
   * Crash-window inventory (each safe):
   *   - died mid-part-write → replay rewrites the part (overwrite);
@@ -45,8 +48,9 @@ import scala.jdk.CollectionConverters._
   *     the recompute is deterministic);
   *   - died mid-compaction before the pointer move → old pointer and
   *     parts intact, the next compaction redoes the work;
-  *   - died after the pointer move, before part cleanup → rows
-  *     duplicated between snapshot and parts, collapsed by `fold`;
+  *   - died after the pointer move, before part cleanup → leftover
+  *     parts are named by the new snapshot's `_folded` manifest and
+  *     excluded from every view until removed;
   *   - batch replays after its own compaction's pointer move → the
   *     rewrite diverts to a sibling path (`v<id>c`): reading a path
   *     while overwriting it is rejected by Spark.
@@ -83,14 +87,31 @@ final class LsmState(
       finally s.close()
     } else Nil
 
-  /** The folded current state: compacted snapshot ∪ live parts,
-    * collapsed through `fold`. `except` excludes one batch's own part
-    * — a replaying batch probing the state it is about to rewrite
-    * must not see its own pre-crash output, or the recompute isn't
-    * deterministic (worst case: an anti-join fold rejects the whole
-    * batch against itself and publishes an empty part). */
+  /** Part names the pointed-at snapshot already folded (its `_folded`
+    * manifest) — excluded from every view so a compaction crash
+    * between the pointer move and part cleanup can't double-present
+    * rows. Missing manifest (pre-manifest state dirs) → empty. */
+  private def foldedParts(): Set[String] = readPtr() match {
+    case None => Set.empty
+    case Some(p) =>
+      val mf = java.nio.file.Paths.get(p, "_folded")
+      if (java.nio.file.Files.exists(mf))
+        java.nio.file.Files.readString(mf).split("\n")
+          .map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+  }
+
+  /** The folded current state: compacted snapshot ∪ live unfolded
+    * parts, merged through `fold`. `except` excludes one batch's own
+    * part — a replaying batch probing the state it is about to
+    * rewrite must not see its own pre-crash output, or the recompute
+    * isn't deterministic (worst case: an anti-join fold rejects the
+    * whole batch against itself and publishes an empty part). */
   def view(except: Option[Long] = None): Option[DataFrame] = {
-    val srcs = readPtr().toSeq ++ listParts(except)
+    val folded = foldedParts()
+    val live = listParts(except).filterNot(p =>
+      folded.contains(java.nio.file.Paths.get(p).getFileName.toString))
+    val srcs = readPtr().toSeq ++ live
     if (srcs.isEmpty) None
     else Some(fold(srcs.map(spark.read.parquet(_)).reduce(_ unionByName _)))
   }
@@ -102,8 +123,10 @@ final class LsmState(
     delta.write.mode("overwrite").parquet(s"$root/parts/b$id")
 
   /** Amortized compaction: every `compactEvery` batches, fold the
-    * whole view into a fresh versioned snapshot, move the durable
-    * pointer, then (and only then) remove the folded parts. */
+    * whole view into a fresh versioned snapshot, record the folded
+    * part names in the snapshot's `_folded` manifest (underscore
+    * prefix — parquet readers ignore it), move the durable pointer,
+    * then (and only then) remove the folded parts. */
   def maybeCompact(id: Long): Unit =
     if ((id + 1) % compactEvery == 0) view().foreach { v =>
       // a batch replaying after its own pointer move must not read
@@ -112,10 +135,17 @@ final class LsmState(
       val out =
         if (readPtr().contains(preferred)) s"$root/v${id}c"
         else preferred
+      // every part on disk is in the new snapshot's lineage: either
+      // folded right now, or already folded into the prior snapshot
+      // this one subsumes
+      val folded = listParts(None)
+        .map(p => java.nio.file.Paths.get(p).getFileName.toString)
       v.write.mode("overwrite").parquet(out)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out, "_folded"), folded.mkString("\n"))
       LsmState.writePointerAtomic(latestFile, out)
       // only after the pointer is durable; a crash here leaves
-      // duplicates the fold collapses
+      // parts the manifest already masks out of every view
       listParts(None).foreach(LsmState.deleteRecursively)
     }
 

@@ -305,15 +305,18 @@ object Streams {
     * identical delta rather than rejecting itself) — O(batch) per
     * trigger where the round-9 form rewrote the whole accepted corpus
     * every batch. Parts are fp-disjoint by construction, so the fold
-    * is a crash-window-only `dropDuplicates(fp)`. */
+    * is the identity. */
   def incrementalClean(
       stream: DataFrame,
       benchmark: DataFrame,
       base: String,
       n: Int = 8,
       compactEvery: Int = 8): DataFrame = {
+    // identity fold: parts are fp-disjoint by the anti-join below,
+    // and the _folded manifest keeps compaction crash windows from
+    // double-presenting a part — no defensive dedup shuffle at read
     val st = new LsmState(
-      stream.sparkSession, base, _.dropDuplicates("fp"), compactEvery)
+      stream.sparkSession, base, identity, compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
@@ -389,10 +392,10 @@ object Streams {
       compactEvery: Int = 8): DataFrame = {
     // LSM state as p03: each part carries only that batch's accepted
     // + finished rows, fp-disjoint across parts (the anti-join runs
-    // against the own-part-excluded view), fold dedups the
-    // compaction crash window only
+    // against the own-part-excluded view) — identity fold, the
+    // _folded manifest covers the compaction crash window
     val st = new LsmState(
-      stream.sparkSession, base, _.dropDuplicates("fp"), compactEvery)
+      stream.sparkSession, base, identity, compactEvery)
     def trunc4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -722,8 +725,10 @@ object Streams {
       base: String,
       compactEvery: Int = 8): DataFrame = {
     val spark = stream.sparkSession
-    val pairsSt = new LsmState(
-      spark, s"$base/pairs", _.distinct(), compactEvery)
+    // identity fold: a pair is discovered exactly once (in its later
+    // member's batch) and deduped within that batch, so parts are
+    // disjoint; the _folded manifest covers compaction crashes
+    val pairsSt = new LsmState(spark, s"$base/pairs", identity, compactEvery)
     val bands = new BandState(spark, base, Seq("band", "band_hash"))
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -807,16 +812,29 @@ object Streams {
     * it is top-k in every subset containing it; threshold: kept
     * unconditionally). */
   private def graphFold(k: Int, keepThreshold: Option[Double])(
-      edges: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("nbr_id"))
-    val ranked = edges.dropDuplicates("vec_id", "nbr_id")
-      .withColumn("__rn", row_number().over(w))
-    val keep = keepThreshold match {
-      case None => col("__rn") <= k
-      case Some(t) => col("__rn") <= k || col("sim") > t
-    }
-    ranked.filter(keep).drop("__rn")
+      edges: DataFrame): DataFrame = keepThreshold match {
+    case None =>
+      // plain top-k: the bounded-heap aggregate — k-row state,
+      // map-side partials, no per-node sort of the full edge set
+      // (edges are globally unique per (vec_id, nbr_id): each pair
+      // is scored once, and the _folded manifest keeps compaction
+      // crashes from re-presenting a part)
+      edges.groupBy(col("vec_id"))
+        .agg(graft.operators.Similarity
+          .topKAgg(col("sim"), col("nbr_id"), k).as("top"))
+        .select(col("vec_id"), posexplode(col("top")))
+        .select(col("vec_id"), col("col.id").as("nbr_id"),
+          col("col.score").as("sim"))
+    case Some(t) =>
+      // retention prune: the bounded heap can't carry the unbounded
+      // above-threshold extras, so this variant ranks per node (the
+      // same (sim desc, nbr_id) total order as the heap) and keeps
+      // rank ≤ k OR sim > t
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("nbr_id"))
+      edges.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k || col("sim") > t)
+        .drop("__rn")
   }
 
   /** p15: incremental k-NN GRAPH maintenance — s16's corpus-wide
@@ -856,8 +874,9 @@ object Streams {
       keepThreshold: Option[Double] = None,
       compactEvery: Int = 8): DataFrame = {
     val spark = stream.sparkSession
-    val vecsSt = new LsmState(
-      spark, s"$base/vecs", _.dropDuplicates("vec_id"), compactEvery)
+    // vecs: identity fold (one row per vec_id, delivered once; the
+    // _folded manifest covers compaction crashes)
+    val vecsSt = new LsmState(spark, s"$base/vecs", identity, compactEvery)
     val graphSt = new LsmState(
       spark, s"$base/graph", graphFold(k, keepThreshold), compactEvery)
     val bands = new BandState(spark, base, Seq("tbl", "bkt"))
@@ -986,14 +1005,12 @@ object Streams {
     * output shape). */
   def graphClusterVerdict(
       spark: SparkSession, base: String, threshold: Double): DataFrame = {
-    // the reader keeps ALL retained edges (dedup-only fold — a prune
-    // here would be redundant: the state was maintained with the
+    // identity readers: the state was maintained with the
     // threshold-retaining fold, so every above-threshold edge is
-    // present and the filter below selects exactly d11's pair set)
-    val graphSt = new LsmState(
-      spark, s"$base/graph", _.dropDuplicates("vec_id", "nbr_id"))
-    val vecsSt = new LsmState(
-      spark, s"$base/vecs", _.dropDuplicates("vec_id"))
+    // present (a prune here would be redundant) and edges/vecs are
+    // globally unique — the filter below selects exactly d11's pairs
+    val graphSt = new LsmState(spark, s"$base/graph", identity)
+    val vecsSt = new LsmState(spark, s"$base/vecs", identity)
     val pairs = graphSt.result()
       .filter(col("sim") > threshold && col("vec_id") < col("nbr_id"))
       .select(col("vec_id").as("a_id"), col("nbr_id").as("b_id"))
@@ -1039,10 +1056,10 @@ object Streams {
       seed: Long = 42L,
       compactEvery: Int = 8): DataFrame = {
     val spark = stream.sparkSession
-    val vecsSt = new LsmState(
-      spark, s"$base/vecs", _.dropDuplicates("vec_id"), compactEvery)
-    val pairsSt = new LsmState(
-      spark, s"$base/pairs", _.distinct(), compactEvery)
+    // identity folds on both (vecs delivered once; pairs discovered
+    // once + per-batch distinct; _folded manifest covers crashes)
+    val vecsSt = new LsmState(spark, s"$base/vecs", identity, compactEvery)
+    val pairsSt = new LsmState(spark, s"$base/pairs", identity, compactEvery)
     val bands = new BandState(spark, base, Seq("tbl", "bkt"))
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -1111,8 +1128,7 @@ object Streams {
       incrementalEmbPairs(vecs, base, threshold = 0.3)
     }
     new BandState(spark, base, Seq("tbl", "bkt")).drop()
-    val corpus = new LsmState(
-        spark, s"$base/vecs", _.dropDuplicates("vec_id"))
+    val corpus = new LsmState(spark, s"$base/vecs", identity)
       .result().select(col("vec_id"))
     val leaders = graft.operators.Dedup
       .clusterLeaders(pairs.select(col("a_id"), col("b_id")))
@@ -1148,8 +1164,7 @@ object Streams {
       base: String,
       compactEvery: Int = 8): DataFrame = {
     val spark = stream.sparkSession
-    val docsSt = new LsmState(
-      spark, s"$base/docs", _.dropDuplicates("doc_id"), compactEvery)
+    val docsSt = new LsmState(spark, s"$base/docs", identity, compactEvery)
     val keepersSt = new LsmState(
       spark, s"$base/keepers",
       _.groupBy("fp").agg(min(col("m")).as("m")), compactEvery)
@@ -1388,8 +1403,10 @@ object Streams {
       base: String,
       threshold: Double,
       compactEvery: Int = 8): DataFrame = {
+    // identity fold: one verdict row per vec_id, each in exactly one
+    // batch's part; the _folded manifest covers compaction crashes
     val st = new LsmState(
-      stream.sparkSession, base, _.dropDuplicates("vec_id"), compactEvery)
+      stream.sparkSession, base, identity, compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         st.append(id, graft.operators.Dedup.semanticDecontaminate(
@@ -1450,8 +1467,9 @@ object Streams {
       w: Int = 8,
       compactEvery: Int = 8): DataFrame = {
     val spark = stream.sparkSession
-    val st = new LsmState(
-      spark, base, _.dropDuplicates("doc_id"), compactEvery)
+    // identity fold: one row per doc_id, parts disjoint by stream
+    // delivery; the _folded manifest covers compaction crashes
+    val st = new LsmState(spark, base, identity, compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         st.append(id, graft.operators.Dedup.dupSpansFromIndex(
@@ -1489,8 +1507,8 @@ object Streams {
       w: Int = 8,
       compactEvery: Int = 8): DataFrame = {
     val spark = stream.sparkSession
-    val st = new LsmState(
-      spark, base, _.dropDuplicates("doc_id"), compactEvery)
+    // identity fold, as incrementalSpanScreen
+    val st = new LsmState(spark, base, identity, compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         st.append(id, graft.operators.Dedup.rewriteFromIndex(

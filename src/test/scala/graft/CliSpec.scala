@@ -306,6 +306,29 @@ class CliSpec extends SparkSuite {
     assert(e.getMessage.contains("usage"))
   }
 
+  test("sql -i rewrites LIKE to ILIKE (cli.py:185-210 parity)") {
+    // lower-case pattern against upper-cased stored names: only the
+    // case-insensitive run matches
+    val strict = Cli.run(spark, dataRoot, Seq("sql",
+      "SELECT count(*) AS n FROM owners WHERE owner_name_std LIKE '%united%'"),
+      _ => ()).get.head.getLong(0)
+    assert(strict == 0L)
+    var messages = List.empty[String]
+    val loose = Cli.run(spark, dataRoot, Seq("sql",
+      "SELECT count(*) AS n FROM owners WHERE owner_name_std LIKE '%united%'",
+      "-i"), messages ::= _).get.head.getLong(0)
+    assert(loose == 1L)
+    assert(messages.exists(_.contains("ILIKE")))
+    // NOT LIKE inherits the rewrite; identifiers containing "like"
+    // as a substring are untouched (word boundary)
+    val notLike = Cli.run(spark, dataRoot, Seq("sql",
+      "SELECT count(*) AS n FROM owners WHERE owner_name_std NOT like '%united%'",
+      "--case-insensitive"), _ => ()).get.head.getLong(0)
+    assert(notLike == Cli.run(spark, dataRoot, Seq("sql",
+      "SELECT count(*) AS n FROM owners", "-i"), _ => ())
+      .get.head.getLong(0) - 1)
+  }
+
   test("--format json renders records; csv renders RFC-4180 rows (cli.py parity)") {
     import spark.implicits._
     val df = Seq(

@@ -440,11 +440,11 @@ class StreamsSpec extends SparkSuite {
     // and the finished verdict equals batch d11 end-to-end (state
     // read back through the same LSM folds the fold maintains)
     val corpus = new graft.streaming.LsmState(
-        spark, s"$base/vecs", _.dropDuplicates("vec_id"))
+        spark, s"$base/vecs", identity)
       .result().select(col("vec_id"))
     val leaders = graft.operators.Dedup
       .clusterLeaders(new graft.streaming.LsmState(
-          spark, s"$base/pairs", _.distinct())
+          spark, s"$base/pairs", identity)
         .result().select(col("a_id"), col("b_id")))
       .select(col("doc_id").as("vec_id"), col("leader_id"))
     val got = corpus.join(leaders, Seq("vec_id"), "left")
@@ -965,6 +965,39 @@ class StreamsSpec extends SparkSuite {
         .map(_.map(_.getName).count(_.startsWith("b"))).getOrElse(0)
       assert(parts < 3, s"$sub: compacted parts not removed ($parts left)")
     }
+  }
+
+  test("LsmState: _folded manifest masks leftover parts after a compaction crash") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lsm_manifest").toString
+    val st = new graft.streaming.LsmState(
+      spark, root, identity, compactEvery = 2)
+    st.append(0, Seq((1L, "a")).toDF("id", "v"))
+    st.append(1, Seq((2L, "b")).toDF("id", "v"))
+    st.maybeCompact(1)
+    // the snapshot's manifest names the folded parts
+    val ptr = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(root, "_latest")).trim
+    val manifest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(ptr, "_folded"))
+      .split("\n").toSet
+    assert(manifest == Set("b0", "b1"), s"manifest: $manifest")
+    // simulate the crash window: compaction died after the pointer
+    // move but before part cleanup — a folded part is still on disk
+    Seq((2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$root/parts/b1")
+    assert(st.result().count() == 2L,
+      "manifest-listed leftover part was double-presented")
+    // live unfolded parts still contribute…
+    st.append(2, Seq((3L, "c")).toDF("id", "v"))
+    assert(st.result().count() == 3L)
+    // …and the next compaction subsumes leftover + live parts
+    st.maybeCompact(3)
+    assert(st.result().count() == 3L)
+    val parts = Option(new java.io.File(s"$root/parts").listFiles())
+      .map(_.map(_.getName).count(_.startsWith("b"))).getOrElse(0)
+    assert(parts == 0, s"compaction left $parts parts behind")
   }
 
   test("incremental graph-cluster dedup (p18): maintained-graph verdict equals batch d11") {
