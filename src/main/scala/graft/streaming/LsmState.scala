@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import scala.jdk.CollectionConverters._
 
 /** LSM-shaped durable fold state for `foreachBatch` pipelines — the
   * storage half of every corpus-sized incremental fold here
@@ -67,25 +66,23 @@ final class LsmState(
     compactEvery: Int = 8) {
   require(compactEvery >= 1, s"compactEvery must be >= 1: $compactEvery")
 
-  private val latestFile = java.nio.file.Paths.get(root, "_latest")
-  private val partsRoot = java.nio.file.Paths.get(root, "parts")
+  // all control-file IO (pointer, manifest, part listing/cleanup)
+  // goes through the Hadoop FileSystem resolved from the root's
+  // scheme — the state base can live on HDFS/S3/local alike, exactly
+  // like the parquet data beside it (java.nio would pin the store to
+  // the driver's local disk, a single-node assumption a 1000-executor
+  // deployment can't make)
+  private val fs = StateIO.fs(spark, root)
+  private val latestFile = s"$root/_latest"
 
   def readPtr(): Option[String] =
-    if (java.nio.file.Files.exists(latestFile))
-      Some(java.nio.file.Files.readString(latestFile).trim)
-        .filter(_.nonEmpty)
-    else None
+    StateIO.readString(fs, latestFile).map(_.trim).filter(_.nonEmpty)
 
-  private def listParts(except: Option[Long]): Seq[String] =
-    if (java.nio.file.Files.isDirectory(partsRoot)) {
-      val skip = except.map(id => s"b$id")
-      val s = java.nio.file.Files.list(partsRoot)
-      try s.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("b") &&
-          !skip.contains(p.getFileName.toString))
-        .map(_.toString).toList.sorted
-      finally s.close()
-    } else Nil
+  private def listParts(except: Option[Long]): Seq[String] = {
+    val skip = except.map(id => s"b$id")
+    StateIO.listNames(fs, s"$root/parts")
+      .filter(n => n.startsWith("b") && !skip.contains(n))
+  }
 
   /** Part names the pointed-at snapshot already folded (its `_folded`
     * manifest) — excluded from every view so a compaction crash
@@ -94,11 +91,9 @@ final class LsmState(
   private def foldedParts(): Set[String] = readPtr() match {
     case None => Set.empty
     case Some(p) =>
-      val mf = java.nio.file.Paths.get(p, "_folded")
-      if (java.nio.file.Files.exists(mf))
-        java.nio.file.Files.readString(mf).split("\n")
-          .map(_.trim).filter(_.nonEmpty).toSet
-      else Set.empty
+      StateIO.readString(fs, s"$p/_folded")
+        .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
   }
 
   /** The folded current state: compacted snapshot ∪ live unfolded
@@ -109,8 +104,8 @@ final class LsmState(
     * whole batch against itself and publishes an empty part). */
   def view(except: Option[Long] = None): Option[DataFrame] = {
     val folded = foldedParts()
-    val live = listParts(except).filterNot(p =>
-      folded.contains(java.nio.file.Paths.get(p).getFileName.toString))
+    val live = listParts(except).filterNot(folded.contains)
+      .map(n => s"$root/parts/$n")
     val srcs = readPtr().toSeq ++ live
     if (srcs.isEmpty) None
     else Some(fold(srcs.map(spark.read.parquet(_)).reduce(_ unionByName _)))
@@ -139,14 +134,12 @@ final class LsmState(
       // folded right now, or already folded into the prior snapshot
       // this one subsumes
       val folded = listParts(None)
-        .map(p => java.nio.file.Paths.get(p).getFileName.toString)
       v.write.mode("overwrite").parquet(out)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(out, "_folded"), folded.mkString("\n"))
-      LsmState.writePointerAtomic(latestFile, out)
+      StateIO.writeString(fs, s"$out/_folded", folded.mkString("\n"))
+      StateIO.writeStringAtomic(spark, fs, latestFile, out)
       // only after the pointer is durable; a crash here leaves
       // parts the manifest already masks out of every view
-      listParts(None).foreach(LsmState.deleteRecursively)
+      folded.foreach(n => StateIO.delete(fs, s"$root/parts/$n"))
     }
 
   /** Final folded state — what callers hand to readers once the
@@ -155,34 +148,70 @@ final class LsmState(
     sys.error(s"no state at $root: stream produced no batches"))
 }
 
-private[streaming] object LsmState {
+/** Control-file IO for the durable fold state, behind the Hadoop
+  * FileSystem API so state bases work on any scheme Spark itself can
+  * read (local, HDFS, S3A, ...). The atomic-publish primitive is
+  * temp-write + `FileContext.rename(OVERWRITE)` — a metadata
+  * operation on HDFS and local filesystems, so readers see the old
+  * pointer or the new, never a torn one. Object stores without
+  * atomic rename (raw S3) should keep the CONTROL files (pointer,
+  * markers) on a filesystem that has it, or accept the read-retry
+  * window — the data files themselves are immutable-once-written
+  * either way. */
+private[graft] object StateIO {
+  import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
-  /** Atomically publish a pointer: temp file + ATOMIC_MOVE so readers
-    * see the old path or the new, never a truncated one; the temp is
-    * removed if the move fails (no-op after a successful move). */
-  def writePointerAtomic(
-      latestFile: java.nio.file.Path, value: String): Unit = {
-    val tmp = java.nio.file.Files.createTempFile(
-      latestFile.getParent, "_latest", ".tmp")
-    try {
-      java.nio.file.Files.writeString(tmp, value)
-      java.nio.file.Files.move(tmp, latestFile,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally {
-      java.nio.file.Files.deleteIfExists(tmp)
-      ()
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  def exists(fs: FileSystem, path: String): Boolean =
+    fs.exists(new Path(path))
+
+  def readString(fs: FileSystem, path: String): Option[String] = {
+    val p = new Path(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
     }
   }
 
-  def deleteRecursively(path: String): Unit = {
-    val dir = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(dir)) {
-      val files = java.nio.file.Files.walk(dir)
-      try files.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-      finally files.close()
+  def writeString(fs: FileSystem, path: String, value: String): Unit = {
+    val out = fs.create(new Path(path), true)
+    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Temp + rename(OVERWRITE): the atomic pointer publish. */
+  def writeStringAtomic(
+      spark: SparkSession, fs: FileSystem,
+      path: String, value: String): Unit = {
+    val target = fs.makeQualified(new Path(path))
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp${java.util.UUID.randomUUID()}")
+    writeString(fs, tmp.toString, value)
+    try {
+      val fc = FileContext.getFileContext(
+        target.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(tmp, target, Options.Rename.OVERWRITE)
+    } finally {
+      // no-op after a successful rename (tmp no longer exists)
+      if (fs.exists(tmp)) { fs.delete(tmp, false); () }
     }
+  }
+
+  def listNames(fs: FileSystem, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).map(_.getPath.getName).toSeq.sorted
+    else Nil
+  }
+
+  def delete(fs: FileSystem, path: String): Unit = {
+    fs.delete(new Path(path), true)
+    ()
   }
 }
 
@@ -224,7 +253,7 @@ private[graft] final class BandState(
     numBuckets: Int = 8) {
 
   val table: String = BandState.tableName(base)
-  private val marksDir = java.nio.file.Paths.get(base, "band_marks")
+  private val fs = StateIO.fs(spark, base)
 
   /** The accumulated band index, or None before the first append.
     * Refreshes the relation first: the per-batch appends run through
@@ -242,17 +271,15 @@ private[graft] final class BandState(
     * The first append clears any stale managed location a crashed
     * prior JVM left behind (its catalog entry died with it). */
   def append(id: Long, bands: DataFrame): Unit = {
-    val mark = marksDir.resolve(s"b$id")
-    if (!java.nio.file.Files.exists(mark)) {
+    val mark = s"$base/band_marks/b$id"
+    if (!StateIO.exists(fs, mark)) {
       if (!spark.catalog.tableExists(table))
         Streams.dropManagedTable(spark, table)
       bands.write
         .bucketBy(numBuckets, bucketCols.head, bucketCols.drop(1): _*)
         .sortBy(bucketCols.head, bucketCols.drop(1): _*)
         .mode("append").saveAsTable(table)
-      java.nio.file.Files.createDirectories(marksDir)
-      java.nio.file.Files.write(mark, Array.emptyByteArray)
-      ()
+      StateIO.writeString(fs, mark, "")
     }
   }
 

@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import scala.jdk.CollectionConverters._
 
 /** Structured Streaming jobs over the events table.
   *
@@ -65,15 +64,14 @@ object Streams {
     * [[LsmState]], whose per-batch writes are O(batch) by
     * construction. */
   private def publishSnapshot(
-      latestFile: java.nio.file.Path, out: String)(
+      spark: SparkSession, latestFile: String, out: String)(
       write: String => Unit): Unit = {
-    val current =
-      if (java.nio.file.Files.exists(latestFile))
-        java.nio.file.Files.readString(latestFile).trim
-      else ""
+    val fs = StateIO.fs(spark, latestFile)
+    val current = StateIO.readString(fs, latestFile)
+      .map(_.trim).getOrElse("")
     if (current != out) {
       write(out)
-      LsmState.writePointerAtomic(latestFile, out)
+      StateIO.writeStringAtomic(spark, fs, latestFile, out)
     }
   }
 
@@ -482,12 +480,10 @@ object Streams {
     * ≤ alphabet² rows (versioned dirs + atomic pointer, as e14). */
   def incrementalLmModel(stream: DataFrame, base: String): DataFrame = {
     val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    val stateFs = StateIO.fs(spark, base)
     def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+      StateIO.readString(stateFs, s"$base/_latest")
+        .map(_.trim).filter(_.nonEmpty)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         // same bigram extraction as t12 (length guard: sequence(1, 0)
@@ -509,7 +505,7 @@ object Streams {
         // the model is bounded by alphabet² rows at ANY corpus scale,
         // so a single snapshot file is correct even at 100 TB — and
         // avoids an 8-tiny-file write+list+read roundtrip per batch
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
+        publishSnapshot(spark, s"$base/_latest", s"$base/v$id") { out =>
           merged.coalesce(1).write.mode("overwrite").parquet(out)
         }
         ()
@@ -556,12 +552,10 @@ object Streams {
     * atomic pointer, as p04). */
   def incrementalDfModel(stream: DataFrame, base: String): DataFrame = {
     val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    val stateFs = StateIO.fs(spark, base)
     def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+      StateIO.readString(stateFs, s"$base/_latest")
+        .map(_.trim).filter(_.nonEmpty)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
@@ -579,7 +573,7 @@ object Streams {
               spark.read.parquet(s"$p/meta").unionByName(nDelta)
                 .agg(sum(col("n")).as("n")))
         }
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
+        publishSnapshot(spark, s"$base/_latest", s"$base/v$id") { out =>
           model.write.mode("overwrite").parquet(s"$out/model")
           meta.write.mode("overwrite").parquet(s"$out/meta")
         }
@@ -611,12 +605,10 @@ object Streams {
       targetSource: String = "src0",
       dim: Int = 64): DataFrame = {
     val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    val stateFs = StateIO.fs(spark, base)
     def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+      StateIO.readString(stateFs, s"$base/_latest")
+        .map(_.trim).filter(_.nonEmpty)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val isTgt = col("source") === targetSource
@@ -637,7 +629,7 @@ object Streams {
         }
         // bounded at dim rows at ANY corpus scale: single-file
         // snapshot, same rationale as the p04 LM model
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
+        publishSnapshot(spark, s"$base/_latest", s"$base/v$id") { out =>
           merged.coalesce(1).write.mode("overwrite").parquet(out)
         }
         ()
@@ -1228,12 +1220,10 @@ object Streams {
       stream: DataFrame,
       base: String): DataFrame = {
     val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    val stateFs = StateIO.fs(spark, base)
     def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+      StateIO.readString(stateFs, s"$base/_latest")
+        .map(_.trim).filter(_.nonEmpty)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
@@ -1272,7 +1262,7 @@ object Streams {
             max(col("max_disorder_us")).as("max_disorder_us"),
             sum(col("total_disorder_us")).as("total_disorder_us"))
         }
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
+        publishSnapshot(spark, s"$base/_latest", s"$base/v$id") { out =>
           model.write.mode("overwrite").parquet(s"$out/model")
         }
         ()
@@ -1319,12 +1309,10 @@ object Streams {
       base: String,
       prefixBytes: Int = 32): DataFrame = {
     val spark = stream.sparkSession
-    val latestFile = java.nio.file.Paths.get(base, "_latest")
+    val stateFs = StateIO.fs(spark, base)
     def readPtr(): Option[String] =
-      if (java.nio.file.Files.exists(latestFile))
-        Some(java.nio.file.Files.readString(latestFile).trim)
-          .filter(_.nonEmpty)
-      else None
+      StateIO.readString(stateFs, s"$base/_latest")
+        .map(_.trim).filter(_.nonEmpty)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
@@ -1340,7 +1328,7 @@ object Streams {
               .groupBy("fp").agg(sum(col("n_copies")).as("n_copies"),
                 min(col("keeper")).as("keeper"))
         }
-        publishSnapshot(latestFile, s"$base/v$id") { out =>
+        publishSnapshot(spark, s"$base/_latest", s"$base/v$id") { out =>
           model.write.mode("overwrite").parquet(s"$out/model")
         }
         ()
