@@ -967,6 +967,120 @@ class StreamsSpec extends SparkSuite {
     }
   }
 
+  test("fold resumes from its checkpoint: restart processes only new files") {
+    // The production restart path: a fold drains today's files, the
+    // process exits, tomorrow's file lands, a NEW query instance on
+    // the SAME base (checkpoint + durable state) must process ONLY
+    // the new file — committed batches replay neither their source
+    // reads nor their state writes.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.select(max(col("doc_id"))).head.getLong(0)
+    val chunks = Seq(
+      docs.filter(col("doc_id") <= n / 3),
+      docs.filter(col("doc_id") > n / 3 && col("doc_id") <= 2 * n / 3),
+      docs.filter(col("doc_id") > 2 * n / 3))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_resume_src").toString
+    def land(i: Int): Unit = {
+      chunks(i).coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"chunk$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      assert(dst.setLastModified(1000000L * (i + 1)))
+    }
+    land(0); land(1)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_resume").toString
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "chunk*.parquet").parquet(srcDir)
+    graft.streaming.Streams
+      .incrementalQualityKeeper(stream(), base).collect()
+    val partsAfterFirst = new java.io.File(s"$base/docs/parts")
+      .listFiles().map(_.getName).filter(_.startsWith("b")).sorted
+    assert(partsAfterFirst.sameElements(Array("b0", "b1")),
+      s"first run parts: ${partsAfterFirst.toSeq}")
+    // tomorrow's file lands; a fresh query instance resumes
+    land(2)
+    val got = graft.streaming.Streams
+      .incrementalQualityKeeper(stream(), base)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("keep")))
+      .toSet
+    val partsAfterResume = new java.io.File(s"$base/docs/parts")
+      .listFiles().map(_.getName).filter(_.startsWith("b")).sorted
+    assert(partsAfterResume.sameElements(Array("b0", "b1", "b2")),
+      s"resume must add exactly batch 2: ${partsAfterResume.toSeq}")
+    assert(spark.read.parquet(s"$base/docs/parts/b2").count() ==
+      chunks(2).count(),
+      "the resumed batch's part must carry only the new file's rows")
+    // and the resumed state equals the batch election over everything
+    val q = docs.select(col("doc_id"),
+      graft.functions.TextFns.textFingerprint(col("text")).as("fp"),
+      graft.functions.TextFns.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy("fp")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val expect = q
+      .select(col("doc_id"), first(col("doc_id")).over(w).as("keeper_id"))
+      .select(col("doc_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("long").as("keep"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("keep")))
+      .toSet
+    assert(got == expect, "resumed fold diverged from the batch election")
+  }
+
+  test("band fold resumes from its checkpoint: cross-restart pairs still discovered") {
+    // Same restart path for a band-accumulating fold: the band table
+    // and markers must survive the query instance, so a pair whose
+    // members arrive on OPPOSITE sides of the restart is still found.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val chunks = Seq(
+      docs.filter(col("doc_id") <= n / 2),
+      docs.filter(col("doc_id") > n / 2))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_resume14_src").toString
+    def land(i: Int): Unit = {
+      chunks(i).coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"chunk$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      assert(dst.setLastModified(1000000L * (i + 1)))
+    }
+    land(0)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_resume14").toString
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "chunk*.parquet").parquet(srcDir)
+    graft.streaming.Streams
+      .incrementalMinhashPairs(stream(), base).collect()
+    land(1)
+    val got = graft.streaming.Streams
+      .incrementalMinhashPairs(stream(), base)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    val expect = graft.operators.Dedup
+      .minHashCandidatePairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    assert(got == expect,
+      s"cross-restart pairs diverge: extra=${(got -- expect).take(3)}, " +
+        s"missing=${(expect -- got).take(3)}")
+    // the restart really was incremental: exactly one pairs part per batch
+    val parts = new java.io.File(s"$base/pairs/parts").listFiles()
+      .map(_.getName).filter(_.startsWith("b")).sorted
+    assert(parts.sameElements(Array("b0", "b1")), s"parts: ${parts.toSeq}")
+    graft.streaming.Streams.dropManagedTable(
+      spark, graft.streaming.BandState.tableName(base))
+  }
+
   test("LsmState: _folded manifest masks leftover parts after a compaction crash") {
     import spark.implicits._
     val root = java.nio.file.Files
