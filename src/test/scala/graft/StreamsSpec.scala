@@ -1081,6 +1081,58 @@ class StreamsSpec extends SparkSuite {
       spark, graft.streaming.BandState.tableName(base))
   }
 
+  test("graph fold compacts mid-stream: pruned snapshot still yields exact s16 + d11") {
+    // compactEvery=2 over 3 batches forces a compaction of the edge
+    // state THROUGH the threshold-retaining prune — the
+    // merge-and-truncate monoid claim (prune(prune(A) ∪ B) =
+    // prune(A ∪ B)) exercised for real: the final graph and the
+    // dedup verdict must still match their batch twins exactly.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p18c_src").toString
+    emb.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p18c_spec").toString
+    val kView = graft.streaming.Streams
+      .incrementalKnnGraph(stream, base, k = 5,
+        keepThreshold = Some(0.3), compactEvery = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id")))
+      .toSet
+    // a graph compaction really happened
+    val versions = new java.io.File(s"$base/graph").listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.nonEmpty, "expected a compacted graph snapshot")
+    val s16 = graft.operators.Similarity
+      .knnGraphBucketed(emb, "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id")))
+      .toSet
+    assert(kView == s16,
+      s"compacted graph diverges from batch s16: " +
+        s"extra=${(kView -- s16).take(3)}, missing=${(s16 -- kView).take(3)}")
+    val got = graft.streaming.Streams
+      .graphClusterVerdict(spark, base, 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id")))
+      .toSet
+    val expect = graft.operators.Dedup
+      .embeddingClusterDedup(emb, col("vec_id"), col("embedding"), 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id")))
+      .toSet
+    assert(got == expect,
+      s"compacted-state verdict diverges from batch d11: " +
+        s"${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    graft.streaming.Streams.dropManagedTable(
+      spark, graft.streaming.BandState.tableName(base))
+  }
+
   test("LsmState: _folded manifest masks leftover parts after a compaction crash") {
     import spark.implicits._
     val root = java.nio.file.Files
