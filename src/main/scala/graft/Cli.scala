@@ -44,6 +44,8 @@ object Cli {
       |                                LIKE matches become ILIKE)
       |  --format table|json|csv       output format for any tabular
       |                                command (default table)
+      |  --skip-age-check              suppress the 30-day staleness
+      |                                warning on query commands
       |  search <n-number>             N-number lookup w/ owner
       |  index-fts                     materialize the owner FTS index
       |                                (bucketed on token) for fast fts
@@ -426,6 +428,16 @@ object Cli {
     else (args(i + 1), args.patch(i, Nil, 2))
   }
 
+  /** Strip `--skip-age-check` (reference parity: every query command
+    * takes it, cli.py show_age_warning) and return (skip, rest). The
+    * flag suppresses ONLY the staleness warning — other sink traffic
+    * (export confirmations, rewrite notices) still flows. */
+  private[graft] def parseSkipAgeCheck(
+      args: Seq[String]): (Boolean, Seq[String]) = {
+    val i = args.indexOf("--skip-age-check")
+    if (i < 0) (false, args) else (true, args.patch(i, Nil, 1))
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val spark = SparkSession.builder()
@@ -439,8 +451,14 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val (format, rest) = parseFormat(args.tail.toSeq)
-      run(spark, args.head, rest)
+      val (format, rest0) = parseFormat(args.tail.toSeq)
+      val (skipAge, rest) = parseSkipAgeCheck(rest0)
+      val sink: String => Unit =
+        if (skipAge) { (m: String) =>
+          if (!m.startsWith("WARNING: registry data is"))
+            Console.err.println(m)
+        } else { (m: String) => Console.err.println(m) }
+      run(spark, args.head, rest, sink)
         .foreach(df => println(render(df, format)))
     } finally spark.stop()
   }

@@ -329,6 +329,21 @@ class CliSpec extends SparkSuite {
       .get.head.getLong(0) - 1)
   }
 
+  test("--skip-age-check strips the flag and filters only staleness warnings") {
+    val (skip, rest) = Cli.parseSkipAgeCheck(
+      Seq("sql", "SELECT 1", "--skip-age-check"))
+    assert(skip && rest == Seq("sql", "SELECT 1"))
+    val (noSkip, same) = Cli.parseSkipAgeCheck(Seq("status"))
+    assert(!noSkip && same == Seq("status"))
+    // the dataRoot fixture is stale by construction (2020 snapshot):
+    // a query command with the default sink surfaces the warning
+    var messages = List.empty[String]
+    Cli.run(spark, dataRoot,
+      Seq("sql", "SELECT count(*) AS n FROM aircraft"), messages ::= _)
+    assert(messages.exists(_.startsWith("WARNING: registry data is")),
+      s"fixture no longer stale? $messages")
+  }
+
   test("--format json renders records; csv renders RFC-4180 rows (cli.py parity)") {
     import spark.implicits._
     val df = Seq(
