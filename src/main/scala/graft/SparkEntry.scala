@@ -2743,6 +2743,20 @@ object SparkEntry {
   private def p18(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingGraphClusterDedup(s, dir)
 
+  /** p19: the ONE-PASS model suite — five ingest models (p04 LM,
+    * p07 DF, p11 DSIR, p12 signatures, p16 keeper) maintained from a
+    * SINGLE drain of the document stream
+    * ([[graft.streaming.Streams.incrementalModelSuite]]): each
+    * micro-batch is cached once and every model's O(batch) delta is
+    * appended from it — at 100 TB the corpus read is the dominant
+    * cost and this is the shape that pays it once, not five times.
+    * Output is the maintenance manifest (model, state row count),
+    * each count independently re-derived by the DuckDB oracle from
+    * the raw corpus; per-model exact equality with the standalone
+    * folds is the replay spec. */
+  private def p19(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingModelSuite(s, dir)
+
   /** p13: INCREMENTAL disorder profile — e18's watermark-tuning
     * measurement maintained per micro-batch
     * ([[graft.streaming.Streams.incrementalDisorderProfile]]): each
@@ -3048,6 +3062,7 @@ object SparkEntry {
     "p16_incremental_keeper" -> (p16 _),
     "p17_incremental_cluster_dedup" -> (p17 _),
     "p18_incremental_graph_dedup" -> (p18 _),
+    "p19_incremental_model_suite" -> (p19 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),
@@ -4071,6 +4086,39 @@ object SparkEntry {
         |ORDER BY source""".stripMargin,
     // p16 maintains d20's election incrementally; the snapshot must
     // equal the batch query, so it shares the same oracle SQL
+    "p19_incremental_model_suite" ->
+      // each maintained model's state row count, independently
+      // re-derived from the raw corpus: distinct char bigrams (p04's
+      // extraction), distinct tokens (p07/t13's), distinct hashed
+      // bigram buckets (p11/t22's md5 trick), distinct payload
+      // signatures (p12/m05's), and the doc count (p16's docs side)
+      """WITH lm AS (SELECT count(DISTINCT bg)::BIGINT AS n FROM (
+        |    SELECT unnest(list_transform(
+        |      generate_series(1, length(t) - 1),
+        |      i -> substr(t, i, 2))) AS bg
+        |    FROM (SELECT lower(trim(text)) AS t FROM documents))),
+        |  df AS (SELECT count(DISTINCT token)::BIGINT AS n FROM (
+        |    SELECT unnest(list_distinct(
+        |      string_split_regex(lower(trim(text)), '\s+'))) AS token
+        |    FROM documents)),
+        |  ds AS (SELECT count(DISTINCT b)::BIGINT AS n FROM (
+        |    SELECT ('0x' || substr(md5(bg), 1, 8))::BIGINT % 64 AS b
+        |    FROM (SELECT unnest(list_transform(
+        |        generate_series(1, greatest(len(tk) - 1, 0)),
+        |        i -> array_to_string(tk[i:i+1], ' '))) AS bg
+        |      FROM (SELECT
+        |        string_split_regex(lower(trim(text)), '\s+') AS tk
+        |        FROM documents)))),
+        |  sg AS (SELECT count(DISTINCT md5(substr(text, 1, 32)))::BIGINT
+        |    AS n FROM documents),
+        |  kp AS (SELECT count(*)::BIGINT AS n FROM documents)
+        |SELECT model, n_rows FROM (
+        |  SELECT 'char_lm' AS model, n AS n_rows FROM lm
+        |  UNION ALL SELECT 'doc_freq', n FROM df
+        |  UNION ALL SELECT 'dsir', n FROM ds
+        |  UNION ALL SELECT 'payload_sig', n FROM sg
+        |  UNION ALL SELECT 'quality_keeper', n FROM kp)
+        |ORDER BY model""".stripMargin,
     "p16_incremental_keeper" ->
       """WITH q AS (SELECT doc_id,
         |    md5(upper(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,

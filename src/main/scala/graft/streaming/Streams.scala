@@ -469,6 +469,67 @@ object Streams {
       .orderBy("doc_id")
   }
 
+
+  // ---------------------------------------------------------------
+  // Per-batch MODEL DELTAS, shared by the standalone folds
+  // (p04/p07/p11/p12/p16) and the one-pass model suite (p19) so the
+  // two paths can never drift apart (the BandingConfig lesson).
+  // Each is a pure function of the batch frame: the monoid fold over
+  // deltas reproduces the batch model under any chunking.
+  // ---------------------------------------------------------------
+
+  /** t12's char-bigram counts (length guard: sequence(1, 0) counts
+    * DOWN, a 0/1-char doc must contribute nothing). */
+  private[graft] def lmDelta(df: DataFrame): DataFrame =
+    df.select(lower(trim(col("text"))).as("t"))
+      .select(explode(expr(
+        """CASE WHEN length(t) >= 2
+          |  THEN transform(sequence(1, length(t) - 1),
+          |    i -> substr(t, i, 2))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("nb"))
+
+  /** t13's distinct-(doc, token) document-frequency counts. */
+  private[graft] def dfDelta(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFns.tokensLower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+
+  /** t22's hashed-bigram target/raw counts (DSIR features). */
+  private[graft] def dsirDelta(
+      df: DataFrame, targetSource: String, dim: Int): DataFrame = {
+    val isTgt = col("source") === targetSource
+    df.select(col("source"), explode(graft.functions.TextFns.wordNgrams(
+        graft.functions.TextFns.tokensLower(col("text")), 2)).as("bgr"))
+      .select(col("source"),
+        graft.functions.TextFns.featureBucket(col("bgr"), dim).as("b"))
+      .groupBy("b").agg(
+        sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
+        sum(when(isTgt, 0L).otherwise(1L)).as("cr"))
+  }
+
+  /** m05's payload-signature group delta (copies + keeper). */
+  private[graft] def sigDelta(
+      df: DataFrame, prefixBytes: Int): DataFrame =
+    df.select(col("doc_id").cast("long").as("doc_id"),
+        graft.operators.Multimodal.fingerprintStub(
+          encode(col("text"), "UTF-8"), prefixBytes).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper"))
+
+  /** d20's scored docs: (doc_id, fingerprint, quality). */
+  private[graft] def keeperDocs(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      graft.functions.TextFns.textFingerprint(col("text")).as("fp"),
+      graft.functions.TextFns.qualityScore(col("text")).as("quality"))
+
+  /** d20's per-fingerprint champion (max-by monoid: min of
+    * (-quality, doc_id) structs). */
+  private[graft] def keeperChamps(docs: DataFrame): DataFrame =
+    docs.groupBy("fp")
+      .agg(min(struct((-col("quality")).as("nq"),
+        col("doc_id").as("id"))).as("m"))
+
   /** p04: incremental LM model maintenance — the char-bigram counts
     * behind t12's fluency score folded over a document stream via
     * foreachBatch. Bigram counts form a commutative monoid (merge =
@@ -486,16 +547,7 @@ object Streams {
         .map(_.trim).filter(_.nonEmpty)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        // same bigram extraction as t12 (length guard: sequence(1, 0)
-        // counts DOWN, a 0/1-char doc must contribute nothing)
-        val big = spread(batch.toDF())
-          .select(lower(trim(col("text"))).as("t"))
-          .select(explode(expr(
-            """CASE WHEN length(t) >= 2
-              |  THEN transform(sequence(1, length(t) - 1),
-              |    i -> substr(t, i, 2))
-              |  ELSE array() END""".stripMargin)).as("bg"))
-          .groupBy("bg").agg(count(lit(1)).as("nb"))
+        val big = lmDelta(spread(batch.toDF()))
         val merged = readPtr() match {
           case None => big
           case Some(p) =>
@@ -559,11 +611,7 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = spread(batch.toDF())
-        // same distinct-(doc, token) shape as t13's batch form
-        val delta = b
-          .select(col("doc_id"), explode(array_distinct(
-            graft.functions.TextFns.tokensLower(col("text")))).as("token"))
-          .groupBy("token").agg(count(lit(1)).as("df"))
+        val delta = dfDelta(b)
         val nDelta = b.agg(count(lit(1)).as("n"))
         val (model, meta) = readPtr() match {
           case None => (delta, nDelta)
@@ -611,15 +659,7 @@ object Streams {
         .map(_.trim).filter(_.nonEmpty)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val isTgt = col("source") === targetSource
-        val delta = spread(batch.toDF())
-          .select(col("source"), explode(graft.functions.TextFns.wordNgrams(
-            graft.functions.TextFns.tokensLower(col("text")), 2)).as("bgr"))
-          .select(col("source"),
-            graft.functions.TextFns.featureBucket(col("bgr"), dim).as("b"))
-          .groupBy("b").agg(
-            sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
-            sum(when(isTgt, 0L).otherwise(1L)).as("cr"))
+        val delta = dsirDelta(spread(batch.toDF()), targetSource, dim)
         val merged = readPtr() match {
           case None => delta
           case Some(p) =>
@@ -1162,13 +1202,8 @@ object Streams {
       _.groupBy("fp").agg(min(col("m")).as("m")), compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val b = spread(batch.toDF())
-        val newDocs = b.select(col("doc_id"),
-          graft.functions.TextFns.textFingerprint(col("text")).as("fp"),
-          graft.functions.TextFns.qualityScore(col("text")).as("quality"))
-        val batchKeepers = newDocs.groupBy("fp")
-          .agg(min(struct((-col("quality")).as("nq"),
-            col("doc_id").as("id"))).as("m"))
+        val newDocs = keeperDocs(spread(batch.toDF()))
+        val batchKeepers = keeperChamps(newDocs)
         docsSt.append(id, newDocs)
         keepersSt.append(id, batchKeepers)
         docsSt.maybeCompact(id)
@@ -1200,6 +1235,107 @@ object Streams {
       incrementalQualityKeeper(docs, base)
     }
     verdicts.orderBy("doc_id")
+  }
+
+  /** p19: ONE ingest pass maintaining FIVE models — the production
+    * shape the standalone folds (p04 LM, p07 DF, p11 DSIR, p12
+    * signatures, p16 keeper) deliberately decompose: at 100 TB the
+    * corpus READ is the dominant cost, and a pipeline that drains the
+    * stream once per model pays it five times. Here one foreachBatch
+    * caches each micro-batch once and appends every model's O(batch)
+    * delta from it ([[lmDelta]]/[[dfDelta]]/[[dsirDelta]]/
+    * [[sigDelta]]/[[keeperDocs]] — the SAME delta functions the
+    * standalone folds use, so the suite cannot drift from them), each
+    * into its own [[LsmState]] (per-key monoid folds at compaction/
+    * read). Because every per-model fold is a commutative monoid over
+    * these deltas, each maintained state EQUALS its standalone twin
+    * and the batch derivation under ANY chunking (equality replay
+    * spec across all five).
+    *
+    * Returns the model frames by name; [[streamingModelSuite]]
+    * finishes them as a manifest. */
+  def incrementalModelSuite(
+      stream: DataFrame,
+      base: String,
+      targetSource: String = "src0",
+      dim: Int = 64,
+      prefixBytes: Int = 32,
+      compactEvery: Int = 8): Map[String, DataFrame] = {
+    val spark = stream.sparkSession
+    val lmSt = new LsmState(spark, s"$base/lm",
+      _.groupBy("bg").agg(sum(col("nb")).as("nb")), compactEvery)
+    val dfSt = new LsmState(spark, s"$base/df",
+      _.groupBy("token").agg(sum(col("df")).as("df")), compactEvery)
+    val dfMeta = new LsmState(spark, s"$base/dfmeta",
+      _.agg(sum(col("n")).as("n")), compactEvery)
+    val dsirSt = new LsmState(spark, s"$base/dsir",
+      _.groupBy("b").agg(sum(col("ct")).as("ct"),
+        sum(col("cr")).as("cr")), compactEvery)
+    val sigSt = new LsmState(spark, s"$base/sig",
+      _.groupBy("fp").agg(sum(col("n_copies")).as("n_copies"),
+        min(col("keeper")).as("keeper")), compactEvery)
+    val docsSt = new LsmState(spark, s"$base/keep_docs",
+      identity, compactEvery)
+    val champsSt = new LsmState(spark, s"$base/keep_champs",
+      _.groupBy("fp").agg(min(col("m")).as("m")), compactEvery)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // cache: SEVEN delta extractions read this frame — uncached,
+        // the batch's source rows would be re-read per model, which
+        // is exactly the cost this operator exists to avoid
+        val b = spread(batch.toDF()).cache()
+        lmSt.append(id, lmDelta(b))
+        dfSt.append(id, dfDelta(b))
+        dfMeta.append(id, b.agg(count(lit(1)).as("n")))
+        dsirSt.append(id, dsirDelta(b, targetSource, dim))
+        sigSt.append(id, sigDelta(b, prefixBytes))
+        val docs = keeperDocs(b)
+        docsSt.append(id, docs)
+        champsSt.append(id, keeperChamps(docs))
+        Seq(lmSt, dfSt, dfMeta, dsirSt, sigSt, docsSt, champsSt)
+          .foreach(_.maybeCompact(id))
+        b.unpersist(blocking = false)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .queryName(s"graft_p19_${java.util.UUID.randomUUID()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    Map(
+      "char_lm" -> lmSt.result(),
+      "doc_freq" -> dfSt.result(),
+      "doc_count" -> dfMeta.result(),
+      "dsir" -> dsirSt.result(),
+      "payload_sig" -> sigSt.result(),
+      "keeper_docs" -> docsSt.result(),
+      "keeper_champs" -> champsSt.result())
+  }
+
+  /** [[incrementalModelSuite]] over the documents table, finished as
+    * the maintenance MANIFEST a pipeline operator reads after each
+    * ingest day: one row per maintained model with its state row
+    * count — every count independently re-derivable by the DuckDB
+    * oracle from the raw corpus, which is what hash-checks the whole
+    * one-pass suite. */
+  def streamingModelSuite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p19").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val models = withStreamPartitions(spark, 8) {
+      incrementalModelSuite(docs, base)
+    }
+    Seq(
+      ("char_lm", models("char_lm").count()),
+      ("doc_freq", models("doc_freq").count()),
+      ("dsir", models("dsir").count()),
+      ("payload_sig", models("payload_sig").count()),
+      ("quality_keeper", models("keeper_docs").count()))
+      .toDF("model", "n_rows")
+      .orderBy("model")
   }
 
   /** p13: incremental event-time DISORDER profile — e18's
@@ -1315,12 +1451,7 @@ object Streams {
         .map(_.trim).filter(_.nonEmpty)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val b = spread(batch.toDF())
-        val delta = b.select(col("doc_id").cast("long").as("doc_id"),
-            graft.operators.Multimodal.fingerprintStub(
-              encode(col("text"), "UTF-8"), prefixBytes).as("fp"))
-          .groupBy("fp").agg(count(lit(1)).as("n_copies"),
-            min(col("doc_id")).as("keeper"))
+        val delta = sigDelta(spread(batch.toDF()), prefixBytes)
         val model = readPtr() match {
           case None => delta
           case Some(p) =>

@@ -1133,6 +1133,65 @@ class StreamsSpec extends SparkSuite {
       spark, graft.streaming.BandState.tableName(base))
   }
 
+  test("one-pass model suite (p19): every maintained model equals its batch twin") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_p19_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_p19_spec").toString
+    val models = graft.streaming.Streams
+      .incrementalModelSuite(stream, base)
+    // char-LM counts == batch bigram training
+    val lm = models("char_lm").collect()
+      .map(r => r.getAs[String]("bg") -> r.getAs[Long]("nb")).toMap
+    val lmExpect = graft.streaming.Streams.lmDelta(docs).collect()
+      .map(r => r.getAs[String]("bg") -> r.getAs[Long]("nb")).toMap
+    assert(lm == lmExpect, "suite LM diverges from batch")
+    // DF counts == batch derivation, doc count exact
+    val df = models("doc_freq").collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
+    val dfExpect = graft.streaming.Streams.dfDelta(docs).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
+    assert(df == dfExpect, "suite DF diverges from batch")
+    assert(models("doc_count").head.getAs[Long]("n") == docs.count())
+    // DSIR buckets == batch counts
+    val ds = models("dsir").collect()
+      .map(r => r.getAs[Long]("b") ->
+        (r.getAs[Long]("ct"), r.getAs[Long]("cr"))).toMap
+    val dsExpect = graft.streaming.Streams
+      .dsirDelta(docs, "src0", 64).collect()
+      .map(r => r.getAs[Long]("b") ->
+        (r.getAs[Long]("ct"), r.getAs[Long]("cr"))).toMap
+    assert(ds == dsExpect, "suite DSIR diverges from batch")
+    // signature groups == batch
+    val sg = models("payload_sig").collect()
+      .map(r => r.getAs[String]("fp") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("keeper"))).toMap
+    val sgExpect = graft.streaming.Streams.sigDelta(docs, 32).collect()
+      .map(r => r.getAs[String]("fp") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("keeper"))).toMap
+    assert(sg == sgExpect, "suite signatures diverge from batch")
+    // keeper election == batch (champion per fingerprint)
+    val kp = models("keeper_champs").collect()
+      .map(r => r.getAs[String]("fp") ->
+        r.getAs[org.apache.spark.sql.Row]("m").getAs[Long]("id")).toMap
+    val kpExpect = graft.streaming.Streams
+      .keeperChamps(graft.streaming.Streams.keeperDocs(docs)).collect()
+      .map(r => r.getAs[String]("fp") ->
+        r.getAs[org.apache.spark.sql.Row]("m").getAs[Long]("id")).toMap
+    assert(kp == kpExpect, "suite keeper election diverges from batch")
+    // the suite really ran multi-batch AND as ONE streaming query
+    // (one checkpoint; one part per batch per model)
+    val lmParts = new java.io.File(s"$base/lm/parts").listFiles()
+      .map(_.getName).filter(_.startsWith("b"))
+    assert(lmParts.length == 3, s"expected 3 batches: ${lmParts.toSeq}")
+    assert(new java.io.File(s"$base/ckpt").exists(),
+      "expected a single shared checkpoint")
+  }
+
   test("LsmState: _folded manifest masks leftover parts after a compaction crash") {
     import spark.implicits._
     val root = java.nio.file.Files
