@@ -280,6 +280,15 @@ private[graft] final class BandState(
         .sortBy(bucketCols.head, bucketCols.drop(1): _*)
         .mode("append").saveAsTable(table)
       StateIO.writeString(fs, mark, "")
+      // prune dead markers: only the latest not-yet-checkpointed
+      // batch can ever replay, and batch `id` running means every
+      // batch before it committed — their markers will never be
+      // consulted again, and a long-lived fold must not accumulate
+      // one control file per batch forever
+      StateIO.listNames(fs, s"$base/band_marks")
+        .filter(n => n.startsWith("b") &&
+          n.drop(1).forall(_.isDigit) && n.drop(1).toLong < id)
+        .foreach(n => StateIO.delete(fs, s"$base/band_marks/$n"))
     }
   }
 

@@ -1077,6 +1077,10 @@ class StreamsSpec extends SparkSuite {
     val parts = new java.io.File(s"$base/pairs/parts").listFiles()
       .map(_.getName).filter(_.startsWith("b")).sorted
     assert(parts.sameElements(Array("b0", "b1")), s"parts: ${parts.toSeq}")
+    // dead replay markers are pruned: only the latest batch's remains
+    val marks = new java.io.File(s"$base/band_marks").listFiles()
+      .map(_.getName).filter(_.startsWith("b")).sorted
+    assert(marks.sameElements(Array("b1")), s"markers: ${marks.toSeq}")
     graft.streaming.Streams.dropManagedTable(
       spark, graft.streaming.BandState.tableName(base))
   }
