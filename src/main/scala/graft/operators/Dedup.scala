@@ -407,12 +407,27 @@ object Dedup {
     * plan (labels appear ~4× in the next round's tree; without
     * truncation the logical plan grows exponentially in rounds).
     *
+    * MEASURED GATE (the [[graft.operators.Scale.adaptiveJoin]]
+    * pattern): the edge list is the LSH-/threshold-PRUNED pair set —
+    * at any scale it is orders of magnitude smaller than the corpus,
+    * and in the common case it fits the driver with room to spare.
+    * After the one cached materialization, the edge count decides:
+    * ≤ `smallCutoff` symmetric edges (default 2²¹ ≈ 2M, tens of MB
+    * of longs — the same bounded-driver-state class as centroids and
+    * probe-cell sets) resolve by an in-memory union-find whose
+    * min-root representative reproduces the fixpoint's labels
+    * EXACTLY (equality spec), skipping 3-5 rounds of job-scheduling
+    * latency; above the cutoff, or for non-integral id types, the
+    * distributed fixpoint runs unchanged. The verdict is recorded in
+    * the result metadata (`cc_mode`).
+    *
     * Output: (doc_id, leader_id) for every doc appearing in pairs;
     * keep rows where doc_id == leader_id, drop the rest. */
   def clusterLeaders(
       pairs: DataFrame,
       maxIter: Int = 50,
-      maxChainHops: Int = 8): DataFrame = {
+      maxChainHops: Int = 8,
+      smallCutoff: Long = 2L << 20): DataFrame = {
     // symmetric (receiver, sender) edges: recv adopts labels[send]
     val edges = pairs
       .select(col("a_id").as("recv"), col("b_id").as("send"))
@@ -420,6 +435,16 @@ object Dedup {
       .repartition(col("send"))
       .cache()
     val idType = pairs.schema("a_id").dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    // ONE bounded measurement on the cached edges decides the path
+    val nEdges = edges.count()
+    if (integralIds && nEdges <= smallCutoff)
+      return unionFindLeaders(pairs.sparkSession, edges, idType)
     // truncate lineage: a one-node LogicalRDD plan over the cached rows
     def rewrap(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftBridge.rewrapInternal(
@@ -498,11 +523,71 @@ object Dedup {
     // audited after the fact — labels.schema("leader_id").metadata —
     // without rerunning under a debug flag.
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("cc_mode", "distributed-fixpoint")
       .putLong("cc_rounds", i.toLong)
       .putBoolean("cc_converged", converged)
       .putLongArray("cc_round_ms", roundMs.toArray)
       .build()
     labels.withColumn("leader_id", col("leader_id").as("leader_id", meta))
+  }
+
+  /** The small-graph path of [[clusterLeaders]]: collect the cached
+    * symmetric edges (bounded by the measured cutoff), run classic
+    * union-find with path compression, roots pointed at the SMALLER
+    * id on every union — so each component's representative is its
+    * minimum id, exactly the fixpoint's label. Returns the same
+    * (doc_id, leader_id) schema with `cc_mode = driver-union-find`
+    * metadata; the label map is small, so downstream joins broadcast
+    * it. */
+  private def unionFindLeaders(
+      spark: SparkSession,
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    def asLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case other => sys.error(s"non-integral id: $other")
+    }
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        // path halving: point x at its grandparent, step up
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    val rows = edges.collect()
+    edges.unpersist(blocking = false)
+    rows.foreach { r =>
+      val ra = find(asLong(r.get(0)))
+      val rb = find(asLong(r.get(1)))
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        ()
+      }
+    }
+    val nodes = new java.util.HashSet[Long]()
+    rows.foreach { r =>
+      nodes.add(asLong(r.get(0))); nodes.add(asLong(r.get(1))); ()
+    }
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("cc_mode", "driver-union-find")
+      .putLong("cc_rounds", 0L)
+      .putBoolean("cc_converged", true)
+      .putLongArray("cc_round_ms", Array.empty[Long])
+      .build()
+    nodes.asScala.toSeq.map(n => (n, find(n)))
+      .toDF("doc_id", "leader_id")
+      .select(col("doc_id").cast(idType),
+        col("leader_id").cast(idType).as("leader_id", meta))
   }
 
   /** End-to-end near-dedup pipeline: MinHash LSH candidates →

@@ -62,10 +62,11 @@ class DedupSpec extends SparkSuite {
   test("clusterLeaders converges on long chains (pointer doubling)") {
     // path of diameter 20 with the minimum id in the middle: plain
     // neighbor propagation would need ~20 rounds, default maxIter=5
-    // must still converge via doubling
+    // must still converge via doubling (smallCutoff=0 forces the
+    // distributed fixpoint — this spec exists to test it)
     val ids = (100L to 109L) ++ Seq(1L) ++ (110L to 119L)
     val pairs = ids.zip(ids.tail).toSeq.toDF("a_id", "b_id")
-    val leaders = Dedup.clusterLeaders(pairs)
+    val leaders = Dedup.clusterLeaders(pairs, smallCutoff = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(leaders.values.toSet == Set(1L),
       s"chain not fully resolved: ${leaders.filter(_._2 != 1L)}")
@@ -73,13 +74,34 @@ class DedupSpec extends SparkSuite {
 
   test("clusterLeaders records per-round wall-clock in result metadata") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
-    val out = Dedup.clusterLeaders(pairs)
+    val out = Dedup.clusterLeaders(pairs, smallCutoff = 0L)
     val meta = out.schema("leader_id").metadata
+    assert(meta.getString("cc_mode") == "distributed-fixpoint")
     assert(meta.contains("cc_rounds") && meta.getLong("cc_rounds") >= 1)
     assert(meta.contains("cc_converged") && meta.getBoolean("cc_converged"))
     val ms = meta.getLongArray("cc_round_ms")
     assert(ms.length == meta.getLong("cc_rounds"),
       "one timing entry per executed round")
+  }
+
+  test("clusterLeaders small-graph gate: union-find equals the fixpoint exactly") {
+    // adversarial shapes: long chain (min in the middle), star,
+    // triangle + isolated pair, duplicate and self-referencing edges
+    val ids = (100L to 109L) ++ Seq(1L) ++ (110L to 119L)
+    val chain = ids.zip(ids.tail).toSeq
+    val extras = Seq((200L, 201L), (201L, 202L), (202L, 200L),
+      (300L, 301L), (300L, 301L), (400L, 400L))
+    val pairs = (chain ++ extras).toDF("a_id", "b_id")
+    val small = Dedup.clusterLeaders(pairs)
+    assert(small.schema("leader_id").metadata.getString("cc_mode") ==
+      "driver-union-find", "small pair set must take the gated path")
+    val gotSmall = small.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotBig = Dedup.clusterLeaders(pairs, smallCutoff = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSmall == gotBig,
+      s"paths diverge: ${gotSmall.toSet -- gotBig.toSet} vs " +
+        s"${gotBig.toSet -- gotSmall.toSet}")
   }
 
   test("nearDedupPipeline keeps one doc per near-dup cluster") {
