@@ -140,6 +140,21 @@ final class LsmState(
       // only after the pointer is durable; a crash here leaves
       // parts the manifest already masks out of every view
       folded.foreach(n => StateIO.delete(fs, s"$root/parts/$n"))
+      // retire superseded snapshots: every v* dir the pointer no
+      // longer names is dead weight — without this sweep, storage
+      // grows by one full snapshot per compaction, an
+      // O(state x versions) amplification a long-lived 100 TB fold
+      // cannot afford. Safe here: the compacted frame was fully
+      // materialized by the write above, views resolve through the
+      // pointer alone, and a crash before the sweep just leaves the
+      // stale dirs for the next compaction's sweep.
+      val keep = out.substring(out.lastIndexOf('/') + 1)
+      StateIO.listNames(fs, root)
+        .filter { n =>
+          val id = n.stripSuffix("c").drop(1)
+          n != keep && n.startsWith("v") && id.nonEmpty && id.forall(_.isDigit)
+        }
+        .foreach(n => StateIO.delete(fs, s"$root/$n"))
     }
 
   /** Final folded state — what callers hand to readers once the

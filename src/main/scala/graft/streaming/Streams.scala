@@ -73,6 +73,22 @@ object Streams {
       write(out)
       StateIO.writeStringAtomic(spark, fs, latestFile, out)
     }
+    // retire superseded model snapshots (the same sweep LsmState's
+    // compaction runs): each is small, but one dir PER TRIGGER is
+    // O(batches) namespace growth — a year of 1-minute triggers is
+    // ~500k dirs on whatever filesystem holds the state. write(out)
+    // fully materialized the new snapshot (reading the predecessor
+    // happened during that write), so the predecessor is dead. The
+    // sweep runs on the skip path too: a batch replaying after its
+    // own pointer move still reaps whatever a pre-crash run left.
+    val dir = out.substring(0, out.lastIndexOf('/'))
+    val keep = out.substring(out.lastIndexOf('/') + 1)
+    StateIO.listNames(fs, dir)
+      .filter { n =>
+        val id = n.drop(1)
+        n != keep && n.startsWith("v") && id.nonEmpty && id.forall(_.isDigit)
+      }
+      .foreach(n => StateIO.delete(fs, s"$dir/$n"))
   }
 
   /** Load the events stream. Schema-adaptive like [[graft.Tables.load]]:

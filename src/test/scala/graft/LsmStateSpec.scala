@@ -40,6 +40,15 @@ class LsmStateSpec extends SparkSuite {
           .map(_.map(_.getName).count(_.startsWith("b"))).getOrElse(0)
         assert(parts == 0, s"cadence-1 left $parts parts")
       }
+      // snapshot retirement: at most ONE v* dir survives any number
+      // of compactions — superseded snapshots are dead storage
+      val vdirs = Option(new java.io.File(root).listFiles())
+        .map(_.map(_.getName).filter { n =>
+          val id = n.stripSuffix("c").drop(1)
+          n.startsWith("v") && id.nonEmpty && id.forall(_.isDigit)
+        }.toSeq).getOrElse(Nil)
+      assert(vdirs.length <= 1,
+        s"cadence $cadence left superseded snapshots: $vdirs")
     }
   }
 

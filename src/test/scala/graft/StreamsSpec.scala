@@ -244,9 +244,7 @@ class StreamsSpec extends SparkSuite {
       .collect()
       .map(r => r.getAs[String]("bg") -> r.getAs[Long]("nb")).toMap
     assert(got == expect)
-    val versions = new java.io.File(base).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+    assertMultiBatchRetired(base)
   }
 
   test("incremental LM model: replay after pointer move does not double-count") {
@@ -324,9 +322,7 @@ class StreamsSpec extends SparkSuite {
       assert(df == expect(tok), s"df mismatch for '$tok'")
       assert(n == expectN)
     }
-    val versions = new java.io.File(base).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+    assertMultiBatchRetired(base)
   }
 
   test("incremental minhash pairs: multi-batch discovery equals batch d02") {
@@ -624,9 +620,7 @@ class StreamsSpec extends SparkSuite {
         (r.getAs[Long]("n"), r.getAs[Long]("nl"),
           r.getAs[Long]("mx"), r.getAs[Long]("tot"))).toMap
     assert(got == expect, "maintained disorder profile diverges from batch")
-    val versions = new java.io.File(base).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+    assertMultiBatchRetired(base)
   }
 
   test("incremental payload signatures: multi-batch fold equals batch dedup") {
@@ -650,9 +644,7 @@ class StreamsSpec extends SparkSuite {
       .map(r => r.getAs[String]("fp") ->
         (r.getAs[Long]("n_copies"), r.getAs[Long]("keeper"))).toMap
     assert(got == expect, "maintained signature table diverges from batch")
-    val versions = new java.io.File(base).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+    assertMultiBatchRetired(base)
   }
 
   test("incremental DSIR model: multi-batch fold equals batch counts") {
@@ -682,9 +674,7 @@ class StreamsSpec extends SparkSuite {
         (r.getAs[Long]("ct"), r.getAs[Long]("cr"))).toMap
     assert(got == expect,
       s"model diverged: ${(expect.toSet -- got.toSet).take(3)}")
-    val versions = new java.io.File(base).listFiles()
-      .map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length > 1, s"expected multiple batches: ${versions.toSeq}")
+    assertMultiBatchRetired(base)
   }
 
   test("incremental semantic screen: multi-batch replay equals batch d14") {
@@ -860,6 +850,22 @@ class StreamsSpec extends SparkSuite {
     val litter = new java.io.File(base).listFiles()
       .map(_.getName).filter(n => n.startsWith("_latest") && n.endsWith(".tmp"))
     assert(litter.isEmpty, s"temp pointer files left behind: ${litter.toSeq}")
+  }
+
+  /** Assert a publishSnapshot-based fold at `base` (1) processed
+    * multiple micro-batches — the durable pointer names v<id> with
+    * id > 0 — and (2) retired every superseded model snapshot, so
+    * exactly the pointed-at version dir remains (one dir per trigger
+    * forever would be O(batches) namespace growth). */
+  private def assertMultiBatchRetired(base: String): Unit = {
+    val ptr = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(base, "_latest")).trim
+    val name = ptr.substring(ptr.lastIndexOf('/') + 1)
+    assert(name.drop(1).toLong > 0, s"expected multiple batches: $ptr")
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).toSeq
+    assert(versions == Seq(name),
+      s"superseded snapshots not retired: $versions")
   }
 
   /** Write `chunks` as single-file id-ordered sources with pinned
