@@ -145,16 +145,10 @@ final class LsmState(
       // grows by one full snapshot per compaction, an
       // O(state x versions) amplification a long-lived 100 TB fold
       // cannot afford. Safe here: the compacted frame was fully
-      // materialized by the write above, views resolve through the
-      // pointer alone, and a crash before the sweep just leaves the
-      // stale dirs for the next compaction's sweep.
-      val keep = out.substring(out.lastIndexOf('/') + 1)
-      StateIO.listNames(fs, root)
-        .filter { n =>
-          val id = n.stripSuffix("c").drop(1)
-          n != keep && n.startsWith("v") && id.nonEmpty && id.forall(_.isDigit)
-        }
-        .foreach(n => StateIO.delete(fs, s"$root/$n"))
+      // materialized by the write above and views resolve through
+      // the pointer alone.
+      StateIO.retireVersions(fs, root,
+        out.substring(out.lastIndexOf('/') + 1))
     }
 
   /** Final folded state — what callers hand to readers once the
@@ -228,6 +222,19 @@ private[graft] object StateIO {
     fs.delete(new Path(path), true)
     ()
   }
+
+  /** The shared retirement sweep: delete every versioned snapshot
+    * dir (`v<digits>`, optional compaction-diversion `c` suffix)
+    * under `dir` except `keep`. Idempotent — callers run it after
+    * their pointer move, and a crash before it just leaves the stale
+    * dirs for the next sweep. */
+  def retireVersions(fs: FileSystem, dir: String, keep: String): Unit =
+    listNames(fs, dir)
+      .filter { n =>
+        val id = n.stripSuffix("c").drop(1)
+        n != keep && n.startsWith("v") && id.nonEmpty && id.forall(_.isDigit)
+      }
+      .foreach(n => delete(fs, s"$dir/$n"))
 }
 
 /** The bucketed-table sibling of [[LsmState]] for band/bucket INDEX

@@ -81,14 +81,9 @@ object Streams {
     // happened during that write), so the predecessor is dead. The
     // sweep runs on the skip path too: a batch replaying after its
     // own pointer move still reaps whatever a pre-crash run left.
-    val dir = out.substring(0, out.lastIndexOf('/'))
-    val keep = out.substring(out.lastIndexOf('/') + 1)
-    StateIO.listNames(fs, dir)
-      .filter { n =>
-        val id = n.drop(1)
-        n != keep && n.startsWith("v") && id.nonEmpty && id.forall(_.isDigit)
-      }
-      .foreach(n => StateIO.delete(fs, s"$dir/$n"))
+    StateIO.retireVersions(fs,
+      out.substring(0, out.lastIndexOf('/')),
+      out.substring(out.lastIndexOf('/') + 1))
   }
 
   /** Load the events stream. Schema-adaptive like [[graft.Tables.load]]:
