@@ -264,18 +264,33 @@ private[graft] object StateIO {
   * Lifecycle: the table name is a SHA-256 digest of the fold's base
   * dir (collision-proof across concurrent folds, unlike a 32-bit
   * hashCode), so a restarted fold on the same base resumes the same
-  * table. Short-lived callers (the verification wrappers) drop the
-  * table once the fold's result is materialized ([[drop]]); a
-  * production fold keeps it for the life of the pipeline and drops it
-  * at decommission. */
+  * table. Appends grow the table's FILE count by O(buckets) per
+  * trigger — a year of 1-minute triggers is millions of small files,
+  * the classic HDFS/S3 small-files failure — so [[maybeCompact]]
+  * periodically rewrites the live generation into a fresh table with
+  * one file per bucket behind a durable generation pointer, the same
+  * amortized trade as [[LsmState.maybeCompact]]. Short-lived callers
+  * (the verification wrappers) drop every generation once the fold's
+  * result is materialized ([[drop]]); a production fold keeps the
+  * live one for the life of the pipeline and drops it at
+  * decommission. */
 private[graft] final class BandState(
     spark: SparkSession,
     base: String,
     bucketCols: Seq[String],
     numBuckets: Int = 8) {
 
+  /** Generation-0 table name (pre-compaction, and the seed target for
+    * resuming state a prior run left at the digest name). */
   val table: String = BandState.tableName(base)
   private val fs = StateIO.fs(spark, base)
+  private val ptrFile = s"$base/band_gen"
+
+  /** The live generation's table: the durable pointer's, or
+    * generation 0 before any compaction has run. */
+  def liveTable: String =
+    StateIO.readString(fs, ptrFile).map(_.trim).filter(_.nonEmpty)
+      .getOrElse(table)
 
   /** The accumulated band index, or None before the first append.
     * Refreshes the relation first: the per-batch appends run through
@@ -283,11 +298,13 @@ private[graft] final class BandState(
     * invalidation doesn't reach this session's cached file listing —
     * without the refresh a cross-probe silently scans a stale band
     * set and misses cross-batch candidates. */
-  def scan(): Option[DataFrame] =
-    if (spark.catalog.tableExists(table)) {
-      spark.catalog.refreshTable(table)
-      Some(spark.table(table))
+  def scan(): Option[DataFrame] = {
+    val t = liveTable
+    if (spark.catalog.tableExists(t)) {
+      spark.catalog.refreshTable(t)
+      Some(spark.table(t))
     } else None
+  }
 
   /** Append one batch's bands, marker-guarded for replay idempotence.
     * The first append clears any stale managed location a crashed
@@ -295,12 +312,13 @@ private[graft] final class BandState(
   def append(id: Long, bands: DataFrame): Unit = {
     val mark = s"$base/band_marks/b$id"
     if (!StateIO.exists(fs, mark)) {
-      if (!spark.catalog.tableExists(table))
-        Streams.dropManagedTable(spark, table)
+      val t = liveTable
+      if (!spark.catalog.tableExists(t))
+        Streams.dropManagedTable(spark, t)
       bands.write
         .bucketBy(numBuckets, bucketCols.head, bucketCols.drop(1): _*)
         .sortBy(bucketCols.head, bucketCols.drop(1): _*)
-        .mode("append").saveAsTable(table)
+        .mode("append").saveAsTable(t)
       StateIO.writeString(fs, mark, "")
       // prune dead markers: only the latest not-yet-checkpointed
       // batch can ever replay, and batch `id` running means every
@@ -314,7 +332,49 @@ private[graft] final class BandState(
     }
   }
 
-  def drop(): Unit = Streams.dropManagedTable(spark, table)
+  /** Amortized file-count compaction, every `compactEvery` batches:
+    * rewrite the live generation into a fresh table (`<digest>_c<id>`)
+    * repartitioned to one file per bucket, move the generation
+    * pointer, then drop superseded generations. O(index) I/O paid
+    * 1/compactEvery of the time — the [[LsmState.maybeCompact]] trade
+    * applied to the bucketed index, bounding the table at
+    * O(buckets + appends-since-compaction) files instead of
+    * O(batches x buckets). Crash windows mirror LsmState's: a stale
+    * `_c` table from a pre-pointer-move crash is swept by the next
+    * compaction's generation sweep, and a batch replaying after its
+    * own pointer move skips (the pointer already names its
+    * generation). Bucketing is preserved, so the zero-index-side-
+    * exchange probe plan is unchanged across generations. */
+  def maybeCompact(id: Long, compactEvery: Int = 8): Unit =
+    if ((id + 1) % compactEvery == 0) {
+      val cur = liveTable
+      val next = s"${table}_c$id"
+      if (cur != next && spark.catalog.tableExists(cur)) {
+        import org.apache.spark.sql.functions.col
+        spark.catalog.refreshTable(cur)
+        Streams.dropManagedTable(spark, next) // pre-crash litter
+        spark.table(cur)
+          .repartition(numBuckets, bucketCols.map(col): _*)
+          .write
+          .bucketBy(numBuckets, bucketCols.head, bucketCols.drop(1): _*)
+          .sortBy(bucketCols.head, bucketCols.drop(1): _*)
+          .mode("overwrite").saveAsTable(next)
+        StateIO.writeStringAtomic(spark, fs, ptrFile, next)
+        generations().filterNot(_ == next)
+          .foreach(Streams.dropManagedTable(spark, _))
+      }
+    }
+
+  /** Every generation of this fold's band table in the catalog —
+    * the live one plus any crash litter. */
+  private def generations(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n == table || n.startsWith(s"${table}_c")).toSeq
+
+  def drop(): Unit = {
+    generations().foreach(Streams.dropManagedTable(spark, _))
+    StateIO.delete(fs, ptrFile)
+  }
 }
 
 private[graft] object BandState {

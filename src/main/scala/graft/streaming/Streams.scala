@@ -804,6 +804,7 @@ object Streams {
         pairsSt.append(id, newPairs)
         bands.append(id, newBands)
         pairsSt.maybeCompact(id)
+        bands.maybeCompact(id, compactEvery)
         newBands.unpersist(blocking = false)
         ()
       }
@@ -975,6 +976,7 @@ object Streams {
         bands.append(id, newBands)
         graphSt.maybeCompact(id)
         vecsSt.maybeCompact(id)
+        bands.maybeCompact(id, compactEvery)
         newBands.unpersist(blocking = false)
         ()
       }
@@ -1145,6 +1147,7 @@ object Streams {
         bands.append(id, newBands)
         pairsSt.maybeCompact(id)
         vecsSt.maybeCompact(id)
+        bands.maybeCompact(id, compactEvery)
         newBands.unpersist(blocking = false)
         ()
       }

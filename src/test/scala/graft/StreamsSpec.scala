@@ -386,7 +386,8 @@ class StreamsSpec extends SparkSuite {
     // exchanges ONLY the new side (broadcast off to force the
     // sort-merge regime — the 100 TB shape, where the batch outgrows
     // the broadcast threshold)
-    val stored = spark.table(graft.streaming.BandState.tableName(base))
+    val stored = new graft.streaming.BandState(spark, base, Seq("tbl", "bkt"))
+      .scan().get
     val probe = graft.operators.Similarity
       .embBandTable(emb.limit(20), "vec_id", "embedding")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -1087,8 +1088,8 @@ class StreamsSpec extends SparkSuite {
     val marks = new java.io.File(s"$base/band_marks").listFiles()
       .map(_.getName).filter(_.startsWith("b")).sorted
     assert(marks.sameElements(Array("b1")), s"markers: ${marks.toSeq}")
-    graft.streaming.Streams.dropManagedTable(
-      spark, graft.streaming.BandState.tableName(base))
+    new graft.streaming.BandState(
+      spark, base, Seq("band", "band_hash")).drop()
   }
 
   test("graph fold compacts mid-stream: pruned snapshot still yields exact s16 + d11") {
@@ -1139,8 +1140,22 @@ class StreamsSpec extends SparkSuite {
     assert(got == expect,
       s"compacted-state verdict diverges from batch d11: " +
         s"${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
-    graft.streaming.Streams.dropManagedTable(
-      spark, graft.streaming.BandState.tableName(base))
+    // the band table compacted too: the generation pointer names a
+    // _c table, generation 0 is dropped, and the live generation's
+    // file count is bounded by buckets + appends since compaction
+    // (not O(batches x buckets))
+    val bands = new graft.streaming.BandState(spark, base, Seq("tbl", "bkt"))
+    val gen0 = graft.streaming.BandState.tableName(base)
+    val live = bands.liveTable
+    assert(live.startsWith(s"${gen0}_c"),
+      s"band generation pointer did not advance: $live")
+    assert(!spark.catalog.tableExists(gen0),
+      "superseded band generation 0 was not dropped")
+    assert(bands.scan().get.count() > 0, "live band generation unreadable")
+    bands.drop()
+    assert(!spark.catalog.tableExists(live) &&
+      !new java.io.File(s"$base/band_gen").exists(),
+      "drop() left band generations or the pointer behind")
   }
 
   test("one-pass model suite (p19): every maintained model equals its batch twin") {
