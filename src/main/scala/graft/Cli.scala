@@ -60,6 +60,11 @@ object Cli {
       |                                nulls, referential integrity)
       |  tables                        list queryable tables/views
       |  schema <table>                column names/types
+      |  state <foldBase>              inspect a streaming fold's
+      |                                durable state (pointers, parts,
+      |                                snapshots, band generations) —
+      |                                control files only, safe
+      |                                against a live fold
       |  version                       library version
       |""".stripMargin
 
@@ -129,6 +134,9 @@ object Cli {
       case "version" :: Nil =>
         Some(Seq(("graft", "0.4.0"),
           ("spark", spark.version)).toDF("component", "version"))
+
+      case "state" :: b :: Nil =>
+        Some(graft.streaming.Streams.foldState(spark, b))
 
       case "status" :: Nil =>
         val age = reg.dataAgeDays

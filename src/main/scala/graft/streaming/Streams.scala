@@ -1867,4 +1867,56 @@ object Streams {
       .toDF()
       .orderBy("user_id")
   }
+
+  /** Operational inspection of a fold's durable state under `base` —
+    * the `graft.Cli state <base>` surface. One row per state store
+    * (any dir holding a `_latest` pointer and/or a `parts/` level)
+    * plus one row for the band index when the fold keeps one:
+    * pointer target, live part count, retained snapshot count,
+    * replay-marker count. Driver-side control-file listing only —
+    * never scans data — so it is safe against a LIVE fold, exactly
+    * like the reference's `status` against its data dir
+    * (hangarbay/cli.py:133 status; api.py:338 status()). */
+  def foldState(spark: SparkSession, base: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = StateIO.fs(spark, base)
+    def isDir(p: String): Boolean =
+      fs.exists(new Path(p)) && fs.getFileStatus(new Path(p)).isDirectory
+    def storeRow(rel: String, dir: String): Option[
+        (String, String, Long, Long, Long)] = {
+      val names = StateIO.listNames(fs, dir)
+      if (!names.contains("_latest") && !names.contains("parts")) None
+      else {
+        val ptr = StateIO.readString(fs, s"$dir/_latest")
+          .map(_.trim).getOrElse("")
+        val parts = StateIO.listNames(fs, s"$dir/parts")
+          .count(_.startsWith("b")).toLong
+        val versions = names.count { n =>
+          val id = n.stripSuffix("c").drop(1)
+          n.startsWith("v") && id.nonEmpty && id.forall(_.isDigit)
+        }.toLong
+        val marks = StateIO.listNames(fs, s"$dir/band_marks")
+          .count(_.startsWith("b")).toLong
+        Some((rel, ptr, parts, versions, marks))
+      }
+    }
+    val top = StateIO.listNames(fs, base)
+    val stores = storeRow(".", base).toSeq ++ top.sorted
+      .filterNot(Set("parts", "ckpt", "band_marks").contains)
+      .filter(n => isDir(s"$base/$n"))
+      .flatMap(n => storeRow(n, s"$base/$n"))
+    val bands = new BandState(spark, base, Nil)
+    val bandRow =
+      if (StateIO.exists(fs, s"$base/band_gen") ||
+          spark.catalog.tableExists(bands.table)) {
+        val live = bands.liveTable
+        val marks = StateIO.listNames(fs, s"$base/band_marks")
+          .count(_.startsWith("b")).toLong
+        Seq(("band_index", live,
+          if (spark.catalog.tableExists(live)) 1L else 0L, 1L, marks))
+      } else Nil
+    (stores ++ bandRow)
+      .toDF("store", "pointer", "live_parts", "versions", "markers")
+  }
 }

@@ -853,6 +853,42 @@ class StreamsSpec extends SparkSuite {
     assert(litter.isEmpty, s"temp pointer files left behind: ${litter.toSeq}")
   }
 
+  test("fold-state inspection reads pointers/parts/generations without scanning data") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_state_cmd").toString
+    // a compacted sub-store (pointer set, parts folded away) ...
+    val docsSt = new graft.streaming.LsmState(
+      spark, s"$base/docs", identity, compactEvery = 2)
+    docsSt.append(0, Seq((1L, "a")).toDF("id", "v"))
+    docsSt.append(1, Seq((2L, "b")).toDF("id", "v"))
+    docsSt.maybeCompact(1)
+    // ... a fresh sub-store (one live part, no snapshot yet) ...
+    val pairsSt = new graft.streaming.LsmState(
+      spark, s"$base/pairs", identity, compactEvery = 8)
+    pairsSt.append(0, Seq((1L, 2L)).toDF("a", "b"))
+    // ... and a band index with one marker-guarded append
+    val bands = new graft.streaming.BandState(spark, base, Seq("band"))
+    bands.append(0, Seq(("x", 1L)).toDF("band", "doc_id"))
+    try {
+      val rows = graft.streaming.Streams.foldState(spark, base)
+        .collect().map(r => r.getString(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val docs = rows("docs")
+      assert(docs._1.endsWith("/v1") && docs._2 == 0L && docs._3 == 1L,
+        s"docs store misreported: $docs")
+      val pairs = rows("pairs")
+      assert(pairs._1.isEmpty && pairs._2 == 1L && pairs._3 == 0L,
+        s"pairs store misreported: $pairs")
+      val band = rows("band_index")
+      assert(band._1 == bands.liveTable && band._2 == 1L && band._4 == 1L,
+        s"band index misreported: $band")
+      // the CLI surface returns the same frame (registry untouched)
+      val cli = Cli.run(spark, base, Seq("state", base), _ => ()).get
+      assert(cli.collect().length == rows.size)
+    } finally bands.drop()
+  }
+
   /** Assert a publishSnapshot-based fold at `base` (1) processed
     * multiple micro-batches — the durable pointer names v<id> with
     * id > 0 — and (2) retired every superseded model snapshot, so
