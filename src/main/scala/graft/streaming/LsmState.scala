@@ -63,8 +63,10 @@ final class LsmState(
     spark: SparkSession,
     root: String,
     fold: DataFrame => DataFrame,
-    compactEvery: Int = 8) {
+    compactEvery: Int = 8,
+    retain: Int = 0) {
   require(compactEvery >= 1, s"compactEvery must be >= 1: $compactEvery")
+  require(retain >= 0, s"retain must be >= 0: $retain")
 
   // all control-file IO (pointer, manifest, part listing/cleanup)
   // goes through the Hadoop FileSystem resolved from the root's
@@ -144,11 +146,13 @@ final class LsmState(
       // longer names is dead weight — without this sweep, storage
       // grows by one full snapshot per compaction, an
       // O(state x versions) amplification a long-lived 100 TB fold
-      // cannot afford. Safe here: the compacted frame was fully
-      // materialized by the write above and views resolve through
-      // the pointer alone.
+      // cannot afford. Safe for the fold itself (views resolve
+      // through the pointer alone and the compacted frame was fully
+      // materialized by the write above); a deployment with DETACHED
+      // readers that hold a resolved snapshot across compactions
+      // sets retain >= 1 for a grace window.
       StateIO.retireVersions(fs, root,
-        out.substring(out.lastIndexOf('/') + 1))
+        out.substring(out.lastIndexOf('/') + 1), retain)
     }
 
   /** Final folded state — what callers hand to readers once the
@@ -223,17 +227,33 @@ private[graft] object StateIO {
     ()
   }
 
-  /** The shared retirement sweep: delete every versioned snapshot
-    * dir (`v<digits>`, optional compaction-diversion `c` suffix)
-    * under `dir` except `keep`. Idempotent — callers run it after
+  /** Is `name` a versioned snapshot dir (`v<digits>`, optional
+    * compaction-diversion `c` suffix)? The ONE classifier every
+    * sweep and inspection shares — a second naming scheme must land
+    * here or nowhere. */
+  def isVersionDir(name: String): Boolean = {
+    val id = name.stripSuffix("c").drop(1)
+    name.startsWith("v") && id.nonEmpty && id.forall(_.isDigit)
+  }
+
+  private def versionId(name: String): Long =
+    name.stripSuffix("c").drop(1).toLong
+
+  /** The shared retirement sweep: delete versioned snapshot dirs
+    * under `dir` except `keep` and the `retain` newest superseded
+    * ones. retain=0 (the fold-owned default) keeps only the
+    * pointed-at snapshot; retain>0 leaves a grace window for
+    * DETACHED readers — a consumer that resolved the pointer and is
+    * still scanning the previous snapshot when the next compaction
+    * lands survives retain >= 1. Idempotent — callers run it after
     * their pointer move, and a crash before it just leaves the stale
     * dirs for the next sweep. */
-  def retireVersions(fs: FileSystem, dir: String, keep: String): Unit =
+  def retireVersions(
+      fs: FileSystem, dir: String, keep: String, retain: Int = 0): Unit =
     listNames(fs, dir)
-      .filter { n =>
-        val id = n.stripSuffix("c").drop(1)
-        n != keep && n.startsWith("v") && id.nonEmpty && id.forall(_.isDigit)
-      }
+      .filter(n => n != keep && isVersionDir(n))
+      .sortBy(versionId)
+      .dropRight(retain)
       .foreach(n => delete(fs, s"$dir/$n"))
 }
 
@@ -345,7 +365,7 @@ private[graft] final class BandState(
     * own pointer move skips (the pointer already names its
     * generation). Bucketing is preserved, so the zero-index-side-
     * exchange probe plan is unchanged across generations. */
-  def maybeCompact(id: Long, compactEvery: Int = 8): Unit =
+  def maybeCompact(id: Long, compactEvery: Int = 8, retain: Int = 0): Unit =
     if ((id + 1) % compactEvery == 0) {
       val cur = liveTable
       val next = s"${table}_c$id"
@@ -360,16 +380,34 @@ private[graft] final class BandState(
           .sortBy(bucketCols.head, bucketCols.drop(1): _*)
           .mode("overwrite").saveAsTable(next)
         StateIO.writeStringAtomic(spark, fs, ptrFile, next)
+        // retain, like LsmState's: newest superseded generations
+        // survive as a grace window for detached readers
         generations().filterNot(_ == next)
+          .sortBy(genId).dropRight(retain)
           .foreach(Streams.dropManagedTable(spark, _))
       }
     }
 
-  /** Every generation of this fold's band table in the catalog —
-    * the live one plus any crash litter. */
-  private def generations(): Seq[String] =
-    spark.catalog.listTables().collect().map(_.name)
-      .filter(n => n == table || n.startsWith(s"${table}_c")).toSeq
+  private def genId(name: String): Long =
+    if (name == table) -1L else name.drop(table.length + 2).toLong
+
+  /** Every generation of this fold's band table: catalog entries
+    * UNION warehouse directories. The disk side matters after a JVM
+    * crash — an in-memory catalog dies with its JVM, so a stale
+    * `_c` generation written before a crash would otherwise be
+    * invisible to the sweep and leak a full O(index) copy forever.
+    * (With a durable metastore the catalog side already covers it;
+    * the union is correct in both worlds.) */
+  private[streaming] def generations(): Seq[String] = {
+    val inCatalog = spark.catalog.listTables().collect().map(_.name)
+    val onDisk = Option(new java.io.File(BandState.warehouseRoot(spark))
+      .list()).getOrElse(Array.empty[String])
+    (inCatalog ++ onDisk).toSeq.distinct.filter { n =>
+      val id = n.drop(table.length + 2)
+      n == table || (n.startsWith(s"${table}_c") &&
+        id.nonEmpty && id.forall(_.isDigit))
+    }
+  }
 
   def drop(): Unit = {
     generations().foreach(Streams.dropManagedTable(spark, _))
@@ -385,5 +423,13 @@ private[graft] object BandState {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(base.getBytes("UTF-8"))
     s"graft_bands_${digest.take(8).map("%02x".format(_)).mkString}"
+  }
+
+  /** Local filesystem root of the managed-table warehouse (the same
+    * resolution [[Streams.dropManagedTable]] uses). */
+  private[streaming] def warehouseRoot(spark: SparkSession): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if (wh.startsWith("file:"))
+      java.nio.file.Paths.get(new java.net.URI(wh)).toString else wh
   }
 }
