@@ -463,7 +463,7 @@ object Cli {
       val (skipAge, rest) = parseSkipAgeCheck(rest0)
       val sink: String => Unit =
         if (skipAge) { (m: String) =>
-          if (!m.startsWith("WARNING: registry data is"))
+          if (!m.startsWith(graft.registry.Registry.StaleWarningPrefix))
             Console.err.println(m)
         } else { (m: String) => Console.err.println(m) }
       run(spark, args.head, rest, sink)

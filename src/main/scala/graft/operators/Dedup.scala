@@ -194,12 +194,18 @@ object Dedup {
       lit(1.0) - pow(
         lit(1.0) - pow(lit(s), col("rows_per_band").cast("double")),
         col("bands").cast("double"))
-    // snap the ±0.2 probe similarities back to one decimal: double
-    // arithmetic gives 0.5 - 0.2 = 0.30000000000000004, while the
-    // DuckDB oracle (and any reader of the report) uses the exact
-    // literal 0.3 — the 4-dp floor truncation downstream can flip on
-    // the discrepancy for non-default thresholds
-    def probe(s: Double): Double = math.rint(s * 10) / 10
+    // snap the ±0.2 probe similarities back to one decimal ONLY when
+    // they already sit within float-noise of one: double arithmetic
+    // gives 0.5 - 0.2 = 0.30000000000000004, while the DuckDB oracle
+    // (and any reader of the report) uses the exact literal 0.3 — the
+    // 4-dp floor truncation downstream can flip on the discrepancy.
+    // A genuine two-decimal threshold (0.55 → probes 0.35/0.75) is
+    // NOT near a one-decimal value and must pass through unmoved;
+    // unconditional rounding would shift those probes by up to 0.05.
+    def probe(s: Double): Double = {
+      val r = math.rint(s * 10) / 10
+      if (math.abs(r - s) < 1e-9) r else s
+    }
     spark.range(1, numHashes + 1L).toDF("bands")
       .filter((lit(numHashes) % col("bands")) === 0)
       .withColumn("rows_per_band",
@@ -224,20 +230,78 @@ object Dedup {
     * Same scale shape as the LSH paths: one hash shuffle on the block
     * key, pair volume bounded by block size (pick block keys the way
     * you'd pick LSH bands — tight enough that a block fits a task),
-    * codegen'd levenshtein only within blocks, never all-pairs. */
+    * codegen'd levenshtein only within blocks, never all-pairs.
+    *
+    * Hot-block guard (result-invisible, like salting): one HOT block
+    * key — a common surname/city in real linkage data — would
+    * otherwise land its whole O(m²) verify in a single task. Blocks
+    * measured above `maxBlockRows` are split into g = ⌈m/maxBlockRows⌉
+    * deterministic sub-blocks (hash of id), and pairs are generated
+    * per unordered sub-block CELL (i ≤ j): a row with sub-block u
+    * joins on the left for cells (u, j≥u) and on the right for cells
+    * (i≤u, u), so every within-block pair lands in exactly one cell —
+    * the triangle partitioning of the all-pairs square. The m² verify
+    * then spreads over g(g+1)/2 shuffle keys at ≤ maxBlockRows² pairs
+    * each, at a replication cost of g+1 copies of each hot row —
+    * O(m²/maxBlockRows) shuffled rows, vanishing next to the m²
+    * distance evaluations they unlock. Cold blocks take g = 1, which
+    * degenerates to exactly the unguarded single-cell join (one copy
+    * per side, a.id < b.id), so the output pair set is IDENTICAL for
+    * any maxBlockRows (equality-spec'd in DedupSpec against an
+    * adversarial hot-block fixture). The size measurement itself is
+    * one narrow count aggregate on the block key — the same
+    * measure-first posture as [[Scale.adaptiveJoin]] / q43. */
   def fuzzyMatchPairs(
       df: DataFrame,
       idCol: Column,
       nameCol: Column,
       blockKeys: Seq[Column],
-      maxDistance: Int = 1): DataFrame = {
+      maxDistance: Int = 1,
+      maxBlockRows: Int = 2048): DataFrame = {
+    require(maxBlockRows > 0, s"maxBlockRows must be positive: $maxBlockRows")
     val base = df.select(Seq(idCol.as("id"), nameCol.as("name")) ++
       blockKeys.zipWithIndex.map { case (c, i) => c.as(s"__blk$i") }: _*)
-    val a = base.alias("a")
-    val b = base.alias("b")
-    val sameBlock = blockKeys.indices
+    val blkIdx = blockKeys.indices
+    // measure: block sizes (narrow keys, map-side-combined count);
+    // joined back null-safely because the pair join below matches
+    // null block keys to each other (<=>) and the guard must see
+    // those blocks' sizes too
+    // fresh aliases on the count side: the groupBy keys would
+    // otherwise carry base's own attribute ids into the join
+    // condition (counts derives from base) — a self-join ambiguity
+    val counts = base.groupBy(blkIdx.map(i => col(s"__blk$i")): _*)
+      .agg(count(lit(1)).as("__m"))
+      .select(blkIdx.map(i => col(s"__blk$i").as(s"__cblk$i")) :+
+        col("__m"): _*)
+    val countCond = blkIdx
+      .map(i => col(s"__blk$i") <=> col(s"__cblk$i")).reduce(_ && _)
+    val withSub = base.join(counts, countCond)
+      .select(Seq(col("id"), col("name")) ++
+        blkIdx.map(i => col(s"__blk$i")) :+
+        when(col("__m") > maxBlockRows,
+          ceil(col("__m") / lit(maxBlockRows.toDouble)).cast("long"))
+          .otherwise(lit(1L)).as("__g"): _*)
+      .withColumn("__u", pmod(xxhash64(col("id")), col("__g")))
+    // left side owns the cell row-coordinate (i = u, j explodes up);
+    // right side owns the column (j = u, i explodes down) — each
+    // unordered pair of sub-blocks meets in exactly one (i, j) cell
+    val left = withSub
+      .withColumn("__j", explode(sequence(col("__u"), col("__g") - 1)))
+      .withColumnRenamed("__u", "__i").drop("__g")
+    val right = withSub
+      .withColumn("__i", explode(sequence(lit(0L), col("__u"))))
+      .withColumnRenamed("__u", "__j").drop("__g")
+    val a = left.alias("a")
+    val b = right.alias("b")
+    val sameBlock = blkIdx
       .map(i => col(s"a.__blk$i") <=> col(s"b.__blk$i")).reduce(_ && _)
-    a.join(b, sameBlock && col("a.id") < col("b.id"))
+    val sameCell = col("a.__i") === col("b.__i") &&
+      col("a.__j") === col("b.__j")
+    // diagonal cells (i = j) hold both orderings of each pair — keep
+    // one by id; off-diagonal cells hold each pair exactly once
+    val onceOnly = (col("a.__i") =!= col("a.__j")) ||
+      (col("a.id") < col("b.id"))
+    a.join(b, sameBlock && sameCell && onceOnly)
       // Catalyst pushes the deterministic filter back through the
       // Project by alias substitution, so levenshtein lands in BOTH
       // the join condition and the projection (verified on the
@@ -245,7 +309,8 @@ object Dedup {
       // one O(len²) distance per candidate pair; the projection
       // re-evaluates only for the dist ≤ maxDistance SURVIVORS, a
       // vanishing fraction of candidates under any useful threshold
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+      .select(least(col("a.id"), col("b.id")).as("a_id"),
+        greatest(col("a.id"), col("b.id")).as("b_id"),
         levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
       .filter(col("dist") <= maxDistance)
   }

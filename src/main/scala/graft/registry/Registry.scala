@@ -54,7 +54,7 @@ class Registry(
     * instead of losing it to stderr. */
   private def warnIfStale(): Unit =
     dataAgeDays.filter(_ >= 30).foreach { d =>
-      warningSink(s"WARNING: registry data is $d days old. " +
+      warningSink(s"${Registry.StaleWarningPrefix} $d days old. " +
         "Run the update pipeline (Ingest.fromZip / normalize) to refresh.")
     }
 
@@ -297,4 +297,10 @@ object Registry {
 
   /** Default saved-table name for the materialized FTS index. */
   val FtsTable: String = "graft_owners_fts"
+
+  /** Prefix of the staleness warning emitted by `warnIfStale` —
+    * shared with Cli's `--skip-age-check` filter so rewording the
+    * warning can't silently decouple the flag (the old string-literal
+    * coupling broke with no test failure at the call site). */
+  val StaleWarningPrefix: String = "WARNING: registry data is"
 }

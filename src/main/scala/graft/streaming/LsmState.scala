@@ -397,11 +397,15 @@ private[graft] final class BandState(
     * `_c` generation written before a crash would otherwise be
     * invisible to the sweep and leak a full O(index) copy forever.
     * (With a durable metastore the catalog side already covers it;
-    * the union is correct in both worlds.) */
+    * the union is correct in both worlds.) The disk listing goes
+    * through the Hadoop FileSystem API like every other control-file
+    * read here — a java.io.File listing would silently see nothing
+    * under a non-local warehouse (HDFS/S3) and leak the pre-crash
+    * `_c` generation exactly where the sweep matters most. */
   private[streaming] def generations(): Seq[String] = {
     val inCatalog = spark.catalog.listTables().collect().map(_.name)
-    val onDisk = Option(new java.io.File(BandState.warehouseRoot(spark))
-      .list()).getOrElse(Array.empty[String])
+    val whRoot = BandState.warehouseRoot(spark)
+    val onDisk = StateIO.listNames(StateIO.fs(spark, whRoot), whRoot)
     (inCatalog ++ onDisk).toSeq.distinct.filter { n =>
       val id = n.drop(table.length + 2)
       n == table || (n.startsWith(s"${table}_c") &&

@@ -64,7 +64,8 @@ object Streams {
     * [[LsmState]], whose per-batch writes are O(batch) by
     * construction. */
   private def publishSnapshot(
-      spark: SparkSession, latestFile: String, out: String)(
+      spark: SparkSession, latestFile: String, out: String,
+      retain: Int = 0)(
       write: String => Unit): Unit = {
     val fs = StateIO.fs(spark, latestFile)
     val current = StateIO.readString(fs, latestFile)
@@ -78,12 +79,16 @@ object Streams {
     // O(batches) namespace growth — a year of 1-minute triggers is
     // ~500k dirs on whatever filesystem holds the state. write(out)
     // fully materialized the new snapshot (reading the predecessor
-    // happened during that write), so the predecessor is dead. The
-    // sweep runs on the skip path too: a batch replaying after its
-    // own pointer move still reaps whatever a pre-crash run left.
+    // happened during that write), so the predecessor is dead — to
+    // the FOLD. A deployment with DETACHED readers (a consumer that
+    // resolved the pointer and is still scanning the previous
+    // snapshot when this trigger lands) sets retain >= 1 for a grace
+    // window, the same escape hatch LsmState documents. The sweep
+    // runs on the skip path too: a batch replaying after its own
+    // pointer move still reaps whatever a pre-crash run left.
     StateIO.retireVersions(fs,
       out.substring(0, out.lastIndexOf('/')),
-      out.substring(out.lastIndexOf('/') + 1))
+      out.substring(out.lastIndexOf('/') + 1), retain)
   }
 
   /** Load the events stream. Schema-adaptive like [[graft.Tables.load]]:
@@ -855,7 +860,7 @@ object Streams {
     * globally-kept edge survives every intermediate prune (top-k:
     * it is top-k in every subset containing it; threshold: kept
     * unconditionally). */
-  private def graphFold(k: Int, keepThreshold: Option[Double])(
+  private[graft] def graphFold(k: Int, keepThreshold: Option[Double])(
       edges: DataFrame): DataFrame = keepThreshold match {
     case None =>
       // plain top-k: the bounded-heap aggregate — k-row state,
@@ -870,15 +875,35 @@ object Streams {
         .select(col("vec_id"), col("col.id").as("nbr_id"),
           col("col.score").as("sim"))
     case Some(t) =>
-      // retention prune: the bounded heap can't carry the unbounded
-      // above-threshold extras, so this variant ranks per node (the
-      // same (sim desc, nbr_id) total order as the heap) and keeps
-      // rank ≤ k OR sim > t
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("sim").desc, col("nbr_id"))
-      edges.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= k || col("sim") > t)
-        .drop("__rn")
+      // retention prune: keep rank ≤ k OR sim > t — computed WITHOUT
+      // sorting each node's full retained edge set. (The previous
+      // row_number window re-sorted every node's edges at every
+      // compaction; a dense duplicate cluster has unbounded
+      // above-threshold degree, making that O(edges log edges) per
+      // hot node.) Above-threshold edges are kept by a plain filter
+      // (no sort, predicate pushes to the parquet scan). The top-k
+      // complement comes from the bounded heap over only the
+      // sim ≤ t edges: under the (sim desc, nbr_id) order every
+      // above-threshold edge outranks every sim ≤ t edge, so a
+      // sim ≤ t edge's overall rank is h + (rank among sim ≤ t
+      // edges) where h = the node's above-threshold degree — it
+      // survives iff its heap position < k − h. Identical output to
+      // the windowed form (equality spec in StreamsSpec), bounded
+      // O(k) state per node.
+      val above = edges.filter(col("sim") > t)
+      val hDeg = above.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("__h"))
+      val belowTop = edges.filter(col("sim") <= t)
+        .groupBy(col("vec_id"))
+        .agg(graft.operators.Similarity
+          .topKAgg(col("sim"), col("nbr_id"), k).as("top"))
+        .select(col("vec_id"), posexplode(col("top")))
+        .join(hDeg, Seq("vec_id"), "left")
+        .filter(col("pos") < lit(k.toLong) - coalesce(col("__h"), lit(0L)))
+        .select(col("vec_id"), col("col.id").as("nbr_id"),
+          col("col.score").as("sim"))
+      above.select(col("vec_id"), col("nbr_id"), col("sim"))
+        .unionByName(belowTop)
   }
 
   /** p15: incremental k-NN GRAPH maintenance — s16's corpus-wide
@@ -1526,8 +1551,11 @@ object Streams {
     * APPENDS its own verdicts with no probe against prior state at
     * all — O(batch) reads AND writes per trigger (round 9 rewrote the
     * whole verdict accumulator each batch); replays overwrite their
-    * part, the fold's id-dedup covers only the compaction crash
-    * window. A NEW eval set is a different screen: run a fresh
+    * part, and the fold is the identity — the compaction crash
+    * window is covered by the _folded manifest (a crashed compaction
+    * leaves no manifest, so its partial output is invisible), not by
+    * any id-dedup in the fold. A NEW eval set is a different screen:
+    * run a fresh
     * instance against the accumulated corpus (one batch pass), it
     * does not invalidate this one's state. */
   def incrementalSemanticScreen(
@@ -1589,8 +1617,9 @@ object Streams {
     * [[graft.operators.Dedup.dupSpansFromIndex]] screen over the same
     * rows under ANY micro-batch chunking (replay spec in
     * StreamsSpec); each batch APPENDS its verdicts as an [[LsmState]]
-    * part — pure O(batch), no probe against prior verdicts (the
-    * fold's id-dedup covers only the compaction crash window). Index
+    * part — pure O(batch), no probe against prior verdicts (the fold
+    * is the identity; compaction crashes are covered by the _folded
+    * manifest, which a crashed compaction never publishes). Index
     * REBUILD cadence is a publish decision, exactly as the IVF
     * layout's quantizer. */
   def incrementalSpanScreen(

@@ -538,4 +538,62 @@ class DedupSpec extends SparkSuite {
     assert(t03.getAs[Double]("p_at") == pAt03)
     assert(t03.getAs[Double]("p_below") == pBelow03)
   }
+
+  test("bandingPlan: non-grid thresholds pass through unsnapped") {
+    // 0.55 is legal ([0.2, 0.8]) but NOT on the one-decimal grid —
+    // its probes must be computed at exactly 0.35/0.55/0.75, not
+    // snapped to 0.4/0.6/0.8 (which would shift them by 0.05)
+    val got = Dedup.bandingPlan(spark, threshold = 0.55)
+      .filter(col("bands") === 16).head
+    def p(s: Double): Double = math.floor(
+      (1.0 - math.pow(1.0 - math.pow(s, 4), 16)) * 10000) / 10000
+    assert(got.getAs[Double]("p_at") == p(0.55))
+    assert(got.getAs[Double]("p_below") == p(0.35))
+    assert(got.getAs[Double]("p_above") == p(0.75))
+  }
+
+  // Adversarial hot block: every row shares ONE block key, so the
+  // unguarded join would put the whole O(m²) verify in a single
+  // shuffle key. The guard (maxBlockRows) must split it across
+  // triangle cells WITHOUT changing the output pair set.
+  test("fuzzyMatchPairs: hot-block sub-blocking is result-invisible") {
+    // 240 rows in one block; names come in runs of 3 sharing a stem,
+    // with single-char variants — each run yields 3 distance-1 pairs
+    val hot = (0 until 240).map { i =>
+      (i.toLong, s"record${"%03d".format(i / 3)}${('a' + i % 3).toChar}",
+        "SEG")
+    }.toDF("id", "name", "seg")
+    def run(cap: Int) = Dedup.fuzzyMatchPairs(
+        hot, col("id"), col("name"), Seq(col("seg")),
+        maxDistance = 1, maxBlockRows = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unguarded = run(Int.MaxValue) // g = 1: the pre-guard join shape
+    val guarded = run(32)             // g = ceil(240/32) = 8 sub-blocks
+    assert(guarded == unguarded,
+      s"sub-blocking changed the pair set: ${guarded.diff(unguarded)} / " +
+        s"${unguarded.diff(guarded)}")
+    // the fixture really exercises the guard: every 3-row run's 3
+    // within-run pairs must be present (cross-run digit variants like
+    // record001a/record002a are ALSO distance 1 — fine, both paths
+    // must agree on those too, which the equality above checks)
+    val withinRun = (0 until 240 by 3).flatMap(i => Seq(
+      (i.toLong, i + 1L, 1L), (i.toLong, i + 2L, 1L),
+      (i + 1L, i + 2L, 1L))).toSet
+    assert(withinRun.subsetOf(unguarded))
+    assert(unguarded.forall { case (a, b, _) => a < b })
+  }
+
+  test("fuzzyMatchPairs: null block keys match each other under the guard") {
+    val df = Seq(
+      (1L, "alpha", Option.empty[String]),
+      (2L, "alphb", Option.empty[String]),
+      (3L, "alpha", Option("X"))
+    ).toDF("id", "name", "seg")
+    val pairs = Dedup.fuzzyMatchPairs(
+        df, col("id"), col("name"), Seq(col("seg")),
+        maxDistance = 1, maxBlockRows = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nulls block together (null <=> null); the non-null row is alone
+    assert(pairs == Set((1L, 2L)))
+  }
 }

@@ -1333,4 +1333,34 @@ class StreamsSpec extends SparkSuite {
       s"threshold retention perturbed the k-NN view: " +
         s"extra=${(kView -- s16).take(3)}, missing=${(s16 -- kView).take(3)}")
   }
+
+  test("graphFold threshold prune equals the windowed rank<=k OR sim>t form") {
+    import spark.implicits._
+    // dense cluster: node 1 has 40 above-threshold edges (every one
+    // must survive, well past k); node 2 straddles (2 above, k fills
+    // from below); node 3 all below threshold (pure top-k); ties on
+    // sim broken by nbr_id exactly as the heap's total order
+    val edges = (
+      (1 to 40).map(i => (1L, 100L + i, 0.9 - i * 0.001)) ++
+      Seq((2L, 201L, 0.8), (2L, 202L, 0.75)) ++
+      (1 to 8).map(i => (2L, 210L + i, 0.2)) ++
+      (1 to 8).map(i => (3L, 300L + i, 0.25 - i * 0.01))
+    ).toDF("vec_id", "nbr_id", "sim")
+    val k = 5
+    val t = 0.3
+    val got = graft.streaming.Streams.graphFold(k, Some(t))(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("nbr_id"))
+    val expect = edges.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k || col("sim") > t)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+    assert(got == expect,
+      s"extra=${(got -- expect).take(5)}, missing=${(expect -- got).take(5)}")
+    // sanity on the fixture's intent
+    assert(got.count(_._1 == 1L) == 40, "above-threshold edges truncated")
+    assert(got.count(_._1 == 2L) == 5, "straddling node must hold rank<=k")
+    assert(got.count(_._1 == 3L) == 5, "below-threshold node is pure top-k")
+  }
 }
