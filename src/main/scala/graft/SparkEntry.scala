@@ -4091,7 +4091,9 @@ object SparkEntry {
       // re-derived from the raw corpus: distinct char bigrams (p04's
       // extraction), distinct tokens (p07/t13's), distinct hashed
       // bigram buckets (p11/t22's md5 trick), distinct payload
-      // signatures (p12/m05's), and the doc count (p16's docs side)
+      // signatures (p12/m05's), the doc count (p16's docs side),
+      // distinct event types (p13's disorder profile state), and the
+      // embeddings count (p15's graph-fold vector-state coverage)
       """WITH lm AS (SELECT count(DISTINCT bg)::BIGINT AS n FROM (
         |    SELECT unnest(list_transform(
         |      generate_series(1, length(t) - 1),
@@ -4111,13 +4113,18 @@ object SparkEntry {
         |        FROM documents)))),
         |  sg AS (SELECT count(DISTINCT md5(substr(text, 1, 32)))::BIGINT
         |    AS n FROM documents),
-        |  kp AS (SELECT count(*)::BIGINT AS n FROM documents)
+        |  kp AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |  dis AS (SELECT count(DISTINCT event_type)::BIGINT AS n
+        |    FROM events),
+        |  kv AS (SELECT count(*)::BIGINT AS n FROM embeddings)
         |SELECT model, n_rows FROM (
         |  SELECT 'char_lm' AS model, n AS n_rows FROM lm
         |  UNION ALL SELECT 'doc_freq', n FROM df
         |  UNION ALL SELECT 'dsir', n FROM ds
         |  UNION ALL SELECT 'payload_sig', n FROM sg
-        |  UNION ALL SELECT 'quality_keeper', n FROM kp)
+        |  UNION ALL SELECT 'quality_keeper', n FROM kp
+        |  UNION ALL SELECT 'disorder', n FROM dis
+        |  UNION ALL SELECT 'knn_graph_vecs', n FROM kv)
         |ORDER BY model""".stripMargin,
     "p16_incremental_keeper" ->
       """WITH q AS (SELECT doc_id,

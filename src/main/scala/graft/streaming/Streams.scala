@@ -1276,11 +1276,14 @@ object Streams {
     verdicts.orderBy("doc_id")
   }
 
-  /** p19: ONE ingest pass maintaining FIVE models — the production
-    * shape the standalone folds (p04 LM, p07 DF, p11 DSIR, p12
-    * signatures, p16 keeper) deliberately decompose: at 100 TB the
-    * corpus READ is the dominant cost, and a pipeline that drains the
-    * stream once per model pays it five times. Here one foreachBatch
+  /** p19 (documents side): ONE ingest pass maintaining the FIVE
+    * document-derived models — the production shape the standalone
+    * folds (p04 LM, p07 DF, p11 DSIR, p12 signatures, p16 keeper)
+    * deliberately decompose: at 100 TB the corpus READ is the
+    * dominant cost, and a pipeline that drains the stream once per
+    * model pays it five times. ([[streamingModelSuite]] completes
+    * the suite with the events and embeddings drains — p13's
+    * disorder profile and p15's graph — for a 7-model manifest.) Here one foreachBatch
     * caches each micro-batch once and appends every model's O(batch)
     * delta from it ([[lmDelta]]/[[dfDelta]]/[[dsirDelta]]/
     * [[sigDelta]]/[[keeperDocs]] — the SAME delta functions the
@@ -1351,12 +1354,28 @@ object Streams {
       "keeper_champs" -> champsSt.result())
   }
 
-  /** [[incrementalModelSuite]] over the documents table, finished as
+  /** [[incrementalModelSuite]] over the WHOLE corpus, finished as
     * the maintenance MANIFEST a pipeline operator reads after each
     * ingest day: one row per maintained model with its state row
     * count — every count independently re-derivable by the DuckDB
     * oracle from the raw corpus, which is what hash-checks the whole
-    * one-pass suite. */
+    * one-pass suite.
+    *
+    * Seven models over the corpus's THREE source streams, each source
+    * read exactly once: the documents drain feeds the five
+    * document-derived models from one cached micro-batch
+    * ([[incrementalModelSuite]] — that sharing is where the 100 TB
+    * read amplification actually lived); the events drain maintains
+    * p13's disorder profile; the embeddings drain maintains p15's
+    * k-NN graph. The two non-document members reuse the standalone
+    * folds VERBATIM ([[incrementalDisorderProfile]],
+    * [[incrementalKnnGraph]]), so their replay/equality specs carry
+    * over unchanged. Manifest counts for them: the disorder profile's
+    * state is one row per event type (oracle: distinct event types);
+    * the graph fold's corpus coverage is its vector state, one row
+    * per ingested vector (oracle: embeddings count) — the graph's
+    * EDGE content is LSH-banded and not SQL-expressible, so it stays
+    * gated by p15/p18's own equality specs, not the manifest. */
   def streamingModelSuite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files
@@ -1367,12 +1386,30 @@ object Streams {
     val models = withStreamPartitions(spark, 8) {
       incrementalModelSuite(docs, base)
     }
+    val disorder = withStreamPartitions(spark, 8) {
+      incrementalDisorderProfile(
+        eventsStream(spark, dir), s"$base/disorder")
+    }
+    val embSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val embStream = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    // the drain runs eagerly inside (start/processAllAvailable/stop);
+    // the returned graph view is lazy and unread here — the manifest
+    // audits the fold's vector-state coverage, not the edges
+    withStreamPartitions(spark, 8) {
+      incrementalKnnGraph(embStream, s"$base/knn"); ()
+    }
+    val knnVecs = new LsmState(spark, s"$base/knn/vecs", identity, 8)
+      .result().count()
+    new BandState(spark, s"$base/knn", Seq("tbl", "bkt")).drop()
     Seq(
       ("char_lm", models("char_lm").count()),
       ("doc_freq", models("doc_freq").count()),
       ("dsir", models("dsir").count()),
       ("payload_sig", models("payload_sig").count()),
-      ("quality_keeper", models("keeper_docs").count()))
+      ("quality_keeper", models("keeper_docs").count()),
+      ("disorder", disorder.count()),
+      ("knn_graph_vecs", knnVecs))
       .toDF("model", "n_rows")
       .orderBy("model")
   }

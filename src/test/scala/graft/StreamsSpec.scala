@@ -1253,6 +1253,27 @@ class StreamsSpec extends SparkSuite {
       "expected a single shared checkpoint")
   }
 
+  test("p19 manifest covers all seven models with oracle-derivable counts") {
+    val got = graft.streaming.Streams
+      .streamingModelSuite(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("model") -> r.getAs[Long]("n_rows"))
+      .toMap
+    assert(got.keySet == Set("char_lm", "doc_freq", "dsir",
+      "payload_sig", "quality_keeper", "disorder", "knn_graph_vecs"),
+      s"manifest models: ${got.keySet}")
+    // the two non-document members carry the counts their oracles
+    // re-derive: one disorder row per event type, one vector-state
+    // row per ingested embedding
+    val nTypes = Tables.load(spark, sfDir, "events")
+      .select("event_type").distinct().count()
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    assert(got("disorder") == nTypes,
+      s"disorder rows ${got("disorder")} != distinct types $nTypes")
+    assert(got("knn_graph_vecs") == nVecs,
+      s"graph vec state ${got("knn_graph_vecs")} != embeddings $nVecs")
+  }
+
   test("LsmState: _folded manifest masks leftover parts after a compaction crash") {
     import spark.implicits._
     val root = java.nio.file.Files
