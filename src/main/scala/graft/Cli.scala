@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.registry.{Ingest, Registry}
+import graft.registry.{HttpIngest, Ingest, Registry}
 
 /** Runnable registry CLI — the reference's primary user surface
   * (`hangar` subcommands, hangarbay/cli.py:66-671) re-expressed over
@@ -29,10 +29,11 @@ object Cli {
 
   val usage: String =
     """usage: graft.Cli <dataRoot> <command> [args]
-      |  fetch <zip> [snapshotDate] [--sha256 HEX]
-      |                                verify + ingest a downloaded
-      |                                snapshot zip (the download
-      |                                itself happens out of band)
+      |  fetch <url|zip> [snapshotDate] [--sha256 HEX]
+      |                                download (http/https/file URL;
+      |                                retry + backoff + streaming
+      |                                sha256) or take a local zip,
+      |                                verify, then ingest
       |  update <zip> [snapshotDate]   unzip + normalize + manifest
       |  normalize <rawDir> [snapshotDate]   normalize an unpacked
       |                                snapshot dir + manifest
@@ -80,29 +81,51 @@ object Cli {
     lazy val reg = new Registry(spark, s"$dataRoot/publish", warningSink)
     args.toList match {
       case "fetch" :: src :: rest =>
-        // the reference's fetch stage (pipelines/fetch.py:66-148)
-        // downloads with retry + checksum; in a no-egress environment
-        // the download happens out of band, and this subcommand owns
-        // the remaining contract: integrity check, then the same
-        // unzip -> normalize -> manifest path as `update`.
-        if (src.startsWith("http://") || src.startsWith("https://"))
-          throw new IllegalArgumentException(
-            "fetch: no network egress in this environment — download " +
-              s"the snapshot out of band and pass the local zip path\n$usage")
+        // the reference's fetch stage (pipelines/fetch.py:19-148):
+        // download with retry/backoff + streaming checksum
+        // (graft.registry.HttpIngest), then unzip -> normalize ->
+        // manifest, the same tail as `update`. A local zip path skips
+        // the download but keeps the integrity check.
         val (dates, flags) = rest.span(_ != "--sha256")
-        flags match {
-          case "--sha256" :: hex :: Nil =>
-            val got = sha256Of(src)
-            if (!got.equalsIgnoreCase(hex))
-              throw new IllegalArgumentException(
-                s"fetch: checksum mismatch for $src\n  expected $hex\n  got      $got")
-          case Nil => ()
+        val expected = flags match {
+          case "--sha256" :: hex :: Nil => Some(hex)
+          case Nil => None
           case bad => throw new IllegalArgumentException(
             s"bad fetch arguments: ${bad.mkString(" ")}\n$usage")
         }
         val date = dates.headOption.getOrElse(
           java.time.LocalDate.now.toString)
-        val pub = Ingest.fromZip(spark, src, dataRoot, date)
+        val zipPath =
+          if (HttpIngest.isUrl(src)) {
+            val dest = s"$dataRoot/downloads/" +
+              src.split('/').last.split('?').head
+            val f = try HttpIngest.download(src, dest,
+                expectedSha256 = expected,
+                progress = bytes => if (bytes % (64L << 20) < (1 << 16))
+                  warningSink(s"fetch: ${bytes >> 20} MiB..."))
+              catch { case e: java.io.IOException =>
+                // zero-egress deployments land here after the retries:
+                // surface the out-of-band fallback the old contract
+                // documented, with the real cause attached
+                throw new IllegalArgumentException(
+                  s"fetch: download failed (${e.getMessage}) — if this " +
+                    "environment has no egress, download the snapshot " +
+                    s"out of band and pass the local zip path\n$usage")
+              }
+            warningSink(
+              s"fetch: downloaded ${f.bytes} bytes in ${f.attempts} " +
+                s"attempt(s), sha256 ${f.sha256}")
+            f.path
+          } else {
+            expected.foreach { hex =>
+              val got = sha256Of(src)
+              if (!got.equalsIgnoreCase(hex))
+                throw new IllegalArgumentException(
+                  s"fetch: checksum mismatch for $src\n  expected $hex\n  got      $got")
+            }
+            src
+          }
+        val pub = Ingest.fromZip(spark, zipPath, dataRoot, date)
         warningSink(s"fetch complete: $pub (snapshot $date)")
         None
 

@@ -94,9 +94,66 @@ class CliSpec extends SparkSuite {
         Seq("fetch", zip, "--sha256", "00" * 32), _ => ())
     }
     assert(bad.getMessage.contains("checksum mismatch"))
-    // URLs are rejected with the out-of-band instruction (no egress)
+  }
+
+  test("fetch downloads a file:// URL end-to-end (retry path wired)") {
+    val root = Files.createTempDirectory("graft_cli_url").toString
+    val zip = s"$root/src/snapshot.zip"
+    new java.io.File(s"$root/src").mkdirs()
+    writeZip(zip, Map(
+      "MASTER.txt" -> master, "ACFTREF.txt" -> acftref,
+      "ENGINE.txt" -> engine))
+    var msgs = List.empty[String]
+    Cli.run(spark, root,
+      Seq("fetch", s"file://$zip", "2026-02-02"), msgs ::= _)
+    assert(msgs.exists(_.contains("downloaded")), msgs.toString)
+    assert(msgs.exists(_.contains("fetch complete")), msgs.toString)
+    // the artifact landed under dataRoot/downloads
+    assert(new java.io.File(s"$root/downloads/snapshot.zip").exists())
+  }
+
+  test("HttpIngest retries with backoff, checksum mismatch is retryable") {
+    val dir = Files.createTempDirectory("graft_httpingest").toString
+    val payload = "payload-bytes".getBytes("UTF-8")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val goodHex = md.digest(payload).map("%02x".format(_)).mkString
+    // transport fails twice, then succeeds; sleeper records backoffs
+    var calls = 0
+    var sleeps = List.empty[Long]
+    val flaky: String => java.io.InputStream = { _ =>
+      calls += 1
+      if (calls <= 2) throw new java.io.IOException(s"boom $calls")
+      new java.io.ByteArrayInputStream(payload)
+    }
+    val got = graft.registry.HttpIngest.download(
+      "https://example.invalid/a.zip", s"$dir/a.zip",
+      maxAttempts = 3, expectedSha256 = Some(goodHex),
+      sleeper = sleeps ::= _, transport = flaky)
+    assert(got.attempts == 3)
+    assert(got.bytes == payload.length.toLong)
+    assert(got.sha256 == goodHex)
+    assert(sleeps.reverse == List(500L, 1000L), s"backoffs: $sleeps")
+    // a wrong checksum exhausts the retries (each attempt re-downloads
+    // — a corrupt artifact is retryable per the reference's contract)
+    // and deletes the partial artifact
+    var n2 = 0
+    val always: String => java.io.InputStream = { _ =>
+      n2 += 1; new java.io.ByteArrayInputStream(payload)
+    }
+    val err = intercept[java.io.IOException] {
+      graft.registry.HttpIngest.download(
+        "https://example.invalid/b.zip", s"$dir/b.zip",
+        maxAttempts = 3, expectedSha256 = Some("00" * 32),
+        sleeper = _ => (), transport = always)
+    }
+    assert(err.getMessage.contains("failed after 3 attempts"))
+    assert(err.getCause.getMessage.contains("checksum mismatch"))
+    assert(n2 == 3)
+    assert(!new java.io.File(s"$dir/b.zip").exists(),
+      "partial artifact must be deleted on failure")
+    // an unreachable host surfaces the out-of-band fallback via Cli
     val url = intercept[IllegalArgumentException] {
-      Cli.run(spark, root,
+      Cli.run(spark, dir,
         Seq("fetch", "https://example.invalid/x.zip"), _ => ())
     }
     assert(url.getMessage.contains("out of band"))
