@@ -50,9 +50,11 @@ object Cli {
       |  search <n-number>             N-number lookup w/ owner
       |  index-fts                     materialize the owner FTS index
       |                                (bucketed on token) for fast fts
-      |  fts <term> [term...]          owner full-text search, all
+      |  fts [--ranked] <term> [term...]  owner full-text search, all
       |                                terms must match (probes the
-      |                                written index when present)
+      |                                written index when present);
+      |                                --ranked orders by a bm25-style
+      |                                tf·idf relevance score
       |  fleet <owner> [--state ST] [--limit N] [--export FILE.csv]
       |  diff <otherDataRoot> [table]  what changed vs another
       |                                snapshot's publish (default
@@ -197,8 +199,10 @@ object Cli {
         warningSink(s"fts index written: ${Registry.FtsTable}")
         None
 
-      case "fts" :: terms if terms.nonEmpty =>
-        Some(reg.searchOwnersFts(terms))
+      case "fts" :: rest if rest.exists(_ != "--ranked") =>
+        val (flags, terms) = rest.partition(_ == "--ranked")
+        if (flags.nonEmpty) Some(reg.searchOwnersFtsRanked(terms))
+        else Some(reg.searchOwnersFts(terms))
 
       case "fleet" :: owner :: rest =>
         // strict flag parse: a flag without a value, a non-numeric

@@ -218,6 +218,9 @@ class Registry(
   /** Token inverted index over owner names/addresses — the scalable
     * stand-in for the reference's SQLite FTS5 file
     * (publish.py:235-313): explode tokens, hash-shuffle on token.
+    * Carries the within-record term frequency (`tf`) so the ranked
+    * search can score bm25-style, the way FTS5's MATCH results come
+    * with bm25 for free; membership queries just ignore the column.
     * At 100 TB this bucket-joins instead of probing one local file. */
   def ownersFtsIndex: DataFrame =
     table("owners")
@@ -226,7 +229,8 @@ class Registry(
           col("address_all_std"), col("city_std"), col("state_std")),
           "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
-      .distinct()
+      .groupBy(col("owner_id"), col("n_number"), col("token"))
+      .agg(count(lit(1)).as("tf"))
 
   /** Materialize [[ownersFtsIndex]] once, bucketed AND sorted on
     * token (the [[graft.operators.Dedup.writeBandedLayout]] pattern):
@@ -262,6 +266,41 @@ class Registry(
           .select(col("owner_id")))
       .reduce(_ intersect _)
     table("owners").join(hits, Seq("owner_id"), "left_semi")
+  }
+
+  /** [[searchOwnersFts]] with RELEVANCE RANKING — beyond the
+    * reference's used surface (its FTS5 index ships bm25 but no
+    * hangarbay query ever ranks): same AND semantics, results ordered
+    * by a bm25-shaped score Σ_t tf(t, owner) · idf(t) with the
+    * standard idf = ln(1 + (N − df + ½)/(df + ½)). Term document
+    * frequencies come from ONE bucket-pruned aggregate over the
+    * probed tokens (broadcast back — |terms| rows), never a corpus
+    * pass; N is the owners row count (one cached catalog-size
+    * lookup). Score floored to 4 dp for engine-stable ordering; ties
+    * break on owner_id. */
+  def searchOwnersFtsRanked(
+      terms: Seq[String], indexTable: Option[String] = None): DataFrame = {
+    require(terms.nonEmpty, "searchOwnersFtsRanked needs at least one term")
+    val up = terms.map(_.toUpperCase).distinct
+    val written = indexTable.orElse(
+      Some(Registry.FtsTable).filter(spark.catalog.tableExists))
+    val idx = written.map(spark.table).getOrElse(ownersFtsIndex)
+    val hits = idx.filter(col("token").isin(up: _*))
+    val n = table("owners").count()
+    val idf = hits.groupBy(col("token"))
+      .agg(countDistinct(col("owner_id")).as("df"))
+      .withColumn("idf", log(
+        lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) /
+          (col("df") + 0.5)))
+    val scored = hits.join(broadcast(idf), "token")
+      .groupBy(col("owner_id"))
+      .agg(countDistinct(col("token")).as("__nt"),
+        sum(col("tf") * col("idf")).as("__s"))
+      .filter(col("__nt") === up.length) // AND semantics, like FTS5
+      .select(col("owner_id"),
+        (floor(col("__s") * 10000) / 10000).as("score"))
+    table("owners").join(scored, Seq("owner_id"))
+      .orderBy(col("score").desc, col("owner_id"))
   }
 
   /** Data status / metadata (api.py:338-376). */

@@ -234,6 +234,35 @@ class CliSpec extends SparkSuite {
       spark.sql(s"DROP TABLE IF EXISTS ${graft.registry.Registry.FtsTable}")
   }
 
+  test("fts --ranked orders by tf-idf relevance, keeps AND semantics") {
+    val root = Files.createTempDirectory("graft_cli_rank").toString
+    val zip = s"$root/snapshot.zip"
+    val rankMaster =
+      """N-NUMBER ,SERIAL NUMBER,MFR MDL CODE,ENG MFR MDL,YEAR MFR,TYPE AIRCRAFT,STATUS CODE,LAST ACTION DATE,EXPIRATION DATE,CERT ISSUE DATE,CERTIFICATION,MODE S CODE,MODE S CODE HEX,NAME,STREET,STREET2,CITY,STATE,ZIP CODE,TYPE REGISTRANT
+        |111AA,SN101,C172,ENG1,2010,4,V,20240101,20270101,20100601,1,50000003,A00003,ACME ACME HOLDINGS,1 MAIN ST,,SPRINGFIELD,IL,62701,3
+        |222BB,SN102,C172,ENG1,2012,4,V,20240101,20270101,20120601,1,50000004,A00004,ACME SUPPLY,2 OAK AVE,,PORTLAND,OR,97201,3
+        |333CC,SN103,B757,ENG1,2001,1,V,20240101,20270101,20010601,1,50000005,A00005,ZENITH CORP,3 ELM RD,,DENVER,CO,80201,3
+        |""".stripMargin
+    writeZip(zip, Map(
+      "MASTER.txt" -> rankMaster, "ACFTREF.txt" -> acftref,
+      "ENGINE.txt" -> engine))
+    Cli.run(spark, root, Seq("update", zip, "2026-01-01"), _ => ())
+    val ranked = Cli.run(spark, root,
+      Seq("fts", "--ranked", "ACME"), _ => ()).get.collect()
+    // both ACME owners match; the double-ACME name outranks on tf
+    assert(ranked.length == 2, ranked.mkString("; "))
+    assert(ranked.head.getAs[String]("owner_name_std")
+      == "ACME ACME HOLDINGS")
+    val scores = ranked.map(_.getAs[Double]("score"))
+    assert(scores(0) > scores(1) && scores(1) > 0.0,
+      s"scores not strictly ranked: ${scores.toSeq}")
+    // AND semantics retained: both terms must match
+    val and = Cli.run(spark, root,
+      Seq("fts", "--ranked", "ACME", "SUPPLY"), _ => ()).get.collect()
+    assert(and.length == 1 &&
+      and.head.getAs[String]("owner_name_std") == "ACME SUPPLY")
+  }
+
   test("fleet honors --state and --limit flags") {
     val ca = Cli.run(spark, dataRoot,
       Seq("fleet", "POLICE|UNITED", "--state", "CA"), _ => ()).get.collect()
