@@ -85,7 +85,15 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = once()
       if (!ok) failed ::= name
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // After a heavy key, reclaim heap before the next measurement:
+      // the round-11 sf1.0 rehearsal showed keys that run AFTER the
+      // LSH-pair monsters absorbing their GC debt (e22 measured
+      // 36.2 s in-sweep vs 2.4 s isolated — pure drag). A forced full
+      // GC after >10 s keys costs ~0.1 s each a handful of times per
+      // sweep and keeps per-key numbers attributable to the key.
+      if (secs > 10) System.gc()
+      name -> secs
     }
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -104,7 +112,11 @@ object Bench {
     // Self-guard: if future rounds grow the headline set past the
     // harness's ~2000-char tail capture, drop keys (largest name
     // first) until the line fits rather than regress to parsed:null.
-    var keys = headline
+    // In SPARK_GRAFT_ONLY mode the caller asked for exactly those
+    // keys — print them all (an isolated rerun of a non-headline key
+    // is useless if its number never reaches stdout).
+    var keys =
+      if (only.isDefined) results.map(_._1).toSet else headline
     var line = lineFor(keys)
     while (line.length > 1800 && keys.nonEmpty) {
       keys = keys - keys.toSeq.maxBy(_.length)
