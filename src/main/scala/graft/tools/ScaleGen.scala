@@ -30,9 +30,6 @@ object ScaleGen {
   private val Off = 100000000L // key shift per copy, >> any source key
 
   def main(args: Array[String]): Unit = {
-    val srcDir = args(0)
-    val outDir = args(1)
-    val copies = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,6 +38,15 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, args(0), args(1),
+      if (args.length > 2) args(2).toInt else 10)
+    finally spark.stop()
+  }
+
+  /** Session-agnostic body (specs drive it on the shared suite
+    * session; main owns session lifecycle). */
+  def run(spark: SparkSession, srcDir: String, outDir: String,
+      copies: Int): Unit = {
     new java.io.File(outDir).mkdirs()
 
     def read(name: String): DataFrame =
@@ -94,6 +100,5 @@ object ScaleGen {
           transform(col("embedding"), (x, i) =>
             when(i === 0, x + lit((k * 1e-3).toFloat)).otherwise(x)))
     }, "embeddings")
-    spark.stop()
   }
 }
