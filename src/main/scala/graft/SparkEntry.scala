@@ -176,9 +176,16 @@ object SparkEntry {
 
   /** Shared SQL for q15 — runs verbatim on Spark SQL and DuckDB
     * (hb.query raw-SQL passthrough, api.py:274). */
+  // The revenue sum accumulates in DECIMAL, not DOUBLE: at sf1.0 the
+  // ~2.7e9 sums from Spark's partial-agg tree and DuckDB's
+  // sequential fold differ by ~5e-3 — enough to flip round(x, 2).
+  // Per-row products are IEEE-identical in both engines; casting
+  // each to DECIMAL(30,6) makes the sum exact and order-independent,
+  // so the oracle equality holds at any scale.
   private val q15Sql: String =
     """SELECT n_name,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+      |                      AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
       |FROM orders, lineitem, supplier, nation, region
       |WHERE l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey
@@ -3214,20 +3221,29 @@ object SparkEntry {
       // Percentiles.exactByGroup) rather than quantile_cont: DuckDB's
       // internal interpolation differs by 1 ulp, which flips
       // floor-truncation when a percentile lands exactly on a
-      // 4-decimal boundary
+      // 4-decimal boundary. The 0.5/0.9 literals are CAST to DOUBLE:
+      // DuckDB parses bare 0.9 as DECIMAL(1,1) and computes
+      // (n-1)*0.9 exactly, while Spark computes it in binary double
+      // ((n-1)*0.9 carries a ~1e-10 frac error) — with 2-decimal
+      // prices a percentile often lands exactly on a 4-decimal
+      // boundary, and the two fracs then floor to different sides
+      // (sf1.0 rehearsal: p90 94532.5359 vs .536). Forcing DOUBLE
+      // makes both engines run the same IEEE arithmetic.
       """WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
         |    row_number() OVER (PARTITION BY l_returnflag
         |      ORDER BY l_extendedprice) AS rn,
         |    count(*) OVER (PARTITION BY l_returnflag) AS n
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |p AS (SELECT CAST(0.5 AS DOUBLE) AS p50f,
+        |             CAST(0.9 AS DOUBLE) AS p90f),
         |a AS (SELECT l_returnflag,
-        |    max(CASE WHEN rn = floor((n-1)*0.5)+1 THEN v END) AS lo50,
-        |    max(CASE WHEN rn = ceil((n-1)*0.5)+1 THEN v END) AS hi50,
-        |    max((n-1)*0.5 - floor((n-1)*0.5)) AS f50,
-        |    max(CASE WHEN rn = floor((n-1)*0.9)+1 THEN v END) AS lo90,
-        |    max(CASE WHEN rn = ceil((n-1)*0.9)+1 THEN v END) AS hi90,
-        |    max((n-1)*0.9 - floor((n-1)*0.9)) AS f90
-        |  FROM r GROUP BY l_returnflag)
+        |    max(CASE WHEN rn = floor((n-1)*p50f)+1 THEN v END) AS lo50,
+        |    max(CASE WHEN rn = ceil((n-1)*p50f)+1 THEN v END) AS hi50,
+        |    max((n-1)*p50f - floor((n-1)*p50f)) AS f50,
+        |    max(CASE WHEN rn = floor((n-1)*p90f)+1 THEN v END) AS lo90,
+        |    max(CASE WHEN rn = ceil((n-1)*p90f)+1 THEN v END) AS hi90,
+        |    max((n-1)*p90f - floor((n-1)*p90f)) AS f90
+        |  FROM r, p GROUP BY l_returnflag)
         |SELECT l_returnflag,
         |  floor((lo50 + (hi50 - lo50) * f50) * 10000) / 10000 AS p50,
         |  floor((lo90 + (hi90 - lo90) * f90) * 10000) / 10000 AS p90
