@@ -657,12 +657,58 @@ object Dedup {
 
   /** End-to-end near-dedup pipeline: MinHash LSH candidates →
     * n-gram Jaccard verification ≥ threshold → cluster resolution →
-    * per-doc keep/drop verdict. */
+    * per-doc keep/drop verdict.
+    *
+    * `exactFirst = true` runs the EXACT-DEDUP CASCADE: collapse
+    * groups of bit-identical texts to their min-id representative
+    * (one narrow md5-shuffle), run the pair pipeline on
+    * representatives only, expand membership back. Result-invisible
+    * by construction: identical texts get identical MinHash
+    * signatures, hence identical band buckets — so (a) every exact
+    * group would merge in the plain path anyway (shared bucket +
+    * jaccard 1 ≥ threshold), and (b) a cross-group candidate arises
+    * for a copy pair iff it arises for the representatives (bucket
+    * assignment is a pure function of content). Leaders are
+    * preserved exactly too: each rep is its group's min id, and the
+    * cluster leader is the min rep. What changes is only the work:
+    * per-bucket candidates drop from Σ(m·g)² to Σm² where g is the
+    * exact-dup multiplicity — at crawl-like corpora where exact dups
+    * dominate dup mass, this is THE 100 TB lever (the sf1.0
+    * rehearsal measured candidate mass, not rows, as the pair
+    * family's cost driver — BENCH_FULL.md r11). Equality is
+    * spec-asserted in DedupSpec on both real and dup-heavy data.
+    * One documented edge: docs that produce NO shingles (text
+    * shorter than the shingle width) are singletons in the plain
+    * path (they never reach a bucket, and 0/0 Jaccard is NULL) but
+    * identical such docs collapse under the cascade — the cascade's
+    * answer is the semantically better one; bit-equality holds
+    * whenever every doc yields ≥ 1 shingle. */
   def nearDedupPipeline(
       docs: DataFrame,
       idCol: Column,
       textCol: Column,
-      jaccardThreshold: Double = 0.7): DataFrame = {
+      jaccardThreshold: Double = 0.7,
+      exactFirst: Boolean = false): DataFrame = {
+    if (exactFirst) {
+      val base = docs.select(idCol.as("doc_id"), textCol.as("__text"))
+      // raw md5, NOT contentHash/cleanText: invisibility needs
+      // bit-identity (clean-equal texts still merge downstream via
+      // jaccard 1, so grouping conservatively loses nothing)
+      val sigged = base.withColumn("__sig", md5(col("__text")))
+      val repOf = sigged.groupBy("__sig")
+        .agg(min(col("doc_id")).as("__rep"))
+      val mapped = sigged.join(repOf, "__sig")
+        .select(col("doc_id"), col("__rep"), col("__text"))
+      val reps = mapped.filter(col("doc_id") === col("__rep"))
+        .select(col("doc_id"), col("__text"))
+      val inner = nearDedupPipeline(reps, col("doc_id"), col("__text"),
+          jaccardThreshold, exactFirst = false)
+        .select(col("doc_id").as("__rep"), col("leader_id").as("__rl"))
+      return mapped.select(col("doc_id"), col("__rep"))
+        .join(inner, Seq("__rep"))
+        .select(col("doc_id"), col("__rl").as("leader_id"))
+        .withColumn("keep", col("doc_id") === col("leader_id"))
+    }
     val candidates = minHashCandidatePairs(docs, idCol, textCol)
     // cache (lazy, recomputable) so the cluster loop's symmetric-edge
     // union reads the MinHash+Jaccard subtree once instead of twice —
@@ -761,7 +807,34 @@ object Dedup {
       df: DataFrame,
       idCol: Column,
       vecCol: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      exactFirst: Boolean = false): DataFrame = {
+    if (exactFirst) {
+      // The embedding twin of nearDedupPipeline's exact-first
+      // cascade (see its scaladoc for the invisibility argument —
+      // identical vectors get identical hyperplane buckets and
+      // cosine 1 ≥ threshold, so collapsing them to the min-id rep
+      // changes candidate WORK, not results). Grouping is on the
+      // vector itself (collision-free; one narrow shuffle carrying
+      // dim floats per distinct vector — still a fraction of the
+      // pair pipeline's exchange). Documented edge as in the text
+      // cascade: identical all-zero vectors collapse here but are
+      // singletons in the plain path (cosine with a zero vector is
+      // NULL, never ≥ threshold).
+      val base = df.select(idCol.as("vec_id"), vecCol.as("__v"))
+      val repOf = base.groupBy("__v").agg(min(col("vec_id")).as("__rep"))
+      val mapped = base.join(repOf, Seq("__v"))
+        .select(col("vec_id"), col("__rep"), col("__v"))
+      val reps = mapped.filter(col("vec_id") === col("__rep"))
+        .select(col("vec_id"), col("__v"))
+      val inner = embeddingClusterDedup(reps, col("vec_id"), col("__v"),
+          threshold, exactFirst = false)
+        .select(col("vec_id").as("__rep"), col("cluster_id").as("__cl"))
+      return mapped.select(col("vec_id"), col("__rep"))
+        .join(inner, Seq("__rep"))
+        .select(col("vec_id"), col("__cl").as("cluster_id"),
+          (col("vec_id") === col("__cl")).cast("long").as("keep"))
+    }
     val pairs = embeddingNearDupPairsBucketed(df, idCol, vecCol, threshold)
       .select(col("a_id"), col("b_id"))
     val leaders = clusterLeaders(pairs)

@@ -583,6 +583,63 @@ class DedupSpec extends SparkSuite {
     assert(unguarded.forall { case (a, b, _) => a < b })
   }
 
+  test("exact-first cascade is result-invisible on real documents") {
+    val real = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    def run(exactFirst: Boolean) =
+      Dedup.nearDedupPipeline(real, col("doc_id"), col("text"),
+          jaccardThreshold = 0.7, exactFirst = exactFirst)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    assert(run(exactFirst = true) == run(exactFirst = false))
+  }
+
+  test("exact-first cascade: dup-heavy corpus, identical clusters, cross-copy merge") {
+    // 10x key-shifted replication of the planted corpus: every text
+    // is now bit-identical across copies — the shape where the
+    // cascade collapses per-bucket candidates from (m*10)^2 to m^2
+    val heavy = (0 until 10).map(k =>
+        docs.select((col("doc_id") + lit(k * 1000L)).as("doc_id"),
+          col("text")))
+      .reduce(_ unionByName _)
+    def run(exactFirst: Boolean) =
+      Dedup.nearDedupPipeline(heavy, col("doc_id"), col("text"),
+          jaccardThreshold = 0.7, exactFirst = exactFirst)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val cascaded = run(exactFirst = true)
+    assert(cascaded == run(exactFirst = false))
+    // the 1/2/3 near-dup cluster must merge ACROSS copies down to
+    // doc 1, proving the rep expansion reaches every replica
+    val leaders = cascaded.map { case (id, l, _) => id -> l }.toMap
+    for (k <- 0 until 10; base <- Seq(1L, 2L, 3L))
+      assert(leaders(base + k * 1000L) == 1L,
+        s"doc ${base + k * 1000L} leader ${leaders(base + k * 1000L)}")
+  }
+
+  test("exact-first cascade is result-invisible for embedding cluster dedup") {
+    // exact vector copies under shifted ids (the embedding twin of
+    // the dup-heavy corpus)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 150)
+      .select(col("vec_id"), col("embedding"))
+    val heavy = (0 until 4).map(k =>
+        emb.select((col("vec_id") + lit(k * 1000L)).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionByName _)
+    def run(exactFirst: Boolean) =
+      Dedup.embeddingClusterDedup(heavy, col("vec_id"),
+          col("embedding"), 0.3, exactFirst = exactFirst)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val cascaded = run(exactFirst = true)
+    assert(cascaded == run(exactFirst = false))
+    // every exact copy group must share its base vector's cluster
+    val cl = cascaded.map { case (id, c, _) => id -> c }.toMap
+    for (k <- 1 until 4)
+      assert(cl(0L + k * 1000L) == cl(0L), "copy not merged with base")
+  }
+
   test("fuzzyMatchPairs: null block keys match each other under the guard") {
     val df = Seq(
       (1L, "alpha", Option.empty[String]),
