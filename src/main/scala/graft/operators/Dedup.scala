@@ -301,7 +301,18 @@ object Dedup {
     // one by id; off-diagonal cells hold each pair exactly once
     val onceOnly = (col("a.__i") =!= col("a.__j")) ||
       (col("a.id") < col("b.id"))
-    a.join(b, sameBlock && sameCell && onceOnly)
+    // edit-distance lower bound: levenshtein(x, y) >= |len(x)-len(y)|
+    // (every length-changing edit is one operation), so a candidate
+    // whose length gap exceeds maxDistance can never survive the
+    // dist filter — reject it on two length() calls before the
+    // O(len²) levenshtein runs. Result-invisible by the bound; on
+    // fixed-length corpora (d09's Customer#NNNNNNNNN names) it
+    // prunes nothing and costs nothing measurable, on real linkage
+    // data (variable-length names) it skips the quadratic verify for
+    // most of each block's candidate pairs.
+    val lenGapOk =
+      abs(length(col("a.name")) - length(col("b.name"))) <= maxDistance
+    a.join(b, sameBlock && sameCell && onceOnly && lenGapOk)
       // Catalyst pushes the deterministic filter back through the
       // Project by alias substitution, so levenshtein lands in BOTH
       // the join condition and the projection (verified on the

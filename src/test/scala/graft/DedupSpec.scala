@@ -583,6 +583,42 @@ class DedupSpec extends SparkSuite {
     assert(unguarded.forall { case (a, b, _) => a < b })
   }
 
+  // The length-gap prefilter (levenshtein >= |len diff|) must be
+  // result-invisible on variable-length names: compare against a
+  // brute-force in-block cross join + levenshtein computed here.
+  test("fuzzyMatchPairs: length-gap prune matches brute force on variable lengths") {
+    val rows = Seq(
+      (1L, "smith", "A"), (2L, "smyth", "A"), (3L, "smithers", "A"),
+      (4L, "smit", "A"), (5L, "s", "A"), (6L, "smithsonian", "A"),
+      (7L, "jones", "B"), (8L, "jone", "B"), (9L, "jonesboro", "B"),
+      (10L, "jon", "B"), (11L, "", "B"), (12L, "jones", "B"),
+      (13L, "zzzzz", "A"))
+      .toDF("id", "name", "seg")
+    val got = Dedup.fuzzyMatchPairs(
+        rows, col("id"), col("name"), Seq(col("seg")), maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = rows.select(col("id").as("ia"), col("name").as("na"),
+      col("seg").as("sa"))
+    val b = rows.select(col("id").as("ib"), col("name").as("nb"),
+      col("seg").as("sb"))
+    val brute = a.join(b, col("sa") === col("sb") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        levenshtein(col("na"), col("nb")).cast("long").as("d"))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"prefilter changed pairs: ${got.diff(brute)} / ${brute.diff(got)}")
+    // the fixture exercises every regime of the bound: pairs the gap
+    // alone prunes (smith/smithsonian gap 6, jone/jonesboro gap 5,
+    // ""/anything), a pair the gap ADMITS but distance rejects
+    // (smith/zzzzz gap 0, d=5 — the prefilter must not be the only
+    // filter), and survivors at the boundary (smith/smit d=1,
+    // smit/smyth d=2, identical jones/jones d=0)
+    assert(brute.contains((1L, 4L, 1L)) && brute.contains((7L, 12L, 0L)))
+    assert(!brute.exists { case (x, y, _) => (x, y) == (1L, 13L) })
+    assert(!brute.exists { case (x, y, _) => (x, y) == (1L, 6L) })
+  }
+
   test("exact-first cascade is result-invisible on real documents") {
     val real = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
