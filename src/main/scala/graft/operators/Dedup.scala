@@ -742,18 +742,21 @@ object Dedup {
     * verification above the threshold. The scale path that replaces
     * [[embeddingNearDupPairs]]'s all-pairs block form.
     *
-    * Plan shape mirrors the text MinHash pipeline
-    * ([[minHashCandidatePairs]]): each vector explodes into
-    * `numTables` compact (id, table, bucket) rows — the embeddings
-    * themselves are NOT carried through the candidate join (a matched
-    * pair would materialize two vectors; at 1.5M candidates that is
-    * hundreds of MB of array copying, and at corpus scale the
-    * dominant shuffle). Pairs are enumerated only inside a
-    * (table, bucket) shuffle bucket (never an all-pairs cross join),
-    * de-duplicated as bare id pairs, and only then re-joined to the
-    * corpus for the exact cosine ([[Similarity.cosine]], codegen)
-    * verification — the same pairs-carry-ids shape as
-    * [[jaccardOnPairs]].
+    * Plan shape (ROUND 11 — bucket-local): candidates are scored IN
+    * PLACE inside each (table, bucket) group through
+    * [[Similarity.bucketLocalScoredPairs]] — vectors ride on the
+    * band rows, the within-bucket pair join's output flows straight
+    * into the codegen cosine and the threshold filter in the same
+    * stage, and only the SURVIVORS (the output pair set) reach an
+    * exchange for the cross-table dedup. The previous shape carried
+    * bare id pairs through a candidate-sized distinct and re-joined
+    * vectors afterwards; the 10× replica corpus showed that distinct
+    * growing 100× (Θ(Σ m²) rows) while the banded-corpus shuffle the
+    * local form pays is linear — see the helper's scaladoc for the
+    * crossover argument and the hot-bucket triangle sub-blocking
+    * guard (per-task work capped at maxBucketRows² dots,
+    * result-invisible). The old form survives as
+    * [[embeddingNearDupPairsCandidateJoin]], the equality oracle.
     *
     * Recall is tunable: a pair at angle θ collides in one table with
     * p₁ = (1 − θ/π)^planesPerTable and overall 1 − (1 − p₁)^numTables.
@@ -763,6 +766,32 @@ object Dedup {
     * the same recall. False positives are impossible — every emitted
     * pair passed the exact verification. */
   def embeddingNearDupPairsBucketed(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      threshold: Double,
+      numTables: Int = 12,
+      planesPerTable: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L,
+      maxBucketRows: Int = 2048): DataFrame =
+    Similarity.bucketLocalScoredPairs(
+        df.select(idCol.as("__id"), vecCol.as("__v")), "__id", "__v",
+        numTables, planesPerTable, dim, seed, maxBucketRows)
+      .filter(col("sim") > threshold)
+      // cross-table duplicates carry bit-equal sims (same vectors,
+      // symmetric cosine) — max() is a deterministic pick of that
+      // one value; the exchange is output-sized, not candidate-sized
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("sim")).as("__sim"))
+      .select(col("a_id"), col("b_id"), round(col("__sim"), 4).as("cos_sim"))
+
+  /** The candidate-JOIN form embeddingNearDupPairsBucketed used
+    * through round 10 — bare-id pairs → candidate-sized distinct →
+    * two vector-fetch joins → cosine → threshold. Output-identical
+    * to the bucket-local form above (equality spec'd in DedupSpec);
+    * kept as the test-side oracle. */
+  private[graft] def embeddingNearDupPairsCandidateJoin(
       df: DataFrame,
       idCol: Column,
       vecCol: Column,

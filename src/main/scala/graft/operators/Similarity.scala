@@ -95,11 +95,13 @@ object Similarity {
     * row_number form, but the plan is a hash aggregate with k-row
     * state and map-side partials — no per-group sort of the full
     * candidate set. */
-  def topKAgg(score: Column, id: Column, k: Int): Column = {
+  def topKAgg(score: Column, id: Column, k: Int,
+      dedupIds: Boolean = false): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(
       graft.plans.TopKPairs(
-        GraftBridge.expression(struct(score.as("score"), id.as("id"))), k)
+        GraftBridge.expression(struct(score.as("score"), id.as("id"))), k,
+        dedupIds)
         .toAggregateExpression())
   }
 
@@ -169,6 +171,28 @@ object Similarity {
       numTables: Int = 12,
       planesPerTable: Int = 4,
       dim: Int = 64,
+      seed: Long = 42L,
+      maxBucketRows: Int = 2048): DataFrame =
+    symTopK(
+      bucketLocalScoredPairs(corpus, idCol, vecCol, numTables,
+        planesPerTable, dim, seed, maxBucketRows),
+      k, dedupIds = true)
+
+  /** The candidate-JOIN form knnGraphBucketed used through round 10:
+    * bare-id pairs → global distinct → two vector-fetch joins →
+    * cosine → top-k. Output-identical to the bucket-local form (the
+    * equality is spec'd in SimilaritySpec), but every within-bucket
+    * candidate OCCURRENCE becomes a shuffled row and the distinct is
+    * a candidate-sized exchange — at sf1.0 that exchange (~10⁸ rows)
+    * was 90+ % of s16's wall. Kept as the test-side oracle. */
+  private[graft] def knnGraphCandidateJoin(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numTables: Int = 12,
+      planesPerTable: Int = 4,
+      dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
     // cache (lazy): the bucket self-join reads this frame for both
@@ -188,6 +212,106 @@ object Similarity {
     symTopK(scored, k)
   }
 
+  /** Bucket-LOCAL LSH pair scoring — the shared candidate engine of
+    * the embedding near-dup pairs ([[graft.operators.Dedup
+    * .embeddingNearDupPairsBucketed]]) and the k-NN graph
+    * ([[knnGraphBucketed]]). Same multi-table hyperplane banding as
+    * [[embBandTable]] (identical buckets for identical params/seed),
+    * but vectors RIDE ON the band rows and each (tbl, bkt) bucket is
+    * scored in place: the pair join's output flows straight into the
+    * codegen cosine inside the same stage — no exchange ever carries
+    * a candidate pair. What shuffles is the banded corpus itself
+    * (n·numTables rows × dim floats — linear in corpus size and
+    * independent of dup mass), vs the candidate-join form's Θ(Σ m²)
+    * bare-id pair exchange + distinct, which the 10× replica corpus
+    * showed growing 100× (BENCH_FULL.md round 11: the sf1.0 pair
+    * monsters). The crossover favors id-pairs only when candidates
+    * are SPARSER than n·dim/4 — never true for near-dup banding,
+    * whose buckets are sized to catch pairs.
+    *
+    * Hot-bucket guard (result-invisible): same triangle sub-blocking
+    * as [[graft.operators.Dedup.fuzzyMatchPairs]] — bucket sizes are
+    * measured (one narrow count, broadcast back: O(tables·2^planes)
+    * rows), buckets above `maxBucketRows` split into g deterministic
+    * sub-blocks by id hash, and each unordered sub-block CELL (i ≤ j)
+    * scores once, so per-task work is capped at maxBucketRows² dots
+    * and per-task memory at the join's bounded key group — a hot
+    * bucket becomes more tasks, not a bigger one. Cold buckets take
+    * g = 1 (exactly the plain within-bucket join), so the emitted
+    * pair set is IDENTICAL for any cap.
+    *
+    * Output: (a_id, b_id, sim) with a_id < b_id, self-pairs excluded,
+    * one row per SHARED table (duplicates across tables carry
+    * bit-equal sims — CosineSim is exactly symmetric and the pair's
+    * vectors are the same in every occurrence); consumers dedup at
+    * output granularity (near-dup: filter-then-distinct; graph:
+    * the id-deduping top-k heap). The banded frame is cached (lazy,
+    * recomputable, LRU-evictable) because the cell join reads it for
+    * both sides. */
+  private[graft] def bucketLocalScoredPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numTables: Int,
+      planesPerTable: Int,
+      dim: Int,
+      seed: Long,
+      maxBucketRows: Int): DataFrame = {
+    require(maxBucketRows > 0, s"maxBucketRows must be positive: $maxBucketRows")
+    val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val tableBuckets = (0 until numTables).map { t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneBucket(col("v"), planesPerTable, dim,
+          seed + 7919L * t).as("bkt"))
+    }
+    val banded = v
+      .select(col("vec_id"), col("v"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"),
+        col("tb.bkt").as("bkt"))
+      .cache()
+    // measure: bucket sizes (narrow keys, map-side-combined count),
+    // broadcast back — the count frame is O(numTables · 2^planes)
+    // rows regardless of corpus size. Fresh aliases on the count side
+    // (counts derives from banded — self-join ambiguity otherwise).
+    val counts = banded.groupBy(col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("__m"))
+      .select(col("tbl").as("__ctbl"), col("bkt").as("__cbkt"),
+        col("__m"))
+    val withSub = banded
+      .join(broadcast(counts),
+        col("tbl") === col("__ctbl") && col("bkt") === col("__cbkt"))
+      .select(col("vec_id"), col("v"), col("tbl"), col("bkt"),
+        when(col("__m") > maxBucketRows,
+          ceil(col("__m") / lit(maxBucketRows.toDouble)).cast("long"))
+          .otherwise(lit(1L)).as("__g"))
+      .withColumn("__u", pmod(xxhash64(col("vec_id")), col("__g")))
+    // triangle cells exactly as fuzzyMatchPairs: left owns the row
+    // coordinate (i = u, j explodes up), right owns the column
+    // (j = u, i explodes down) — every within-bucket pair lands in
+    // exactly one (i, j) cell per shared table
+    val left = withSub
+      .withColumn("__j", explode(sequence(col("__u"), col("__g") - 1)))
+      .withColumnRenamed("__u", "__i").drop("__g")
+    val right = withSub
+      .withColumn("__i", explode(sequence(lit(0L), col("__u"))))
+      .withColumnRenamed("__u", "__j").drop("__g")
+    val a = left.alias("a")
+    val b = right.alias("b")
+    // diagonal cells hold both orderings of each pair — keep one by
+    // id (also excludes self-pairs); off-diagonal cells hold each
+    // pair once (a vector's sub-block is a function of its id)
+    val onceOnly = (col("a.__i") =!= col("a.__j")) ||
+      (col("a.vec_id") < col("b.vec_id"))
+    a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.__i") === col("b.__i") && col("a.__j") === col("b.__j") &&
+          onceOnly)
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"),
+        cosine(col("a.v"), col("b.v")).as("sim"))
+  }
+
   /** Symmetrize scored undirected pairs and take the per-node top-k:
     * each pair's cosine is computed ONCE and exploded into both
     * directions in the same pass (a two-branch union would evaluate
@@ -195,7 +319,8 @@ object Similarity {
     * bounded-heap aggregate keeps k rows per node with map-side
     * partials. Shared by the in-memory, layout-probe, and
     * incremental graph paths. */
-  private[graft] def symTopK(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def symTopK(scored: DataFrame, k: Int,
+      dedupIds: Boolean = false): DataFrame =
     scored
       .select(explode(array(
         struct(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
@@ -204,7 +329,7 @@ object Similarity {
           col("sim")))).as("e"))
       .select(col("e.vec_id"), col("e.nbr_id"), col("e.sim"))
       .groupBy(col("vec_id"))
-      .agg(topKAgg(col("sim"), col("nbr_id"), k).as("top"))
+      .agg(topKAgg(col("sim"), col("nbr_id"), k, dedupIds).as("top"))
       .select(col("vec_id"), posexplode(col("top")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("nbr_id"), col("col.score").as("sim"))

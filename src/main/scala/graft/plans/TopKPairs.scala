@@ -10,8 +10,18 @@ import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: a size-capped min-heap over (score, id)
   * pairs where "worst" = lowest score, ties broken by larger id (so
-  * the kept set matches `ORDER BY score DESC, id ASC LIMIT k`). */
-final class TopKBuffer(val k: Int) {
+  * the kept set matches `ORDER BY score DESC, id ASC LIMIT k`).
+  *
+  * `dedupIds = true` keeps at most one entry per id (the best-scored
+  * one) — for candidate streams where the same neighbor can arrive
+  * several times (e.g. a pair colliding in more than one LSH table,
+  * scored once per shared bucket with the SAME similarity). The
+  * result then matches top-k over the DISTINCT (id → best score)
+  * set: a duplicate of a kept id never occupies a second slot, and a
+  * duplicate of an evicted id re-competes at its own score exactly
+  * like a fresh entry. The membership scan is O(k) per add — free at
+  * the k this engine uses (≤ tens). */
+final class TopKBuffer(val k: Int, val dedupIds: Boolean = false) {
   // worst element dequeues first; also the output sort comparator
   private[plans] val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
     def compare(a: (Double, Long), b: (Double, Long)): Int = {
@@ -22,6 +32,22 @@ final class TopKBuffer(val k: Int) {
   val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
 
   def add(score: Double, id: Long): Unit = {
+    if (dedupIds) {
+      val it = heap.iterator
+      while (it.hasNext) {
+        val cur = it.next()
+        if (cur._2 == id) {
+          // already held: keep whichever scores better (our LSH
+          // duplicates tie exactly, so this is almost always a skip)
+          if (worstFirst.compare((score, id), cur) < 0) {
+            val kept = heap.toArray.filter(_._2 != id)
+            heap.clear(); kept.foreach(heap.enqueue(_))
+            heap.enqueue((score, id))
+          }
+          return
+        }
+      }
+    }
     if (heap.size < k) heap.enqueue((score, id))
     else if (worstFirst.compare((score, id), heap.head) < 0) {
       heap.dequeue(); heap.enqueue((score, id))
@@ -53,6 +79,7 @@ final class TopKBuffer(val k: Int) {
 case class TopKPairs(
     child: Expression,
     k: Int,
+    dedupIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
@@ -64,7 +91,8 @@ case class TopKPairs(
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType), StructField("id", LongType))))
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(k, dedupIds)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = child.eval(input).asInstanceOf[InternalRow]
@@ -85,14 +113,15 @@ case class TopKPairs(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     val arr = buf.sortedDesc
-    out.writeInt(buf.k); out.writeInt(arr.length)
+    out.writeInt(buf.k); out.writeBoolean(buf.dedupIds)
+    out.writeInt(arr.length)
     arr.foreach { p => out.writeDouble(p._1); out.writeLong(p._2) }
     out.flush(); bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new TopKBuffer(in.readInt())
+    val buf = new TopKBuffer(in.readInt(), in.readBoolean())
     val n = in.readInt()
     (0 until n).foreach(_ => buf.add(in.readDouble(), in.readLong()))
     buf

@@ -163,6 +163,24 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.6, s"recall too low: $recall")
   }
 
+  test("bucket-local near-dup pairs equal the candidate-join oracle at any cap") {
+    val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 300)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val oracle = rows(Dedup.embeddingNearDupPairsCandidateJoin(
+      emb, col("vec_id"), col("embedding"), 0.3))
+    assert(oracle.nonEmpty)
+    assert(rows(Dedup.embeddingNearDupPairsBucketed(
+      emb, col("vec_id"), col("embedding"), 0.3)) == oracle,
+      "bucket-local pairs must equal the candidate-join form, sims included")
+    // a tiny cap forces multi-cell tiling in every bucket — the
+    // triangle partition must be output-invisible
+    assert(rows(Dedup.embeddingNearDupPairsBucketed(
+      emb, col("vec_id"), col("embedding"), 0.3, maxBucketRows = 7)) == oracle,
+      "triangle tiling must not change the pair set")
+  }
+
   test("embeddingClusterDedup: one keeper per cluster, pairs co-clustered") {
     val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 200)
     val res = Dedup.embeddingClusterDedup(

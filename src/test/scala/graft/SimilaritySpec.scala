@@ -105,6 +105,44 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("TopKBuffer dedupIds keeps at most one (best) entry per id") {
+    val b = new graft.plans.TopKBuffer(2, dedupIds = true)
+    b.add(0.9, 10); b.add(0.9, 10); b.add(0.8, 11)
+    assert(b.sortedDesc.toSeq == Seq((0.9, 10L), (0.8, 11L)),
+      "a bit-equal duplicate must not occupy a second slot")
+    b.add(0.95, 11) // same id, better score: upgrade in place
+    assert(b.sortedDesc.toSeq == Seq((0.95, 11L), (0.9, 10L)))
+    b.add(0.7, 12) // worse than the full heap: rejected
+    assert(b.sortedDesc.toSeq == Seq((0.95, 11L), (0.9, 10L)))
+    b.add(0.99, 12) // better: evicts the worst (10)
+    assert(b.sortedDesc.toSeq == Seq((0.99, 12L), (0.95, 11L)))
+    b.add(0.9, 10) // evicted id re-competes as a fresh entry — loses
+    assert(b.sortedDesc.toSeq == Seq((0.99, 12L), (0.95, 11L)))
+    // merge path dedups too (two map-side partials holding the same id)
+    val p1 = new graft.plans.TopKBuffer(2, dedupIds = true)
+    val p2 = new graft.plans.TopKBuffer(2, dedupIds = true)
+    p1.add(0.9, 20); p1.add(0.8, 21)
+    p2.add(0.9, 20); p2.add(0.85, 22)
+    p1.addAll(p2)
+    assert(p1.sortedDesc.toSeq == Seq((0.9, 20L), (0.85, 22L)))
+  }
+
+  test("bucket-local knn graph equals the candidate-join oracle at any cap") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id"), r.getAs[Double]("sim"))).toSet
+    val oracle = rows(Similarity.knnGraphCandidateJoin(
+      emb, "vec_id", "embedding", k = 5))
+    assert(rows(Similarity.knnGraphBucketed(
+      emb, "vec_id", "embedding", k = 5)) == oracle,
+      "bucket-local graph must equal the candidate-join form")
+    // a tiny cap forces multi-cell tiling in every bucket — the
+    // triangle partition must be output-invisible
+    assert(rows(Similarity.knnGraphBucketed(
+      emb, "vec_id", "embedding", k = 5, maxBucketRows = 7)) == oracle,
+      "triangle tiling must not change the graph")
+  }
+
   test("knn graph: ranks well-formed, sims exact, top-1 recall vs brute") {
     val g = Similarity.knnGraphBucketed(emb, "vec_id", "embedding", k = 5)
       .collect()
