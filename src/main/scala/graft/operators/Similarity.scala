@@ -256,20 +256,46 @@ object Similarity {
       planesPerTable: Int,
       dim: Int,
       seed: Long,
-      maxBucketRows: Int): DataFrame = {
-    require(maxBucketRows > 0, s"maxBucketRows must be positive: $maxBucketRows")
+      maxBucketRows: Int): DataFrame =
+    scoredPairsFromBanded(
+      bandedWithVecs(corpus, idCol, vecCol, numTables, planesPerTable,
+        dim, seed).cache(),
+      maxBucketRows)
+
+  /** The vector-carrying band table (vec_id, v, tbl, bkt) —
+    * [[embBandTable]] plus the vector riding each row, identical
+    * bucket assignment for identical params/seed. Factored out so a
+    * streaming fold can band its batch ONCE, derive the id-only band
+    * rows for the stored probe layout (`.drop("v")` flows from the
+    * same cache), and feed the vector-carrying rows to
+    * [[scoredPairsFromBanded]]. Caller caches. */
+  private[graft] def bandedWithVecs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numTables: Int,
+      planesPerTable: Int,
+      dim: Int,
+      seed: Long): DataFrame = {
     val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
     val tableBuckets = (0 until numTables).map { t =>
       struct(lit(t).as("tbl"),
         hyperplaneBucket(col("v"), planesPerTable, dim,
           seed + 7919L * t).as("bkt"))
     }
-    val banded = v
-      .select(col("vec_id"), col("v"),
+    v.select(col("vec_id"), col("v"),
         explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"),
         col("tb.bkt").as("bkt"))
-      .cache()
+  }
+
+  /** The scoring half of [[bucketLocalScoredPairs]]: triangle-tiled
+    * within-bucket pair join over a [[bandedWithVecs]] frame, cosine
+    * inline. See [[bucketLocalScoredPairs]] for the contract. */
+  private[graft] def scoredPairsFromBanded(
+      banded: DataFrame,
+      maxBucketRows: Int): DataFrame = {
+    require(maxBucketRows > 0, s"maxBucketRows must be positive: $maxBucketRows")
     // measure: bucket sizes (narrow keys, map-side-combined count),
     // broadcast back — the count frame is O(numTables · 2^planes)
     // rows regardless of corpus size. Fresh aliases on the count side

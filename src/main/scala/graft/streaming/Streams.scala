@@ -33,6 +33,28 @@ object Streams {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Shuffle-partition count for a candidate-QUADRATIC micro-batch
+    * (the LSH pair folds): a batch of n vectors examines
+    * ~n²/2^planes · tables within-batch candidates, so the right
+    * parallelism scales with the batch's PAIR mass, not its row
+    * count — the stream wrapper's small constant (sized so that many
+    * tiny micro-batches don't drown in task overhead) serializes a
+    * corpus-sized batch's scoring onto a handful of cores (measured:
+    * the one-batch sf1.0 p15 fold spent ~47 s in an 8-task top-k
+    * aggregate whose 32-task batch twin takes a quarter of that).
+    * Uniform-bucket estimate is a LOWER bound (skew only concentrates
+    * pairs); one task per ~4M candidate occurrences, clamped between
+    * the session's configured stream parallelism and the core
+    * count. */
+  private def quadraticParts(spark: SparkSession, rows: Long,
+      numTables: Int, planesPerTable: Int): Int = {
+    val base = spark.conf.get("spark.sql.shuffle.partitions", "8").toInt
+    val cores = spark.sparkContext.defaultParallelism
+    val est = rows.toDouble * rows / (1L << planesPerTable) *
+      numTables / 2.0
+    math.max(base, math.min(cores, math.ceil(est / 4e6).toInt))
+  }
+
   /** Round-robin repartition a micro-batch to the session's shuffle
     * parallelism before compute-heavy per-row transforms (tokenize /
     * ngram explode / hashing). A small-file source (one file = one
@@ -860,17 +882,22 @@ object Streams {
     * globally-kept edge survives every intermediate prune (top-k:
     * it is top-k in every subset containing it; threshold: kept
     * unconditionally). */
-  private[graft] def graphFold(k: Int, keepThreshold: Option[Double])(
+  private[graft] def graphFold(k: Int, keepThreshold: Option[Double],
+      dedupEdges: Boolean = false)(
       edges: DataFrame): DataFrame = keepThreshold match {
     case None =>
       // plain top-k: the bounded-heap aggregate — k-row state,
-      // map-side partials, no per-node sort of the full edge set
-      // (edges are globally unique per (vec_id, nbr_id): each pair
-      // is scored once, and the _folded manifest keeps compaction
-      // crashes from re-presenting a part)
+      // map-side partials, no per-node sort of the full edge set.
+      // At compaction/read the edges are globally unique per
+      // (vec_id, nbr_id) — each pair is scored once, and the _folded
+      // manifest keeps compaction crashes from re-presenting a part.
+      // The dedupEdges = true form serves the per-BATCH pre-prune
+      // (see incrementalKnnGraph), whose bucket-local candidate
+      // stream carries one bit-equal row per shared LSH table: the
+      // id-deduping heap collapses those without an exchange.
       edges.groupBy(col("vec_id"))
         .agg(graft.operators.Similarity
-          .topKAgg(col("sim"), col("nbr_id"), k).as("top"))
+          .topKAgg(col("sim"), col("nbr_id"), k, dedupEdges).as("top"))
         .select(col("vec_id"), posexplode(col("top")))
         .select(col("vec_id"), col("col.id").as("nbr_id"),
           col("col.score").as("sim"))
@@ -889,21 +916,27 @@ object Streams {
       // edges) where h = the node's above-threshold degree — it
       // survives iff its heap position < k − h. Identical output to
       // the windowed form (equality spec in StreamsSpec), bounded
-      // O(k) state per node.
-      val above = edges.filter(col("sim") > t)
+      // O(k) state per node. With dedupEdges (the per-batch
+      // pre-prune over the duplicate-carrying bucket-local stream):
+      // the retained side dedups by an output-sized distinct —
+      // duplicates are bit-equal rows — and hDeg counts the DEDUPED
+      // set, or a duplicated above-threshold edge would inflate the
+      // node's degree and evict a legitimate top-k survivor.
+      val above0 = edges.filter(col("sim") > t)
+        .select(col("vec_id"), col("nbr_id"), col("sim"))
+      val above = if (dedupEdges) above0.distinct() else above0
       val hDeg = above.groupBy(col("vec_id"))
         .agg(count(lit(1)).as("__h"))
       val belowTop = edges.filter(col("sim") <= t)
         .groupBy(col("vec_id"))
         .agg(graft.operators.Similarity
-          .topKAgg(col("sim"), col("nbr_id"), k).as("top"))
+          .topKAgg(col("sim"), col("nbr_id"), k, dedupEdges).as("top"))
         .select(col("vec_id"), posexplode(col("top")))
         .join(hDeg, Seq("vec_id"), "left")
         .filter(col("pos") < lit(k.toLong) - coalesce(col("__h"), lit(0L)))
         .select(col("vec_id"), col("col.id").as("nbr_id"),
           col("col.score").as("sim"))
-      above.select(col("vec_id"), col("nbr_id"), col("sim"))
-        .unionByName(belowTop)
+      above.unionByName(belowTop)
   }
 
   /** p15: incremental k-NN GRAPH maintenance — s16's corpus-wide
@@ -951,40 +984,51 @@ object Streams {
     val bands = new BandState(spark, base, Seq("tbl", "bkt"))
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val b = spread(batch.toDF())
+        val raw = batch.toDF()
+        val bs = raw.sparkSession
+        val parts = quadraticParts(bs, raw.count(), numTables,
+          planesPerTable)
+        withStreamPartitions(bs, parts) {
+        val b = spread(raw)
         val newVecs = b.select(col("vec_id"), col("embedding").as("v"))
-        // cache (lazy): self-join (both sides), cross probe, and band
-        // append all read this frame — uncached, the batch pays its
-        // hyperplane projections 4x
-        val newBands = graft.operators.Similarity.embBandTable(
-          b, "vec_id", "embedding", numTables, planesPerTable, dim, seed)
-          .cache()
-        val within = newBands.alias("a").join(newBands.alias("b"),
-            col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        val cross = bands.scan().map { ob =>
-          newBands.alias("n").join(ob.alias("o"),
-              col("n.tbl") === col("o.tbl") && col("n.bkt") === col("o.bkt") &&
-                col("n.vec_id") =!= col("o.vec_id"))
-            .select(least(col("n.vec_id"), col("o.vec_id")).as("a_id"),
-              greatest(col("n.vec_id"), col("o.vec_id")).as("b_id"))
+        // cache (lazy): within scoring (both tile sides), cross
+        // probe, and band append all read this frame — uncached, the
+        // batch pays its hyperplane projections 4x. Vectors ride the
+        // band rows (bandedWithVecs) so the WITHIN-batch candidates
+        // are scored bucket-locally — no exchange carries a
+        // candidate pair — and the id-only band rows for the stored
+        // probe layout flow from the same cache.
+        val bandedV = graft.operators.Similarity.bandedWithVecs(
+          b, "vec_id", "embedding", numTables, planesPerTable, dim,
+          seed).cache()
+        val newBands = bandedV.select(col("vec_id"), col("tbl"),
+          col("bkt"))
+        val withinScored = graft.operators.Similarity
+          .scoredPairsFromBanded(bandedV, maxBucketRows = 2048)
+        // cross-batch candidates: the batch side carries its vector
+        // on the band row, so only the STORED side needs a vector
+        // fetch (one join against the accumulated vec state instead
+        // of the previous two). One row per shared bucket — the
+        // per-batch pre-prune below absorbs the duplicates.
+        val storedVecs = vecsSt.view(except = Some(id))
+        val crossScored = bands.scan().flatMap { ob =>
+          storedVecs.map { sv =>
+            bandedV.alias("n").join(ob.alias("o"),
+                col("n.tbl") === col("o.tbl") &&
+                  col("n.bkt") === col("o.bkt") &&
+                  col("n.vec_id") =!= col("o.vec_id"))
+              .select(least(col("n.vec_id"), col("o.vec_id")).as("a_id"),
+                greatest(col("n.vec_id"), col("o.vec_id")).as("b_id"),
+                col("n.v").as("nv"), col("o.vec_id").as("o_id"))
+              .join(sv.select(col("vec_id").as("o_id"),
+                col("v").as("ov")), "o_id")
+              .select(col("a_id"), col("b_id"),
+                graft.operators.Similarity.cosine(col("nv"), col("ov"))
+                  .as("sim"))
+          }
         }
-        val newPairs = cross.map(within.unionByName(_)).getOrElse(within)
-          .distinct()
-        // vectors for scoring: accumulated state (own part excluded —
-        // a replaying batch must recompute against the pre-batch
-        // state) plus this batch's rows
-        val vecs = vecsSt.view(except = Some(id))
-          .map(_.unionByName(newVecs)).getOrElse(newVecs)
-        val scored = newPairs
-          .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")),
-            "a_id")
-          .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")),
-            "b_id")
-          .select(col("a_id"), col("b_id"),
-            graft.operators.Similarity.cosine(col("va"), col("vb"))
-              .as("sim"))
+        val scored = crossScored.map(withinScored.unionByName(_))
+          .getOrElse(withinScored)
         // one-pass symmetrize (explode both directions from the single
         // scored row — a two-branch union would score each pair twice)
         val sym = scored
@@ -994,15 +1038,36 @@ object Streams {
             struct(col("b_id").as("vec_id"), col("a_id").as("nbr_id"),
               col("sim")))).as("e"))
           .select(col("e.vec_id"), col("e.nbr_id"), col("e.sim"))
-        // edge part FIRST (executes the lazy cross-probe against the
-        // pre-batch band table), then vecs, then bands
-        graphSt.append(id, sym)
+        // Per-batch PRE-PRUNE before the part write: the fold is a
+        // merge-and-truncate monoid (prune(prune(A) ∪ B) =
+        // prune(A ∪ B) — see graphFold), so appending the batch's
+        // pruned edges yields the same folded graph while the part
+        // shrinks from candidate-sized (every scored pair, ~Θ(Σ m²)
+        // rows per batch) to output-sized (k per touched node plus
+        // above-threshold edges). dedupEdges collapses the
+        // bucket-local stream's one-row-per-shared-table duplicates
+        // inside the same bounded heaps. The THRESHOLD fold consumes
+        // its edge stream twice (above-filter + below-top-k) — spill-
+        // persist the scored stream for that one write so the
+        // candidate scoring join runs once, not twice; the plain
+        // top-k fold is a single pass and needs no persist.
+        // Edge part FIRST (executes the lazy cross-probe against the
+        // pre-batch band table), then vecs, then bands.
+        val symIn =
+          if (keepThreshold.isDefined)
+            sym.persist(org.apache.spark.storage.StorageLevel
+              .MEMORY_AND_DISK)
+          else sym
+        graphSt.append(id,
+          graphFold(k, keepThreshold, dedupEdges = true)(symIn))
         vecsSt.append(id, newVecs)
         bands.append(id, newBands)
         graphSt.maybeCompact(id)
         vecsSt.maybeCompact(id)
         bands.maybeCompact(id, compactEvery)
-        newBands.unpersist(blocking = false)
+        if (keepThreshold.isDefined) symIn.unpersist(blocking = false)
+        bandedV.unpersist(blocking = false)
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -1133,38 +1198,55 @@ object Streams {
     val bands = new BandState(spark, base, Seq("tbl", "bkt"))
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val b = spread(batch.toDF())
+        val raw = batch.toDF()
+        val bs = raw.sparkSession
+        val parts = quadraticParts(bs, raw.count(), numTables,
+          planesPerTable)
+        withStreamPartitions(bs, parts) {
+        val b = spread(raw)
         val newVecs = b.select(col("vec_id"), col("embedding").as("v"))
-        // cache (lazy): self-join (both sides), cross probe, and band
-        // append all read this frame — uncached, the batch pays its
-        // hyperplane projections 4x
-        val newBands = graft.operators.Similarity.embBandTable(
-          b, "vec_id", "embedding", numTables, planesPerTable, dim, seed)
-          .cache()
-        val within = newBands.alias("a").join(newBands.alias("b"),
-            col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        val cross = bands.scan().map { ob =>
-          newBands.alias("n").join(ob.alias("o"),
-              col("n.tbl") === col("o.tbl") && col("n.bkt") === col("o.bkt") &&
-                col("n.vec_id") =!= col("o.vec_id"))
-            .select(least(col("n.vec_id"), col("o.vec_id")).as("a_id"),
-              greatest(col("n.vec_id"), col("o.vec_id")).as("b_id"))
+        // cache (lazy): within scoring (both tile sides), cross
+        // probe, and band append all read this frame — uncached, the
+        // batch pays its hyperplane projections 4x. Vectors ride the
+        // band rows: WITHIN-batch candidates score bucket-locally
+        // (no exchange carries a candidate pair), the id-only band
+        // rows for the stored layout flow from the same cache, and
+        // the cross probe fetches only the STORED side's vector (one
+        // join instead of the previous two).
+        val bandedV = graft.operators.Similarity.bandedWithVecs(
+          b, "vec_id", "embedding", numTables, planesPerTable, dim,
+          seed).cache()
+        val newBands = bandedV.select(col("vec_id"), col("tbl"),
+          col("bkt"))
+        val withinScored = graft.operators.Similarity
+          .scoredPairsFromBanded(bandedV, maxBucketRows = 2048)
+        val storedVecs = vecsSt.view(except = Some(id))
+        val crossScored = bands.scan().flatMap { ob =>
+          storedVecs.map { sv =>
+            bandedV.alias("n").join(ob.alias("o"),
+                col("n.tbl") === col("o.tbl") &&
+                  col("n.bkt") === col("o.bkt") &&
+                  col("n.vec_id") =!= col("o.vec_id"))
+              .select(least(col("n.vec_id"), col("o.vec_id")).as("a_id"),
+                greatest(col("n.vec_id"), col("o.vec_id")).as("b_id"),
+                col("n.v").as("nv"), col("o.vec_id").as("o_id"))
+              .join(sv.select(col("vec_id").as("o_id"),
+                col("v").as("ov")), "o_id")
+              .select(col("a_id"), col("b_id"),
+                graft.operators.Similarity.cosine(col("nv"), col("ov"))
+                  .as("sim"))
+          }
         }
-        val newPairs = cross.map(within.unionByName(_)).getOrElse(within)
-          .distinct()
-        val vecs = vecsSt.view(except = Some(id))
-          .map(_.unionByName(newVecs)).getOrElse(newVecs)
-        val survivors = newPairs
-          .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")),
-            "a_id")
-          .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")),
-            "b_id")
-          .withColumn("sim",
-            graft.operators.Similarity.cosine(col("va"), col("vb")))
+        // threshold FIRST, dedup after: the filter runs inside the
+        // scoring stage, so the distinct that absorbs the
+        // one-row-per-shared-table duplicates is OUTPUT-sized — the
+        // previous shape deduped the full candidate id-pair set
+        // before it ever scored a row
+        val survivors = crossScored.map(withinScored.unionByName(_))
+          .getOrElse(withinScored)
           .filter(col("sim") > threshold)
           .select(col("a_id"), col("b_id"))
+          .distinct()
         // pairs part FIRST (executes the lazy cross-probe against the
         // pre-batch band table), then vecs, then bands
         pairsSt.append(id, survivors)
@@ -1173,7 +1255,8 @@ object Streams {
         pairsSt.maybeCompact(id)
         vecsSt.maybeCompact(id)
         bands.maybeCompact(id, compactEvery)
-        newBands.unpersist(blocking = false)
+        bandedV.unpersist(blocking = false)
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
