@@ -291,10 +291,38 @@ object Dedup {
     val right = withSub
       .withColumn("__i", explode(sequence(lit(0L), col("__u"))))
       .withColumnRenamed("__u", "__j").drop("__g")
-    val a = left.alias("a")
-    val b = right.alias("b")
-    val sameBlock = blkIdx
-      .map(i => col(s"a.__blk$i") <=> col(s"b.__blk$i")).reduce(_ && _)
+    // The verify's parallelism must come from the (block, cell) HASH,
+    // not from the input's file splits: left to its own devices the
+    // planner broadcasts one side (the name table is dimension-sized)
+    // and runs the m²-pair join + levenshtein on the STREAM side's
+    // input partitions — a single-file corpus serializes the entire
+    // quadratic verify onto one task (measured: 42 s single-task vs
+    // 5 s spread, identical pair count). Explicit repartition(n, keys)
+    // on BOTH sides forces the shuffle, co-partitions the join, and —
+    // because n is user-specified — keeps AQE from coalescing the
+    // exchange back to one partition on input-byte statistics that
+    // are blind to the join's quadratic OUTPUT. The shuffled rows are
+    // the O(m²/maxBlockRows) replicated inputs, not pairs — the same
+    // bound as before.
+    //
+    // The block keys join as ONE struct column compared with === :
+    // struct equality is null-safe PER FIELD (null = null inside a
+    // struct is true, verified in DedupSpec), so the semantics match
+    // the previous per-column <=> — but the planner's null-safe
+    // rewrite (coalesce/isnull composite keys) never fires, the join
+    // keys equal the repartition keys VERBATIM, and no
+    // ENSURE_REQUIREMENTS exchange lands between repartition and
+    // join. That exchange was not benign: being byte-sized, AQE
+    // coalesced it to 2 partitions and re-serialized the verify
+    // (measured 42 s at 2 tasks vs 5 s at 32 on the same pair set).
+    val nParts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val withBk = (d: DataFrame) => d.withColumn("__bk",
+      struct(blkIdx.map(i => col(s"__blk$i")): _*))
+    val cellCols = Seq(col("__bk"), col("__i"), col("__j"))
+    val a = withBk(left).repartition(nParts, cellCols: _*).alias("a")
+    val b = withBk(right).repartition(nParts, cellCols: _*).alias("b")
+    val sameBlock = col("a.__bk") === col("b.__bk")
     val sameCell = col("a.__i") === col("b.__i") &&
       col("a.__j") === col("b.__j")
     // diagonal cells (i = j) hold both orderings of each pair — keep
@@ -317,13 +345,20 @@ object Dedup {
       // Project by alias substitution, so levenshtein lands in BOTH
       // the join condition and the projection (verified on the
       // optimized plan) — the join-side evaluation bounds the cost at
-      // one O(len²) distance per candidate pair; the projection
+      // one bounded distance per candidate pair; the projection
       // re-evaluates only for the dist ≤ maxDistance SURVIVORS, a
-      // vanishing fraction of candidates under any useful threshold
+      // vanishing fraction of candidates under any useful threshold.
+      // THRESHOLD-BOUNDED levenshtein (the 3-arg form): the DP walks
+      // only the 2·maxDistance+1 diagonal band and bails the moment
+      // the band's minimum exceeds the bound — O(len·d) per pair, not
+      // O(len²), and -1 above the bound. For survivors (dist ≤ d) the
+      // banded value IS the exact distance, so the emitted dist
+      // column is bit-identical to the unbounded form's.
       .select(least(col("a.id"), col("b.id")).as("a_id"),
         greatest(col("a.id"), col("b.id")).as("b_id"),
-        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDistance)
+        levenshtein(col("a.name"), col("b.name"), maxDistance)
+          .cast("long").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDistance)
   }
 
   /** Per-doc 64-bit SimHash: each token votes ±1 on every bit of its
