@@ -245,9 +245,14 @@ object Similarity {
     * bit-equal sims — CosineSim is exactly symmetric and the pair's
     * vectors are the same in every occurrence); consumers dedup at
     * output granularity (near-dup: filter-then-distinct; graph:
-    * the id-deduping top-k heap). The banded frame is cached (lazy,
-    * recomputable, LRU-evictable) because the cell join reads it for
-    * both sides. */
+    * the id-deduping top-k heap). The banded frame is cached and
+    * materialized EAGERLY (one count): the scoring plan reads it
+    * from four places (count frame, both tile sides, and AQE's
+    * concurrent exchange materialization), and a lazy cache lets
+    * those race — each stage recomputes the full projection pass
+    * before any one of them commits the cache (measured: 4 parallel
+    * 4.3 s stages doing identical work at sf1.0). One eager pass
+    * pays the projections once; downstream stages read the cache. */
   private[graft] def bucketLocalScoredPairs(
       corpus: DataFrame,
       idCol: String,
@@ -256,11 +261,12 @@ object Similarity {
       planesPerTable: Int,
       dim: Int,
       seed: Long,
-      maxBucketRows: Int): DataFrame =
-    scoredPairsFromBanded(
-      bandedWithVecs(corpus, idCol, vecCol, numTables, planesPerTable,
-        dim, seed).cache(),
-      maxBucketRows)
+      maxBucketRows: Int): DataFrame = {
+    val banded = bandedWithVecs(corpus, idCol, vecCol, numTables,
+      planesPerTable, dim, seed).cache()
+    banded.count()
+    scoredPairsFromBanded(banded, maxBucketRows)
+  }
 
   /** The vector-carrying band table (vec_id, v, tbl, bkt) —
     * [[embBandTable]] plus the vector riding each row, identical
@@ -268,7 +274,13 @@ object Similarity {
     * streaming fold can band its batch ONCE, derive the id-only band
     * rows for the stored probe layout (`.drop("v")` flows from the
     * same cache), and feed the vector-carrying rows to
-    * [[scoredPairsFromBanded]]. Caller caches. */
+    * [[scoredPairsFromBanded]]. Caller caches.
+    *
+    * `spread = false` skips the pre-projection repartition for
+    * callers whose input is already spread to the session's
+    * parallelism (the streaming folds repartition each micro-batch
+    * before banding — a second shuffle of the same rows buys
+    * nothing). */
   private[graft] def bandedWithVecs(
       corpus: DataFrame,
       idCol: String,
@@ -276,8 +288,19 @@ object Similarity {
       numTables: Int,
       planesPerTable: Int,
       dim: Int,
-      seed: Long): DataFrame = {
-    val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      seed: Long,
+      spread: Boolean = true): DataFrame = {
+    // Spread the corpus to the session's parallelism BEFORE the
+    // projections: the numTables × planesPerTable hyperplane dots are
+    // the compute-heavy step, and a single-file corpus would run them
+    // on its 1-2 input splits (measured 11 s at 2 tasks vs <1 s
+    // spread, sf1.0 — paid up to 4× while the lazy cache
+    // materializes under concurrent downstream stages). The shuffle
+    // moves the narrow (id, vector) rows once, linear in the corpus.
+    val nParts = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val v0 = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val v = if (spread) v0.repartition(nParts) else v0
     val tableBuckets = (0 until numTables).map { t =>
       struct(lit(t).as("tbl"),
         hyperplaneBucket(col("v"), planesPerTable, dim,
@@ -322,8 +345,26 @@ object Similarity {
     val right = withSub
       .withColumn("__i", explode(sequence(lit(0L), col("__u"))))
       .withColumnRenamed("__u", "__j").drop("__g")
-    val a = left.alias("a")
-    val b = right.alias("b")
+    // The quadratic scoring's parallelism must come from the
+    // (table, bucket, cell) HASH, never from whatever partitioning
+    // the banded frame happens to carry: left to the planner, the
+    // byte-small band table gets broadcast (or its exchange
+    // AQE-coalesced on input-byte stats that are blind to the join's
+    // quadratic OUTPUT) and the whole Σm² cosine pass lands on the
+    // input's file splits — measured on s16 at sf1.0: 259 s at 2
+    // tasks on a cold cache vs 11 s at 32 tasks when a prior run's
+    // materialized cache stats happened to force the shuffle
+    // (tools/D09Probe2). Explicit repartition(n, keys) on BOTH sides
+    // makes the plan deterministic: keys match the join's equi-keys
+    // verbatim (all non-null, plain ===), so no ENSURE_REQUIREMENTS
+    // re-shuffle lands for AQE to coalesce, and the explicit n is
+    // never coalesced. Shuffled rows are the banded inputs
+    // (linear + O(m²/maxBucketRows) hot-tile replication), not pairs.
+    val nParts = banded.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val cellCols = Seq(col("tbl"), col("bkt"), col("__i"), col("__j"))
+    val a = left.repartition(nParts, cellCols: _*).alias("a")
+    val b = right.repartition(nParts, cellCols: _*).alias("b")
     // diagonal cells hold both orderings of each pair — keep one by
     // id (also excludes self-pairs); off-diagonal cells hold each
     // pair once (a vector's sub-block is a function of its id)

@@ -1000,7 +1000,12 @@ object Streams {
         // probe layout flow from the same cache.
         val bandedV = graft.operators.Similarity.bandedWithVecs(
           b, "vec_id", "embedding", numTables, planesPerTable, dim,
-          seed).cache()
+          seed, spread = false).cache()
+        // eager materialization: the scoring plan reads bandedV from
+        // several concurrent stages; a lazy cache lets each recompute
+        // the projection pass before any commits it (same race as
+        // bucketLocalScoredPairs, measured there)
+        bandedV.count()
         val newBands = bandedV.select(col("vec_id"), col("tbl"),
           col("bkt"))
         val withinScored = graft.operators.Similarity
@@ -1215,7 +1220,12 @@ object Streams {
         // join instead of the previous two).
         val bandedV = graft.operators.Similarity.bandedWithVecs(
           b, "vec_id", "embedding", numTables, planesPerTable, dim,
-          seed).cache()
+          seed, spread = false).cache()
+        // eager materialization: the scoring plan reads bandedV from
+        // several concurrent stages; a lazy cache lets each recompute
+        // the projection pass before any commits it (same race as
+        // bucketLocalScoredPairs, measured there)
+        bandedV.count()
         val newBands = bandedV.select(col("vec_id"), col("tbl"),
           col("bkt"))
         val withinScored = graft.operators.Similarity
