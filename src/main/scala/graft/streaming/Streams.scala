@@ -55,6 +55,22 @@ object Streams {
     math.max(base, math.min(cores, math.ceil(est / 4e6).toInt))
   }
 
+  /** Shuffle-partition count for a row-LINEAR compute-heavy
+    * micro-batch (the tokenize/ngram/hash document folds): one task
+    * per ~16k rows, clamped between the session's configured stream
+    * parallelism (so many tiny micro-batches keep their small-task
+    * constant) and the core count. Same rationale as
+    * [[quadraticParts]] with a linear cost model: a corpus-sized
+    * catch-up batch must not run its per-row transforms at the tiny
+    * constant sized for steady-state trickle batches (measured on the
+    * p19 one-batch sf1.0 drain: the 7-model delta extraction spent
+    * 7-8 s per pass in 8-task stages on a 32-core box). */
+  private def rowParts(spark: SparkSession, rows: Long): Int = {
+    val base = spark.conf.get("spark.sql.shuffle.partitions", "8").toInt
+    val cores = spark.sparkContext.defaultParallelism
+    math.max(base, math.min(cores, math.ceil(rows / 16e3).toInt))
+  }
+
   /** Round-robin repartition a micro-batch to the session's shuffle
     * parallelism before compute-heavy per-row transforms (tokenize /
     * ngram explode / hashing). A small-file source (one file = one
@@ -1059,10 +1075,18 @@ object Streams {
         // Edge part FIRST (executes the lazy cross-probe against the
         // pre-batch band table), then vecs, then bands.
         val symIn =
-          if (keepThreshold.isDefined)
-            sym.persist(org.apache.spark.storage.StorageLevel
+          if (keepThreshold.isDefined) {
+            val p = sym.persist(org.apache.spark.storage.StorageLevel
               .MEMORY_AND_DISK)
-          else sym
+            // materialize EAGERLY: the threshold fold reads this
+            // frame from three concurrent stages (above-filter, hDeg,
+            // below-top-k), and a lazy persist lets each recompute
+            // the full scoring join before any commits the cache
+            // (measured: three parallel 15 s stages doing identical
+            // work at sf1.0). One pass; the fold reads the cache.
+            p.count()
+            p
+          } else sym
         graphSt.append(id,
           graphFold(k, keepThreshold, dedupEdges = true)(symIn))
         vecsSt.append(id, newVecs)
@@ -1415,10 +1439,16 @@ object Streams {
       _.groupBy("fp").agg(min(col("m")).as("m")), compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val raw = batch.toDF()
+        val bs = raw.sparkSession
+        withStreamPartitions(bs, rowParts(bs, raw.count())) {
         // cache: SEVEN delta extractions read this frame — uncached,
         // the batch's source rows would be re-read per model, which
-        // is exactly the cost this operator exists to avoid
-        val b = spread(batch.toDF()).cache()
+        // is exactly the cost this operator exists to avoid. The
+        // count() materializes the cache eagerly so the seven
+        // consumers read it rather than racing to recompute it.
+        val b = spread(raw).cache()
+        b.count()
         lmSt.append(id, lmDelta(b))
         dfSt.append(id, dfDelta(b))
         dfMeta.append(id, b.agg(count(lit(1)).as("n")))
@@ -1430,6 +1460,7 @@ object Streams {
         Seq(lmSt, dfSt, dfMeta, dsirSt, sigSt, docsSt, champsSt)
           .foreach(_.maybeCompact(id))
         b.unpersist(blocking = false)
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
