@@ -916,7 +916,16 @@ object Similarity {
     // own select so the argmax's two references don't re-evaluate
     // the transform (no CSE), then argmin-L2 code =
     // first position of the max of `x·c − ‖c‖²/2`.
-    val withSubs = corpus.select(
+    //
+    // Spread the corpus first: encode + ADC scoring + heap partials
+    // all run map-side on the corpus's partitioning, and the
+    // broadcast query join preserves it — a single-file corpus would
+    // run the whole per-row-heavy pipeline on its 1-2 input splits
+    // (measured: the one >1 s stage of s07 at sf1.0 ran 11.5 s at 2
+    // tasks). One narrow (id, vector) shuffle, linear in the corpus.
+    val corpusSpread = corpus.repartition(corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+    val withSubs = corpusSpread.select(
       (col(idCol).as("cand_id") +: col(vecCol).as("cv") +:
         (0 until numSub).map(s => subCol(col(vecCol), s).as(s"__s$s"))): _*)
     val withScores = withSubs.select(
@@ -1012,6 +1021,11 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
     val subDim = dim / numSub
+    // (No up-front corpus spread here, unlike pqKnn: kmeansCells
+    // re-executes its input per Lloyd iteration, so a repartition
+    // would be re-paid coarseIters times — measured NET-NEGATIVE,
+    // 7.8 → 10.9 s at sf1.0. The encode/ADC stages inherit the
+    // assignment join's shuffled partitioning instead.)
     // ---- coarse quantizer: cell assignment + per-cell centroids.
     // Residuals materialize in their OWN select (zip_with output
     // referenced by later lambdas would re-evaluate per element).
