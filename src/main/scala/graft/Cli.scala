@@ -475,7 +475,7 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
-    val spark = graft.Sessions.tune(SparkSession.builder())
+    val spark = graft.Sessions.tuneLocal(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))

@@ -12,7 +12,7 @@ object Explain {
     val sfDir = args.head
     val timeOnly = args.contains("--time-only")
     val names = args.tail.filterNot(_.startsWith("--"))
-    val spark = graft.Sessions.tune(SparkSession.builder())
+    val spark = graft.Sessions.tuneLocal(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

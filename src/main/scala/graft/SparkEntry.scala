@@ -128,12 +128,21 @@ object SparkEntry {
       .orderBy("o_custkey")
   }
 
-  /** q10: distinct counts. */
-  private def q10(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem").agg(
-      countDistinct(col("l_partkey")).as("n_parts"),
-      countDistinct(col("l_suppkey")).as("n_supps"),
-      countDistinct(col("l_orderkey")).as("n_orders"))
+  /** q10: distinct counts — one two-phase distinct per key column,
+    * crossJoined (all one-row frames). Three countDistincts in a
+    * single aggregate plan as an Expand (3 projected copies of every
+    * row through one multi-key distinct agg — 4.7× DuckDB at sf1.0);
+    * the split form column-prunes each scan and shuffles only
+    * per-column distinct values, with the three branches running as
+    * parallel stages of one job. */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    def dc(c: String, as: String): DataFrame =
+      li.select(col(c)).distinct().agg(count(col(c)).as(as))
+    dc("l_partkey", "n_parts")
+      .crossJoin(dc("l_suppkey", "n_supps"))
+      .crossJoin(dc("l_orderkey", "n_orders"))
+  }
 
   /** q11: EXISTS / NOT EXISTS as left_semi / left_anti joins. */
   private def q11(s: SparkSession, dir: String): DataFrame = {
@@ -272,15 +281,21 @@ object SparkEntry {
           .as("stable_id"))
       .orderBy("c_custkey")
 
-  /** n05: yyyyMMdd-int → date with invalid → NULL coercion. */
+  /** n05: yyyyMMdd-int → date with invalid → NULL coercion, on the
+    * all-integer native path ([[graft.plans.DateToYyyymmdd]] /
+    * [[graft.plans.YyyymmddToIso]]): Hinnant civil-date arithmetic +
+    * direct byte rendering, no java.time object per row. R12Probe:
+    * 0 divergent rows vs the formatter composition over sf1.0,
+    * 5.6 s → 1.1 s (beats DuckDB's 1.3 s). [[Normalize.parseYyyymmdd]]
+    * keeps the string surface (junk coercion) where DateParseProbe
+    * measured the formatter winning. */
   private def n05(s: SparkSession, dir: String): DataFrame = {
-    val ival = date_format(col("o_orderdate"), "yyyyMMdd").cast("int")
+    val ival = Normalize.dateToYyyymmdd(col("o_orderdate"))
     val mixed = when(col("o_orderkey") % 100 === 0, lit(99999999))
       .otherwise(ival)
     T(s, dir, "orders")
       .select(col("o_orderkey"),
-        date_format(Normalize.parseYyyymmdd(mixed), "yyyy-MM-dd")
-          .as("parsed_date"))
+        Normalize.yyyymmddToIso(mixed).as("parsed_date"))
       .orderBy("o_orderkey")
   }
 
@@ -359,15 +374,18 @@ object SparkEntry {
       .orderBy("o_orderpriority")
 
   /** q22: typed JSON struct parsing with corrupt-record coercion
-    * (from_json PERMISSIVE mode → null on malformed input). */
+    * (from_json PERMISSIVE semantics → null on malformed input) via
+    * the native single-pass extractor [[graft.plans.JsonLongField]] —
+    * the schema is one static long field, so the Jackson
+    * parser-object-per-row path (measured 15× DuckDB at sf1.0) is
+    * replaced by a validating byte walk; R12Probe measured 0
+    * divergent rows vs from_json over sf1.0 and 6.8 s → 0.76 s. */
   private def q22(s: SparkSession, dir: String): DataFrame = {
     val maybeCorrupt = when(col("event_id") % 50 === 0,
       concat(lit("x"), col("props"))).otherwise(col("props"))
-    val parsed = from_json(maybeCorrupt,
-      new org.apache.spark.sql.types.StructType()
-        .add("k", org.apache.spark.sql.types.LongType))
     T(s, dir, "events")
-      .select(col("event_id"), parsed.getField("k").as("k_parsed"))
+      .select(col("event_id"),
+        Normalize.jsonLongField(maybeCorrupt, "k").as("k_parsed"))
       .orderBy("event_id")
   }
 
@@ -1704,22 +1722,23 @@ object SparkEntry {
   }
 
   /** n07: PII redaction — synthetic emails/phones injected into every
-    * 10th doc (the corpus has none), then scrubbed with the shared
-    * cross-engine patterns; emits the redacted text and the match
-    * count actually removed. */
+    * 10th doc (the corpus has none), then counted AND scrubbed in a
+    * single fused byte pass ([[graft.plans.PiiScan]]; the regex
+    * composition paid four pattern traversals per row, measured 15×
+    * DuckDB at sf1.0 — R12Probe: 0 divergent rows, 3.6 s → 0.41 s).
+    * The patterns stay the shared cross-engine [[TextFns.EmailRe]] /
+    * [[TextFns.PhoneRe]], which the DuckDB oracle runs verbatim. */
   private def n07(s: SparkSession, dir: String): DataFrame = {
     val injected = when(col("doc_id") % 10 === 0,
       concat(col("text"), lit(" contact user"), col("doc_id"),
         lit("@example.com or 555-123-4567")))
       .otherwise(col("text"))
     T(s, dir, "documents")
-      .select(col("doc_id"), injected.as("__t"))
+      .select(col("doc_id"), TextFns.piiScan(injected).as("__s"))
       .select(col("doc_id"),
-        size(regexp_extract_all(col("__t"), lit(TextFns.EmailRe), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all(col("__t"), lit(TextFns.PhoneRe), lit(0)))
-          .cast("long").as("n_phones"),
-        TextFns.redactPii(col("__t")).as("redacted"))
+        col("__s.n_emails").as("n_emails"),
+        col("__s.n_phones").as("n_phones"),
+        col("__s.redacted").as("redacted"))
       .orderBy("doc_id")
   }
 
@@ -1736,11 +1755,9 @@ object SparkEntry {
         lit("@example.com or 555-123-4567")))
       .otherwise(col("text"))
     T(s, dir, "documents")
+      .select(col("source"), TextFns.piiScan(injected).as("__s"))
       .select(col("source"),
-        size(regexp_extract_all(injected, lit(TextFns.EmailRe), lit(0)))
-          .cast("long").as("__e"),
-        size(regexp_extract_all(injected, lit(TextFns.PhoneRe), lit(0)))
-          .cast("long").as("__p"))
+        col("__s.n_emails").as("__e"), col("__s.n_phones").as("__p"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("__e") + col("__p") > 0, 1L).otherwise(0L))

@@ -108,4 +108,46 @@ object Normalize {
     * "N" (api.py:171-174 search()'s n-number handling). */
   def normalizeKey(c: Column): Column =
     regexp_replace(upper(trim(c)), "^N", "")
+
+  private def wrap(e: org.apache.spark.sql.catalyst.expressions.Expression) = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(e)
+  }
+  private def expr(c: Column) = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.expression(c)
+  }
+
+  /** DateType → yyyyMMdd int via pure integer civil-date arithmetic
+    * ([[graft.plans.DateToYyyymmdd]]) — replaces
+    * `date_format(d, "yyyyMMdd").cast("int")`'s per-row java.time
+    * formatter on int-coded-date hot paths (normalize.py:123's FAA
+    * int dates). PlansSpec pins bit-equality against date_format. */
+  def dateToYyyymmdd(c: Column): Column =
+    wrap(graft.plans.DateToYyyymmdd(expr(c)))
+
+  /** yyyyMMdd int → ISO "yyyy-MM-dd" string, invalid → NULL
+    * ([[graft.plans.YyyymmddToIso]]) — the fused form of
+    * `date_format(parseYyyymmdd(v), "yyyy-MM-dd")` for int input,
+    * all-integer validation + direct byte rendering (no java.time).
+    * PlansSpec pins equality against the formatter composition over
+    * random and adversarial ints. */
+  def yyyymmddToIso(c: Column): Column =
+    wrap(graft.plans.YyyymmddToIso(expr(c)))
+
+  /** yyyyMMdd int → DateType, invalid → NULL
+    * ([[graft.plans.YyyymmddToDate]]): the int-typed fast path of
+    * [[parseYyyymmdd]] (which stays on the string surface — casts,
+    * junk coercion — where the measured formatter wins; see
+    * tools.DateParseProbe). */
+  def yyyymmddToDate(c: Column): Column =
+    wrap(graft.plans.YyyymmddToDate(expr(c)))
+
+  /** Top-level JSON long-field extraction with full-document
+    * validation, malformed/absent/non-integral → NULL
+    * ([[graft.plans.JsonLongField]]) — the fixed-shape fast path of
+    * `from_json(s, struct<f: long>).f` (no Jackson parser object,
+    * no row materialization per input). */
+  def jsonLongField(c: Column, field: String): Column =
+    wrap(graft.plans.JsonLongField(expr(c), field))
 }

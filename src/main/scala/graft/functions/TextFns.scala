@@ -120,4 +120,15 @@ object TextFns {
   def redactPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
+
+  /** Fused single-pass PII scan ([[graft.plans.PiiScan]]): returns
+    * struct(n_emails, n_phones, redacted) from ONE byte walk — the
+    * production form of the [[EmailRe]]/[[PhoneRe]] +
+    * [[redactPii]] composition (four regex traversals), exact-match
+    * equivalent (PlansSpec property-pins the scanner against the
+    * regex pipeline). */
+  def piiScan(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.PiiScan(GraftBridge.expression(c)))
+  }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * session-conf mutation at all. Not part of the driver contract. */
 object BucketProbe {
   def main(args: Array[String]): Unit = {
-    val spark = graft.Sessions.tune(SparkSession.builder()).master("local[8]")
+    val spark = graft.Sessions.tuneLocal(SparkSession.builder()).master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -33,7 +33,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   */
 object D09Probe {
   def main(args: Array[String]): Unit = {
-    val spark = graft.Sessions.tune(SparkSession.builder()).master("local[32]")
+    val spark = graft.Sessions.tuneLocal(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

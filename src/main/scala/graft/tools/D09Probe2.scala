@@ -23,7 +23,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * to SEE a recurrence. */
 object D09Probe2 {
   def main(args: Array[String]): Unit = {
-    val spark = graft.Sessions.tune(SparkSession.builder()).master("local[32]")
+    val spark = graft.Sessions.tuneLocal(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")

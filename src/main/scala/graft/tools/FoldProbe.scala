@@ -18,7 +18,7 @@ object FoldProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(16)
-    val spark = graft.Sessions.tune(SparkSession.builder()).master("local[8]")
+    val spark = graft.Sessions.tuneLocal(SparkSession.builder()).master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

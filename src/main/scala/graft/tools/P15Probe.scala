@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object P15Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = graft.Sessions.tune(SparkSession.builder()).master("local[32]")
+    val spark = graft.Sessions.tuneLocal(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

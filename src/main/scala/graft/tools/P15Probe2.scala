@@ -16,7 +16,7 @@ object P15Probe2 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val parts = args.lift(1).map(_.toInt).getOrElse(8)
-    val spark = graft.Sessions.tune(SparkSession.builder()).master("local[32]")
+    val spark = graft.Sessions.tuneLocal(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

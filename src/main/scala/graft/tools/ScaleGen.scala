@@ -62,10 +62,25 @@ object ScaleGen {
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(off)))
 
     /** Write as the driver's single-file layout: name.parquet as a
-      * plain file (DuckDB's read_parquet takes it directly). */
+      * plain file (DuckDB's read_parquet takes it directly) — but
+      * with row groups sized so the file carries ~32 of them instead
+      * of ONE. Round 12 found every sf1.0 scan was single-task: the
+      * default 128 MB parquet.block.size put each table in one row
+      * group, and row groups are the parallelism quantum for BOTH
+      * engines (Spark assigns row groups to splits by midpoint;
+      * DuckDB parallelizes per row group) — a 113 MB lineitem
+      * monofile serialized every scan-bound key onto one core, in
+      * both engines. Real 100 TB corpora arrive as thousands of
+      * files with 8-128 MB row groups; ~32 groups per table is the
+      * realistic fixture, and it is identical ROWS in the identical
+      * order (chunking only). */
     def write(df: DataFrame, name: String): Unit = {
+      val srcBytes = new java.io.File(s"$srcDir/$name.parquet").length()
+      val block = math.max(1L << 20, srcBytes * copies / 32)
       val tmp = s"$outDir/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", block)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session base: one local SparkSession per suite, configured
   * like Verify/Bench (UTC, ANSI off, AQE on). */
 trait SparkSuite extends AnyFunSuite {
-  lazy val spark: SparkSession = graft.Sessions.tune(SparkSession.builder())
+  lazy val spark: SparkSession = graft.Sessions.tuneLocal(SparkSession.builder())
     .master("local[4]")
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
