@@ -36,9 +36,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.Sessions.tuneLocal(SparkSession.builder())
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,8192] runs the SAME sweep
+    // under REAL executor processes (exchanges serialize over the
+    // shuffle file+transport path, broadcasts cross process
+    // boundaries, task results travel through RPC) — the multi-
+    // process rehearsal of the 100 TB posture. In that mode the app
+    // jar must reach the executors: SPARK_GRAFT_JARS points at it.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val jars = sys.env.get("SPARK_GRAFT_JARS")
+    val b0 = graft.Sessions.tuneLocal(SparkSession.builder())
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val spark = jars.fold(b0)(j => b0.config("spark.jars", j))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

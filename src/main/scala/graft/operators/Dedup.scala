@@ -737,10 +737,16 @@ object Dedup {
       exactFirst: Boolean = false): DataFrame = {
     if (exactFirst) {
       val base = docs.select(idCol.as("doc_id"), textCol.as("__text"))
-      // raw md5, NOT contentHash/cleanText: invisibility needs
+      // raw sha2-256, NOT contentHash/cleanText: invisibility needs
       // bit-identity (clean-equal texts still merge downstream via
-      // jaccard 1, so grouping conservatively loses nothing)
-      val sigged = base.withColumn("__sig", md5(col("__text")))
+      // jaccard 1, so grouping conservatively loses nothing). sha2
+      // rather than md5 because md5 is collision-BROKEN — crafted
+      // distinct documents with colliding digests (plausible in an
+      // adversarial web crawl) would silently collapse to one
+      // representative under a broken hash, violating the documented
+      // result-invisibility; the embedding twin avoids the issue by
+      // grouping on the raw vector.
+      val sigged = base.withColumn("__sig", sha2(col("__text"), 256))
       val repOf = sigged.groupBy("__sig")
         .agg(min(col("doc_id")).as("__rep"))
       val mapped = sigged.join(repOf, "__sig")

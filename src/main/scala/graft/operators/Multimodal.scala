@@ -9,40 +9,124 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batch UDF: one iterator per partition, streaming,
   * no driver involvement).
   *
-  * The actual image/audio decode is STUBBED (no codec libraries in
-  * this environment): [[decodeStub]] derives deterministic fake
-  * dimensions from the payload bytes. The Spark-side plumbing —
-  * schema, binary encoding, partition batch shape, typed output — is
-  * real and oracle-checked.
+  * The codec work is behind the typed [[PayloadDecoder]] seam: the
+  * default [[Md5PrefixDecoder]] instance is a declared STUB (no
+  * codec libraries in this environment) deriving deterministic fake
+  * dimensions/signatures from the payload bytes; [[BmpHeaderDecoder]]
+  * is a real pure-JVM drop-in proving the seam's contracts. The
+  * Spark-side plumbing — schema, binary encoding, partition batch
+  * shape, typed output — is real and oracle-checked either way.
   */
 object Multimodal {
 
-  /** Decoded-media record (what a real image decode would yield). */
-  case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, width: Long, height: Long)
+  /** THE decoder seam — the typed boundary between the engine's
+    * multimodal plumbing (schema, partition batching, shuffle shape,
+    * which is real and oracle-checked) and the codec work this
+    * container cannot run. Implementations MUST uphold two contracts
+    * the operators depend on:
+    *
+    *   1. corrupt -> null: [[PayloadDecoder.fingerprint]] yields a
+    *      NULL column value and [[PayloadDecoder.decode]] yields None
+    *      on payloads the decoder cannot parse — corrupt media must
+    *      neither crash the pipeline nor dedup together;
+    *   2. plan-shape preservation: fingerprint and frameSignature are
+    *      COLUMN functions (codegen'd expressions, no UDF), so
+    *      swapping decoders cannot change the dedup operators'
+    *      exchanges — only payload SIGNATURES ever shuffle, never
+    *      payload bytes; decode runs partition-wise (mapPartitions),
+    *      so a heavyweight codec stays streaming with no driver
+    *      involvement.
+    *
+    * [[Md5PrefixDecoder]] is the declared STUB instance (deterministic
+    * fake dimensions, prefix-md5 signature — no codec libraries ship
+    * in this environment); [[BmpHeaderDecoder]] is a REAL pure-JVM
+    * decoder (BMP header parse) proving a drop-in honors both
+    * contracts. MultimodalSpec drives both through the same
+    * plan-shape asserts. */
+  trait PayloadDecoder extends Serializable {
+    def name: String
 
-  /** STUB decode: a real implementation would parse the codec header;
-    * this derives deterministic dimensions from the first bytes so
-    * the pipeline shape is testable end-to-end. */
-  def decodeStub(id: Long, blob: Array[Byte]): MediaFeatures = {
-    val b0 = if (blob.length > 0) blob(0) & 0xff else 0
-    val b1 = if (blob.length > 1) blob(1) & 0xff else 0
-    MediaFeatures(id, blob.length.toLong, 256L + b0, 256L + b1)
+    /** Content signature for whole-payload dedup (pHash/chromaprint
+      * in a real pipeline); corrupt -> NULL. Column-level so the
+      * dedup plan stays codegen'd. */
+    def fingerprint(payload: Column): Column
+
+    /** Signature of one frame/segment slice (per-frame perceptual
+      * hash in a real pipeline); corrupt -> NULL. */
+    def frameSignature(slice: Column): Column = md5(slice)
+
+    /** Typed metadata decode: (width, height) — or the modality's
+      * equivalent — from the payload bytes; corrupt -> None. */
+    def decode(blob: Array[Byte]): Option[(Long, Long)]
   }
 
+  /** The STUB decoder: deterministic fake dimensions from the first
+    * payload bytes, prefix-md5 signature. Every payload "decodes"
+    * (the stub cannot detect corruption) — its value is exercising
+    * the pipeline shape end-to-end with oracle-checkable outputs. */
+  case class Md5PrefixDecoder(prefixBytes: Int = 32) extends PayloadDecoder {
+    require(prefixBytes > 0, s"prefixBytes must be positive: $prefixBytes")
+    override def name: String = s"md5-stub-$prefixBytes"
+    override def fingerprint(payload: Column): Column =
+      md5(substring(payload, 1, prefixBytes))
+    override def decode(blob: Array[Byte]): Option[(Long, Long)] = {
+      val b0 = if (blob.length > 0) blob(0) & 0xff else 0
+      val b1 = if (blob.length > 1) blob(1) & 0xff else 0
+      Some((256L + b0, 256L + b1))
+    }
+  }
+
+  /** A REAL (if deliberately tiny) pure-JVM decoder: parses the BMP
+    * file header — magic "BM", pixel width at byte offset 18 and
+    * height at 22, both little-endian int32 (the BITMAPINFOHEADER
+    * layout). Anything without the magic or too short for the header
+    * is corrupt -> None/NULL. Exists to prove the [[PayloadDecoder]]
+    * seam is a working drop-in point, not a comment: the fingerprint
+    * stays a codegen'd column expression (magic check + md5), the
+    * decode a plain byte parse. */
+  case object BmpHeaderDecoder extends PayloadDecoder {
+    override def name: String = "bmp-header"
+    private val HeaderLen = 26
+    override def fingerprint(payload: Column): Column =
+      when(length(payload) >= HeaderLen &&
+        substring(payload, 1, 2) === lit("BM".getBytes), md5(payload))
+    override def decode(blob: Array[Byte]): Option[(Long, Long)] = {
+      if (blob.length < HeaderLen || blob(0) != 'B' || blob(1) != 'M')
+        return None
+      def le32(o: Int): Long =
+        (blob(o) & 0xffL) | ((blob(o + 1) & 0xffL) << 8) |
+          ((blob(o + 2) & 0xffL) << 16) | ((blob(o + 3) & 0xffL) << 24)
+      Some((le32(18), le32(22)))
+    }
+  }
+
+  /** Decoded-media record (what a real image decode yields); width
+    * and height are None when the decoder rejects the payload — the
+    * corrupt->null contract made visible in the schema. */
+  case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, width: Option[Long],
+      height: Option[Long])
+
   /** Attach a binary payload column (here: utf-8 encoded text stands
-    * in for media bytes) and run the partition-wise decode. */
+    * in for media bytes) and run the partition-wise decode through
+    * the given [[PayloadDecoder]] (default: the stub). Corrupt
+    * payloads keep their row — id and byte length are payload facts,
+    * the decoded dimensions are null. */
   def decodeFeatures(
       df: DataFrame,
       idCol: String,
-      payloadCol: String): DataFrame = {
+      payloadCol: String,
+      decoder: PayloadDecoder = Md5PrefixDecoder()): DataFrame = {
     val withBlob = df.select(col(idCol).cast("long").as("id"),
       encode(col(payloadCol), "UTF-8").as("blob"))
     val ds: Dataset[(Long, Array[Byte])] =
       withBlob.as[(Long, Array[Byte])](
         Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     ds.mapPartitions { it: Iterator[(Long, Array[Byte])] =>
-      it.map { case (id, blob) => decodeStub(id, blob) }
+      it.map { case (id, blob) =>
+        val wh = decoder.decode(blob)
+        MediaFeatures(id, blob.length.toLong, wh.map(_._1), wh.map(_._2))
+      }
     }(Encoders.product[MediaFeatures]).toDF()
   }
 
@@ -166,7 +250,8 @@ object Multimodal {
       df: DataFrame,
       idCol: String,
       payloadCol: String,
-      frames: Int = 8): DataFrame = {
+      frames: Int = 8,
+      decoder: PayloadDecoder = Md5PrefixDecoder()): DataFrame = {
     require(frames > 0, s"frames must be positive: $frames")
     val k = frames
     val sigs = df
@@ -174,12 +259,15 @@ object Multimodal {
         col(payloadCol).as("__p"), length(col(payloadCol)).as("__n"),
         explode(sequence(lit(0), lit(k - 1))).as("fr"))
       .select(col("doc_id"), col("fr"),
-        md5(col("__p").substr(
+        decoder.frameSignature(col("__p").substr(
           floor(col("fr") * col("__n") / k).cast("int") + 1,
           (floor((col("fr") + 1) * col("__n") / k) -
             floor(col("fr") * col("__n") / k)).cast("int"))).as("sig"))
-    val counts = sigs.groupBy("sig").agg(count(lit(1)).as("__c"))
-    sigs.join(counts, Seq("sig"))
+    // null signature = undecodable frame: LEFT join keeps its row,
+    // null never equi-joins, so corrupt frames count as unique
+    val counts = sigs.where(col("sig").isNotNull)
+      .groupBy("sig").agg(count(lit(1)).as("__c"))
+    sigs.join(counts, Seq("sig"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"),
         sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("n_dup"),
@@ -187,35 +275,43 @@ object Multimodal {
           count(lit(1)) * 10000) / 10000).as("dup_frac"))
   }
 
-  /** Media payload dedup on a perceptual-signature STUB: real
-    * pipelines collapse near-identical media on a content signature
-    * a decoder computes (pHash for images, chromaprint for audio) —
-    * byte-exact hashing misses every re-encode. Here the signature
-    * is md5 of the first `prefixBytes` payload bytes (deterministic,
-    * oracle-checkable); swap [[fingerprintStub]] for a real
-    * perceptual hash and the dedup shape is unchanged.
+  /** Media payload dedup on the decoder's content signature: real
+    * pipelines collapse near-identical media on a signature a
+    * decoder computes (pHash for images, chromaprint for audio) —
+    * byte-exact hashing misses every re-encode. The default
+    * [[Md5PrefixDecoder]] signature is md5 of the first prefixBytes
+    * (deterministic, oracle-checkable); any [[PayloadDecoder]] drops
+    * in with the dedup shape unchanged (MultimodalSpec asserts both).
     *
     * Shape at 100 TB: one map-side fingerprint per payload (the
     * bytes never shuffle — only the 16-byte signature does), one
     * hash-agg on the signature, one signature-keyed join back for
     * the verdict; AQE broadcasts the group table when it fits.
-    * Keeper = min doc id, as every dedup family member. */
-  def fingerprintStub(payload: Column, prefixBytes: Int): Column =
-    md5(substring(payload, 1, prefixBytes))
-
+    * Keeper = min doc id, as every dedup family member. Corrupt
+    * payloads (null fingerprint) never match the LEFT join back, so
+    * each stays a kept singleton — corrupt media must not dedup
+    * together. */
   def payloadDedup(
       df: DataFrame,
       idCol: String,
       payloadCol: String,
-      prefixBytes: Int = 32): DataFrame = {
-    require(prefixBytes > 0, s"prefixBytes must be positive: $prefixBytes")
+      prefixBytes: Int = 32): DataFrame =
+    payloadDedupWith(df, idCol, payloadCol, Md5PrefixDecoder(prefixBytes))
+
+  def payloadDedupWith(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      decoder: PayloadDecoder): DataFrame = {
     val fp = df.select(col(idCol).cast("long").as("doc_id"),
-      fingerprintStub(encode(col(payloadCol), "UTF-8"), prefixBytes)
-        .as("fp"))
-    val g = fp.groupBy("fp").agg(count(lit(1)).as("n_copies"),
-      min(col("doc_id")).as("__keeper"))
-    fp.join(g, Seq("fp"))
-      .select(col("doc_id"), col("fp"), col("n_copies"),
-        (col("doc_id") === col("__keeper")).cast("long").as("keep"))
+      decoder.fingerprint(encode(col(payloadCol), "UTF-8")).as("fp"))
+    val g = fp.where(col("fp").isNotNull)
+      .groupBy("fp").agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("__keeper"))
+    fp.join(g, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("n_copies"), lit(1L)).as("n_copies"),
+        coalesce(col("doc_id") === col("__keeper"), lit(true))
+          .cast("long").as("keep"))
   }
 }

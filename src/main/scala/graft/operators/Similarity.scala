@@ -252,7 +252,27 @@ object Similarity {
     * those race — each stage recomputes the full projection pass
     * before any one of them commits the cache (measured: 4 parallel
     * 4.3 s stages doing identical work at sf1.0). One eager pass
-    * pays the projections once; downstream stages read the cache. */
+    * pays the projections once; downstream stages read the cache.
+    *
+    * Cache lifecycle: the cached banded frame must outlive THIS
+    * call (the returned pair plan is lazy and reads it at the
+    * consumer's action), so it cannot unpersist here — instead each
+    * call RETIRES the previous call's banded cache (generation
+    * slot), capping residency at one n·numTables-row vector frame
+    * per session instead of one per batch call; [[releaseBandedCache]]
+    * drops the last one deterministically once its consumer has
+    * acted. */
+  private val liveBanded =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Unpersist the most recent [[bucketLocalScoredPairs]] banded
+    * cache. Safe to call after the consuming action; a later call
+    * that still needs it would transparently recompute. */
+  def releaseBandedCache(): Unit = {
+    val prev = liveBanded.getAndSet(null)
+    if (prev != null) prev.unpersist(false)
+  }
+
   private[graft] def bucketLocalScoredPairs(
       corpus: DataFrame,
       idCol: String,
@@ -265,6 +285,8 @@ object Similarity {
     val banded = bandedWithVecs(corpus, idCol, vecCol, numTables,
       planesPerTable, dim, seed).cache()
     banded.count()
+    val prev = liveBanded.getAndSet(banded)
+    if (prev != null && (prev ne banded)) prev.unpersist(false)
     scoredPairsFromBanded(banded, maxBucketRows)
   }
 

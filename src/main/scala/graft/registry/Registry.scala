@@ -241,7 +241,12 @@ class Registry(
   def writeFtsIndex(
       tableName: String = Registry.FtsTable, numBuckets: Int = 32): Unit =
     graft.operators.Layouts.publish(
-      ownersFtsIndex, tableName, "fts_index", Seq("token"), numBuckets)
+      ownersFtsIndex, tableName, "fts_index", Seq("token"), numBuckets,
+      // the ranked probe's idf needs the corpus doc count N; carrying
+      // it on the layout's lineage row saves one owners-count job per
+      // ranked search (it is a property of the INDEXED snapshot, so
+      // the manifest — not the live table — is its correct home)
+      props = Map("doc_count" -> table("owners").count().toString))
 
   /** All-terms FTS match (AND semantics like FTS5 default): one
     * semi-join per term against the inverted index — the written
@@ -275,18 +280,34 @@ class Registry(
     * standard idf = ln(1 + (N − df + ½)/(df + ½)). Term document
     * frequencies come from ONE bucket-pruned aggregate over the
     * probed tokens (broadcast back — |terms| rows), never a corpus
-    * pass; N is the owners row count (one cached catalog-size
-    * lookup). Score floored to 4 dp for engine-stable ordering; ties
-    * break on owner_id. */
+    * pass; N comes from the written index's lineage manifest row
+    * (`doc_count`, recorded at index-fts time — a property of the
+    * indexed snapshot) and only falls back to a live owners count
+    * for the lazy/unmanifested path. Score floored to 4 dp for
+    * engine-stable ordering; ties break on owner_id. */
   def searchOwnersFtsRanked(
       terms: Seq[String], indexTable: Option[String] = None): DataFrame = {
     require(terms.nonEmpty, "searchOwnersFtsRanked needs at least one term")
     val up = terms.map(_.toUpperCase).distinct
     val written = indexTable.orElse(
       Some(Registry.FtsTable).filter(spark.catalog.tableExists))
-    val idx = written.map(spark.table).getOrElse(ownersFtsIndex)
+    // A persisted index written by a pre-`tf` index-fts run lacks the
+    // term-frequency column the ranking needs; falling back to the
+    // lazy index keeps ranked search working (at recompute cost)
+    // instead of failing with an opaque unresolved-column error.
+    val usable = written.filter(t => spark.table(t).columns.contains("tf"))
+    val idx = usable.map(spark.table).getOrElse(ownersFtsIndex)
     val hits = idx.filter(col("token").isin(up: _*))
-    val n = table("owners").count()
+    // N from the index's manifest row when probing a written index
+    // (no extra job); live count only on the lazy path
+    val n = usable.flatMap { t =>
+      graft.operators.Layouts.manifest(spark)
+        .filter(col("layout") === t)
+        .select(col("props")).collect().headOption
+        .flatMap(r => r.getString(0).split(';')
+          .collectFirst { case s if s.startsWith("doc_count=") =>
+            s.stripPrefix("doc_count=").toLong })
+    }.getOrElse(table("owners").count())
     val idf = hits.groupBy(col("token"))
       .agg(countDistinct(col("owner_id")).as("df"))
       .withColumn("idf", log(

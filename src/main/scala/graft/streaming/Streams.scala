@@ -566,8 +566,8 @@ object Streams {
   private[graft] def sigDelta(
       df: DataFrame, prefixBytes: Int): DataFrame =
     df.select(col("doc_id").cast("long").as("doc_id"),
-        graft.operators.Multimodal.fingerprintStub(
-          encode(col("text"), "UTF-8"), prefixBytes).as("fp"))
+        graft.operators.Multimodal.Md5PrefixDecoder(prefixBytes)
+          .fingerprint(encode(col("text"), "UTF-8")).as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("n_copies"),
         min(col("doc_id")).as("keeper"))
 
@@ -1000,7 +1000,13 @@ object Streams {
     val bands = new BandState(spark, base, Seq("tbl", "bkt"))
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val raw = batch.toDF()
+        // cache BEFORE the sizing count: quadraticParts needs the
+        // batch row count up front, and an uncached count would read
+        // and compute the batch source one extra time per trigger
+        // just to size the shuffle — the cache lets sizing and
+        // processing share one source read (unpersisted at batch end)
+        val raw = batch.toDF().cache()
+        try {
         val bs = raw.sparkSession
         val parts = quadraticParts(bs, raw.count(), numTables,
           planesPerTable)
@@ -1097,6 +1103,7 @@ object Streams {
         if (keepThreshold.isDefined) symIn.unpersist(blocking = false)
         bandedV.unpersist(blocking = false)
         }
+        } finally raw.unpersist(blocking = false)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -1227,7 +1234,10 @@ object Streams {
     val bands = new BandState(spark, base, Seq("tbl", "bkt"))
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val raw = batch.toDF()
+        // cache BEFORE the sizing count (see the p15 fold): one
+        // source read shared by sizing and processing
+        val raw = batch.toDF().cache()
+        try {
         val bs = raw.sparkSession
         val parts = quadraticParts(bs, raw.count(), numTables,
           planesPerTable)
@@ -1291,6 +1301,7 @@ object Streams {
         bands.maybeCompact(id, compactEvery)
         bandedV.unpersist(blocking = false)
         }
+        } finally raw.unpersist(blocking = false)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -1439,7 +1450,10 @@ object Streams {
       _.groupBy("fp").agg(min(col("m")).as("m")), compactEvery)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val raw = batch.toDF()
+        // cache BEFORE the sizing count: the count that sizes the
+        // shuffle and the spread that feeds the models share ONE
+        // source read instead of two
+        val raw = batch.toDF().cache()
         val bs = raw.sparkSession
         withStreamPartitions(bs, rowParts(bs, raw.count())) {
         // cache: SEVEN delta extractions read this frame — uncached,
@@ -1449,6 +1463,7 @@ object Streams {
         // consumers read it rather than racing to recompute it.
         val b = spread(raw).cache()
         b.count()
+        raw.unpersist(blocking = false) // b is materialized; raw done
         lmSt.append(id, lmDelta(b))
         dfSt.append(id, dfDelta(b))
         dfMeta.append(id, b.agg(count(lit(1)).as("n")))
@@ -1638,7 +1653,7 @@ object Streams {
     * map-side, on arrival — the bytes are never rescanned and never
     * shuffled (only the 16-byte signatures enter the fold). State is
     * |distinct signatures| rows; versioned dirs + atomic pointer, as
-    * p07. Swap [[graft.operators.Multimodal.fingerprintStub]] for a
+    * p07. Swap the [[graft.operators.Multimodal.PayloadDecoder]] for a
     * real perceptual hash and the maintenance shape is unchanged. */
   def incrementalPayloadSig(
       stream: DataFrame,
@@ -1689,8 +1704,8 @@ object Streams {
     }
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"),
-        graft.operators.Multimodal.fingerprintStub(
-          encode(col("text"), "UTF-8"), 32).as("fp"))
+        graft.operators.Multimodal.Md5PrefixDecoder(32)
+          .fingerprint(encode(col("text"), "UTF-8")).as("fp"))
       .join(model, Seq("fp"))
       .select(col("doc_id"), col("fp"), col("n_copies"),
         (col("doc_id") === col("keeper")).cast("long").as("keep"))

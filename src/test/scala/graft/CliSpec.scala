@@ -486,4 +486,30 @@ class CliSpec extends SparkSuite {
     assert(df.collect().map(_.getAs[String]("n_number")).toSet
       .contains("221LA"))
   }
+
+  test("dataRoot falls back to GRAFT_DATA_DIR / ~/.graft/data " +
+      "(config.py:10-25 parity)") {
+    // main recognizes a leading known command as an omitted dataRoot
+    assert(Cli.Commands("status") && Cli.Commands("fts") &&
+      !Cli.Commands("/some/path"))
+    assert(Cli.defaultDataRoot(Map("GRAFT_DATA_DIR" -> "/tmp/x")) ==
+      "/tmp/x")
+    assert(Cli.defaultDataRoot(Map.empty) ==
+      s"${sys.props("user.home")}/.graft/data")
+  }
+
+  test("fetch sanitizes URL-derived download names") {
+    // a URL whose last segment is empty/dot/traversal must not
+    // resolve outside downloads/ or produce an empty dest — the
+    // download itself fails fast here (zero egress), but the failure
+    // must be the download, not a path error; exercise the pure
+    // sanitizer via a file:// URL with a traversal-looking name
+    val weird = Files.createTempDirectory("graft_cli_fetch")
+    val msg = intercept[IllegalArgumentException] {
+      Cli.run(spark, weird.toString,
+        Seq("fetch", "http://host.invalid/a/..?q=1"), _ => ())
+    }.getMessage
+    assert(msg.contains("download failed"),
+      s"expected a download failure, not a path error: $msg")
+  }
 }

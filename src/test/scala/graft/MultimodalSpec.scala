@@ -4,11 +4,91 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSuite {
 
-  test("decodeStub derives deterministic metadata from bytes") {
-    val f = Multimodal.decodeStub(7L, Array[Byte](65, 66, 67))
-    assert(f == Multimodal.MediaFeatures(7L, 3L, 256L + 65, 256L + 66))
-    val empty = Multimodal.decodeStub(8L, Array.emptyByteArray)
-    assert(empty == Multimodal.MediaFeatures(8L, 0L, 256L, 256L))
+  test("stub decoder derives deterministic metadata from bytes") {
+    val stub = Multimodal.Md5PrefixDecoder()
+    assert(stub.decode(Array[Byte](65, 66, 67)) ==
+      Some((256L + 65, 256L + 66)))
+    assert(stub.decode(Array.emptyByteArray) == Some((256L, 256L)))
+  }
+
+  test("BmpHeaderDecoder parses real headers, rejects corrupt (None)") {
+    // minimal BMP header: "BM" + 16 filler bytes + width/height LE
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](26)
+      b(0) = 'B'; b(1) = 'M'
+      for (i <- 0 until 4) {
+        b(18 + i) = ((w >> (8 * i)) & 0xff).toByte
+        b(22 + i) = ((h >> (8 * i)) & 0xff).toByte
+      }
+      b
+    }
+    assert(Multimodal.BmpHeaderDecoder.decode(bmp(640, 480)) ==
+      Some((640L, 480L)))
+    assert(Multimodal.BmpHeaderDecoder.decode(bmp(1, 1 << 20)) ==
+      Some((1L, (1 << 20).toLong)))
+    // corrupt: wrong magic, truncated header, empty
+    assert(Multimodal.BmpHeaderDecoder.decode(
+      "XX not a bmp at all.......".getBytes) == None)
+    assert(Multimodal.BmpHeaderDecoder.decode(Array[Byte]('B', 'M')) ==
+      None)
+    assert(Multimodal.BmpHeaderDecoder.decode(Array.emptyByteArray) ==
+      None)
+  }
+
+  test("decodeFeatures honors the corrupt->null contract per decoder") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "not a bmp, long enough to pass length"),
+      (2L, "BM" + ("x" * 30))).toDF("doc_id", "text")
+    // stub: everything decodes
+    val stub = Multimodal.decodeFeatures(docs, "doc_id", "text")
+    assert(stub.filter(col("width").isNull).count() == 0)
+    // bmp: row 1 is corrupt -> null dims, row kept with byte length
+    val bmp = Multimodal.decodeFeatures(docs, "doc_id", "text",
+      Multimodal.BmpHeaderDecoder)
+    val r1 = bmp.filter(col("doc_id") === 1).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("width")) &&
+      r1.isNullAt(r1.fieldIndex("height")))
+    assert(r1.getLong(r1.fieldIndex("n_bytes")) > 0)
+    val r2 = bmp.filter(col("doc_id") === 2).collect().head
+    assert(!r2.isNullAt(r2.fieldIndex("width")))
+  }
+
+  test("payloadDedup plan shape is decoder-invariant: signatures " +
+      "shuffle, payload bytes never do") {
+    // parquet-backed so the optimizer cannot collapse the plan to a
+    // LocalTableScan (local relations constant-fold the whole dedup)
+    val docs = Tables.load(spark, sfDir, "documents")
+    for (dec <- Seq[Multimodal.PayloadDecoder](
+        Multimodal.Md5PrefixDecoder(32), Multimodal.BmpHeaderDecoder)) {
+      val plan = Multimodal.payloadDedupWith(docs, "doc_id", "text", dec)
+        .queryExecution.executedPlan.toString
+      // the signature aggregate's exchange carries (fp, ...) — the
+      // payload column must be projected away before any exchange
+      val exchanges = plan.split("Exchange").drop(1)
+      assert(exchanges.nonEmpty, s"[$dec] no exchange found:\n$plan")
+      assert(!exchanges.exists(_.split("\n").head.contains("text")),
+        s"[${dec.name}] payload column reached an exchange:\n$plan")
+      // no UDF anywhere: the fingerprint is a codegen'd expression
+      assert(!plan.toLowerCase.contains("batchevalpython") &&
+        !plan.contains("ScalaUDF"), s"[${dec.name}] UDF in plan")
+    }
+  }
+
+  test("payloadDedup: corrupt payloads (null fp) never dedup together") {
+    import spark.implicits._
+    // two IDENTICAL corrupt payloads + one BMP pair sharing bytes
+    val bm = "BM" + ("z" * 40)
+    val docs = Seq((1L, "corrupt equal"), (2L, "corrupt equal"),
+      (3L, bm), (4L, bm)).toDF("doc_id", "text")
+    val got = Multimodal.payloadDedupWith(docs, "doc_id", "text",
+        Multimodal.BmpHeaderDecoder)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == (1L, 1L) && got(2L) == (1L, 1L),
+      s"corrupt payloads must stay kept singletons: $got")
+    assert(got(3L) == (2L, 1L) && got(4L) == (2L, 0L),
+      s"valid identical BMPs must dedup to the min id: $got")
   }
 
   test("decodeFeatures preserves rows and byte lengths end-to-end") {
