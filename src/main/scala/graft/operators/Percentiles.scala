@@ -115,21 +115,65 @@ object Percentiles {
     val v = col(valueCol)
     // NULL values are excluded before ranking (quantile_cont ignores
     // them; ranking them would shift every cut position)
-    val vals = df.select(g, v).filter(v.isNotNull)
+    val allVals = df.select(g, v).filter(v.isNotNull)
 
-    // Pass 0: sizing — one row on the driver (max group size, #groups)
-    val buckets =
-      if (numBuckets > 1) numBuckets
-      else {
-        val stats = vals.groupBy(g).agg(count(lit(1)).as("__n"))
-          .agg(max(col("__n")).as("mx"), count(lit(1)).as("ng")).head()
-        val maxN = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-        val nGroups = math.max(1L, stats.getLong(1))
-        val cap = math.max(2L,
-          math.min(MaxBucketsPerGroup, MaxTotalBoundaries / nGroups))
-        val want = (maxN + TargetRowsPerBucket - 1) / TargetRowsPerBucket
-        math.max(2L, math.min(cap, want)).toInt
+    // HIGH-CARDINALITY REGIME (round 12): a group whose rows fit one
+    // pass-3 task (n_g <= TargetRowsPerBucket) needs NO boundary
+    // machinery — a per-group window rank IS its exact order
+    // statistics, with zero driver state. Routing those directly
+    // means only genuinely-big groups consume the boundary budget:
+    // a million-group corpus of small groups (the regime where the
+    // old uniform-bucket sizing degraded to buckets=2 and the budget
+    // collect approached its 8 MB cap) now runs entirely on the
+    // direct path, and the budget divides among the few groups that
+    // are actually larger than a task (at most n / 64k of them, by
+    // counting). The degraded regime now requires > 512k groups EACH
+    // > 64k rows — n > 3·10^10 rows of uniformly huge groups — and
+    // still only costs skewed bucket sorts, never wrong values
+    // (SCALE.md §percentiles; PercentilesSpec pins a 10^6-group case
+    // and small/big-path equality). Explicit numBuckets keeps the
+    // old single-path behavior for callers that pin bucketing.
+    if (numBuckets <= 1) {
+      val sizes = allVals.groupBy(g.as("__sg"))
+        .agg(count(lit(1)).as("__gn"))
+      val bigStats = sizes.filter(col("__gn") > TargetRowsPerBucket)
+        .agg(max(col("__gn")).as("mx"), count(lit(1)).as("ng")).head()
+      val smallRanked = {
+        val wg = Window.partitionBy(g).orderBy(v)
+        allVals
+          .join(sizes.filter(col("__gn") <= TargetRowsPerBucket),
+            g <=> col("__sg"))
+          .select(g, v, col("__gn").as("__n"))
+          .withColumn("__rn", row_number().over(wg))
       }
+      val smallOut = finishRanked(smallRanked, g, v, ps)
+      if (bigStats.isNullAt(0)) return smallOut
+      val maxN = bigStats.getLong(0)
+      val nBig = math.max(1L, bigStats.getLong(1))
+      val cap = math.max(2L,
+        math.min(MaxBucketsPerGroup, MaxTotalBoundaries / nBig))
+      val want = (maxN + TargetRowsPerBucket - 1) / TargetRowsPerBucket
+      val buckets = math.max(2L, math.min(cap, want)).toInt
+      val bigVals = allVals
+        .join(sizes.filter(col("__gn") > TargetRowsPerBucket),
+          g <=> col("__sg"))
+        .select(g, v)
+      return smallOut.unionByName(
+        bucketedPath(spark, bigVals, g, v, ps, buckets, groupCol))
+    }
+    bucketedPath(spark, allVals, g, v, ps, numBuckets, groupCol)
+  }
+
+  /** The boundary-bucket machinery (passes 1-3 of the scaladoc) over
+    * `vals`, which must already be null-filtered. */
+  private def bucketedPath(
+      spark: org.apache.spark.sql.SparkSession,
+      vals: DataFrame,
+      g: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column,
+      ps: Seq[Double],
+      buckets: Int,
+      groupCol: String): DataFrame = {
 
     // Pass 1: per-group bucket boundaries, pinned on the driver so the
     // bucket function is identical in passes 2 and 3. Low accuracy is
@@ -192,7 +236,19 @@ object Percentiles {
     val ranked = bucketed
       .join(nd, g <=> col("__g") && col("__bkt") === col("__bkt2"))
       .withColumn("__rn", col("__off") + row_number().over(wLoc))
+    finishRanked(ranked, g, v, ps)
+  }
 
+  /** Shared finishing aggregate: from rows carrying exact global
+    * ranks (`__rn`) and group totals (`__n`), pick the two boundary
+    * rows per (group, percentile) and interpolate (type 7). Both the
+    * direct small-group path and the bucketed path end here, which
+    * is WHY they are value-identical by construction. */
+  private def finishRanked(
+      ranked: DataFrame,
+      g: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column,
+      ps: Seq[Double]): DataFrame = {
     // integer percents name as p50/p90; fractional ones keep their
     // decimals with '_' (p12_5) so nearby fractions cannot collide
     def tag(p: Double): String = {

@@ -84,6 +84,32 @@ object Streams {
     df.repartition(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8").toInt)
 
+  /** Run independent per-model state actions (part appends,
+    * compactions) CONCURRENTLY within one trigger. A multi-model
+    * fold otherwise pays one full Spark-job latency per model per
+    * trigger in sequence — the p19 suite's seven appends were ~6
+    * job launches + FS round-trips run back to back (the verdict's
+    * measured 33.5 s at sf1.0); submitting them together bounds the
+    * trigger by the SLOWEST model instead of the sum. Each action
+    * writes its own part directory, so ordering between them never
+    * mattered — a crash mid-parallel leaves the same
+    * some-parts-written window the serial order had, and the batch-id
+    * overwrite keyed replay (append's mode("overwrite")) heals both
+    * identically (replay specs). Failures propagate: the first
+    * exception aborts the trigger exactly as a serial throw would. */
+  private def runParallel(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.sizeIs <= 1) { tasks.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      tasks.length)
+    try {
+      val futures = tasks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = t()
+        }))
+      futures.foreach(_.get()) // rethrows the first failure
+    } finally pool.shutdown()
+  }
+
   /** Publish one snapshot version: run `write` into `out`, then move
     * the pointer — UNLESS the pointer already names `out`. That
     * happens exactly when the batch replays after its pointer move
@@ -1464,16 +1490,24 @@ object Streams {
         val b = spread(raw).cache()
         b.count()
         raw.unpersist(blocking = false) // b is materialized; raw done
-        lmSt.append(id, lmDelta(b))
-        dfSt.append(id, dfDelta(b))
-        dfMeta.append(id, b.agg(count(lit(1)).as("n")))
-        dsirSt.append(id, dsirDelta(b, targetSource, dim))
-        sigSt.append(id, sigDelta(b, prefixBytes))
-        val docs = keeperDocs(b)
-        docsSt.append(id, docs)
-        champsSt.append(id, keeperChamps(docs))
-        Seq(lmSt, dfSt, dfMeta, dsirSt, sigSt, docsSt, champsSt)
-          .foreach(_.maybeCompact(id))
+        // seven independent model deltas off the one cached batch:
+        // submit concurrently so the trigger pays max(model) job
+        // latency, not the sum (runParallel doc — the p19 verdict fix)
+        runParallel(Seq(
+          () => lmSt.append(id, lmDelta(b)),
+          () => dfSt.append(id, dfDelta(b)),
+          () => dfMeta.append(id, b.agg(count(lit(1)).as("n"))),
+          () => dsirSt.append(id, dsirDelta(b, targetSource, dim)),
+          () => sigSt.append(id, sigDelta(b, prefixBytes)),
+          () => {
+            // champs derive from docs: keep the dependent pair on one
+            // thread, both reading the cached batch
+            val docs = keeperDocs(b)
+            docsSt.append(id, docs)
+            champsSt.append(id, keeperChamps(docs))
+          }))
+        runParallel(Seq(lmSt, dfSt, dfMeta, dsirSt, sigSt, docsSt,
+          champsSt).map(st => () => st.maybeCompact(id)))
         b.unpersist(blocking = false)
         }
         ()

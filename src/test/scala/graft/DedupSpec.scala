@@ -104,6 +104,39 @@ class DedupSpec extends SparkSuite {
         s"${gotBig.toSet -- gotSmall.toSet}")
   }
 
+  test("clusterLeaders gate boundary: one edge over the cutoff " +
+      "engages the distributed fixpoint, at-or-under stays on the " +
+      "driver") {
+    // 60 disjoint pairs -> 120 symmetric edges. Same data, cutoff on
+    // either side of 120: the MEASURED edge count (not pair count,
+    // not heuristics) must decide the path.
+    val pairs = (1L to 60L).map(i => (i * 10, i * 10 + 1))
+      .toDF("a_id", "b_id")
+    def mode(cutoff: Long): String =
+      Dedup.clusterLeaders(pairs, smallCutoff = cutoff)
+        .schema("leader_id").metadata.getString("cc_mode")
+    assert(mode(120L) == "driver-union-find",
+      "<= cutoff must stay on the driver path")
+    assert(mode(119L) == "distributed-fixpoint",
+      "> cutoff must engage the distributed fixpoint")
+    // and the two paths agree at the boundary, per-label
+    val a = Dedup.clusterLeaders(pairs, smallCutoff = 120L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.clusterLeaders(pairs, smallCutoff = 119L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("clusterLeaders: non-integral ids always take the fixpoint " +
+      "(union-find is gated to integral id types)") {
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("a_id", "b_id")
+    val out = Dedup.clusterLeaders(pairs)
+    assert(out.schema("leader_id").metadata.getString("cc_mode") ==
+      "distributed-fixpoint")
+    val got = out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("nearDedupPipeline keeps one doc per near-dup cluster") {
     val res = Dedup.nearDedupPipeline(docs, col("doc_id"), col("text"),
         jaccardThreshold = 0.7)

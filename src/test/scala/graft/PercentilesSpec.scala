@@ -115,8 +115,13 @@ class PercentilesSpec extends SparkSuite {
     assert(math.abs(got.getDouble(1) - expected(all, 0.95)) < 1e-9)
   }
 
-  test("ranking window partitions on (group, bucket), never group alone") {
-    val plan = Percentiles.exactByGroup(data, "grp", "v", Seq(0.5, 0.9))
+  test("bucketed path's ranking window partitions on (group, bucket)," +
+      " never group alone") {
+    // explicit numBuckets pins the bucketed machinery (the default
+    // path routes these small groups to the direct per-group rank,
+    // where a group-only window is bounded BY the <= 64k routing)
+    val plan = Percentiles.exactByGroup(data, "grp", "v", Seq(0.5, 0.9),
+        numBuckets = 4)
       .queryExecution.optimizedPlan
     val windows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
@@ -131,5 +136,57 @@ class PercentilesSpec extends SparkSuite {
           s"got ${w.partitionSpec.mkString(", ")} — a group-only partition " +
           "sorts the whole group in one task")
     }
+  }
+
+  test("high-cardinality regime: 10^6 groups run on the direct path " +
+      "with zero boundary collects, exact values") {
+    // 10^6 tiny groups — the regime where uniform bucket sizing
+    // degraded to buckets=2 and the boundary collect approached its
+    // budget cap; now no group exceeds one task so NO boundary
+    // machinery runs at all (no __bkt window in the plan)
+    val big = spark.range(0, 2000000L)
+      .select((col("id") % 1000000L).as("grp"),
+        ((col("id") * 2654435761L) % 10007L).cast("double").as("v"))
+    val out = Percentiles.exactByGroup(big, "grp", "v", Seq(0.5))
+    val plan = out.queryExecution.optimizedPlan
+    val hasBucketWindow = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.exists(_.toString.contains("__bkt")) => w
+    }.nonEmpty
+    assert(!hasBucketWindow,
+      "all-small groups must skip the boundary machinery")
+    // spot-check exactness for a handful of groups against the
+    // driver-side type-7 reference
+    val sample = out.filter(col("grp").isin(0L, 1L, 999999L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = big.filter(col("grp").isin(0L, 1L, 999999L))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getDouble(1))).toMap
+    for ((grp, vals) <- ref)
+      assert(math.abs(sample(grp) - expected(vals, 0.5)) < 1e-9,
+        s"group $grp")
+  }
+
+  test("mixed small/big groups: both paths run and agree with the " +
+      "all-bucketed form") {
+    // one group bigger than a pass-3 task (forces the bucketed path)
+    // beside small groups (direct path); union must equal the
+    // explicit-numBuckets single-path run row for row
+    val bigGroup = spark.range(0, 70000L)
+      .select(lit("huge").as("grp"),
+        ((col("id") * 2654435761L) % 100003L).cast("double").as("v"))
+    val mixed = data.unionByName(bigGroup)
+    val ps = Seq(0.1, 0.5, 0.99)
+    val adaptive = Percentiles.exactByGroup(mixed, "grp", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        (1 to ps.size).map(r.getDouble).toSeq).toMap
+    val pinned = Percentiles.exactByGroup(mixed, "grp", "v", ps,
+        numBuckets = 8)
+      .collect().map(r => r.getString(0) ->
+        (1 to ps.size).map(r.getDouble).toSeq).toMap
+    assert(adaptive.keySet == pinned.keySet)
+    for (k <- adaptive.keySet; i <- ps.indices)
+      assert(math.abs(adaptive(k)(i) - pinned(k)(i)) < 1e-9,
+        s"group $k p=${ps(i)}")
   }
 }
