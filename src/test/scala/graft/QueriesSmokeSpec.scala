@@ -31,6 +31,10 @@ class QueriesSmokeSpec extends SparkSuite {
       "s04_knn_topk_agg", "s03_ivf_ann", "s05_ivf_kmeans",
       "t08_tfidf_keywords", "q36_histogram", "t10_source_mixture",
       "s06_quantized_knn", "q35_column_profile", "e15_gap_fill",
+      // q10 cross-joins its three ONE-row per-column distinct-count
+      // aggregates into the single result row (round-12 split form:
+      // column-pruned scans instead of a 3x Expand)
+      "q10_distinct_count",
       "t13_stopword_detect", "a04_kmv_set_algebra", "s07_pq_ann",
       "s08_ivfpq_ann",
       // s09 is the inequality-join MIPS baseline (same shape as s01);
