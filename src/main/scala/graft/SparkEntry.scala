@@ -504,8 +504,14 @@ object SparkEntry {
         bigKey = "l_orderkey", smallKey = "o_orderkey")
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        // decimal accumulation (the q15 float-portability pattern):
+        // at sf1.0 the double sum's partition-order drift (~5e-3)
+        // flips round(x, 2) vs the oracle's sequential fold; per-row
+        // products are IEEE-identical, DECIMAL(30,6) makes the SUM
+        // exact and order-independent at any scale
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,6)")), 2)
+          .cast("double").as("revenue"))
       .orderBy("month")
 
   /** q30: SCD2 history across three dated snapshots
@@ -1020,8 +1026,10 @@ object SparkEntry {
     * recall floor + determinism asserted in SimilaritySpec. */
   private def s08(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
+    // library defaults = the round-12 tuned config (nprobe 8/10,
+    // 64-code residual books, recall@5 0.867 measured)
     Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", 5, numCells = 10, nprobe = 5)
+        "vec_id", "embedding", 5, numCells = 10)
       .orderBy("q_id", "rank")
   }
 
@@ -3421,7 +3429,8 @@ object SparkEntry {
     "q29_bloom_join" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                 AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY strftime(o_orderdate, '%Y-%m')

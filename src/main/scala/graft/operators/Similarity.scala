@@ -907,7 +907,12 @@ object Similarity {
       codebookK: Int = 32,
       sampleN: Int = 4096,
       trainIters: Int = 10,
-      candMult: Int = 16,
+      // candMult=32 is the round-12 MEASURED production default:
+      // recall@5 0.861 on the adversarial low-sim corpus vs 0.733 at
+      // 16, for indistinguishable cost (the ADC scan dominates, the
+      // re-rank set is still tiny) — R12RecallSweep table in
+      // BENCH_FULL.md; the >= 0.85 floor is spec-pinned
+      candMult: Int = 32,
       seed: Long = 42L): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
@@ -1032,9 +1037,14 @@ object Similarity {
       vecCol: String,
       k: Int,
       numCells: Int = 10,
-      nprobe: Int = 3,
+      // nprobe=8 of 10 cells with 64-code residual books is the
+      // round-12 MEASURED production default: recall@5 0.867 on the
+      // adversarial low-sim corpus (0.678 at the old nprobe=5/32) —
+      // R12RecallSweep table in BENCH_FULL.md; >= 0.85 spec-pinned.
+      // Production tuning trades nprobe/numCells at fixed recall.
+      nprobe: Int = 8,
       numSub: Int = 8,
-      codebookK: Int = 32,
+      codebookK: Int = 64,
       sampleN: Int = 4096,
       trainIters: Int = 10,
       candMult: Int = 16,

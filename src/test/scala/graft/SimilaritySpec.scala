@@ -261,23 +261,55 @@ class SimilaritySpec extends SparkSuite {
     val pq = resultSet(
       Similarity.pqKnn(emb, queries, "vec_id", "embedding", 5))
     val recall = (pq intersect brute).size.toDouble / brute.size
-    info(s"PQ recall@5 (8 subspaces x 32 codes, candMult=16) = $recall")
-    assert(recall >= 0.6, s"PQ recall too low: $recall")
+    info(s"PQ recall@5 (8 subspaces x 32 codes, candMult=32) = $recall")
+    // floor raised 0.6 -> 0.85 with the round-12 tuned default
+    // (candMult=32; R12RecallSweep: 0.861 on the sf0.1 corpus)
+    assert(recall >= 0.85, s"PQ recall too low: $recall")
   }
 
   test("ivfPqKnn: residual-PQ over coarse cells keeps recall; deterministic") {
     val run1 = resultSet(Similarity.ivfPqKnn(
       emb, queries, "vec_id", "embedding", 5, numCells = 10, nprobe = 5))
     val recall = (run1 intersect brute).size.toDouble / brute.size
-    info(s"IVF-PQ recall@5 (10 cells, nprobe=5, 8x32 residual PQ) = $recall")
-    // floor raised 0.6 -> 0.7 when the residual books went per-cell
+    info(s"IVF-PQ recall@5 (10 cells, nprobe=8, 8x64 residual PQ) = $recall")
+    // floor raised 0.6 -> 0.7 when the residual books went per-cell,
+    // 0.7 -> 0.75 with the round-12 tuned default (nprobe 8/10,
+    // 64-code books) — this 500-vector fixture measures 0.8; the
+    // production >= 0.85 pin lives on the sf0.1 corpus below
     // (same probe budget; measured 0.8 on the seeded fixture)
-    assert(recall >= 0.7, s"IVF-PQ recall too low: $recall")
+    assert(recall >= 0.75, s"IVF-PQ recall too low: $recall")
     // trained index, but every stage is seeded/hash-ordered: rerun
     // must reproduce the exact same result set
     val run2 = resultSet(Similarity.ivfPqKnn(
       emb, queries, "vec_id", "embedding", 5, numCells = 10, nprobe = 5))
     assert(run1 == run2, "IVF-PQ result not deterministic across runs")
+  }
+
+  test("tuned production configs hold recall >= 0.85 on the sf0.1 " +
+      "corpus (round-12 pin; R12RecallSweep table in BENCH_FULL.md)") {
+    // the documented >= 0.85 configs, pinned on the corpus the sweep
+    // measured: 2000 adversarial low-sim vectors, 36 hash-sampled
+    // queries, exact truth
+    val emb01 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val qs = graft.operators.Sampling.hashSample(emb01, "vec_id", 0.02,
+      seed = 7L)
+    val truth = Similarity.knnBruteAgg(emb01, qs, "vec_id", "embedding", 5)
+      .select(col("q_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("q_id"), col("cand_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val pq = recallOf(
+      Similarity.pqKnn(emb01, qs, "vec_id", "embedding", 5))
+    info(s"sf0.1 PQ recall@5 (tuned defaults) = $pq")
+    assert(pq >= 0.85, s"tuned PQ config under the pin: $pq")
+    val ivfpq = recallOf(
+      Similarity.ivfPqKnn(emb01, qs, "vec_id", "embedding", 5,
+        numCells = 10))
+    info(s"sf0.1 IVF-PQ recall@5 (tuned defaults) = $ivfpq")
+    assert(ivfpq >= 0.85, s"tuned IVF-PQ config under the pin: $ivfpq")
   }
 
   test("quantizedKnn: exact-rescored int8 path equals brute force") {
