@@ -1553,25 +1553,47 @@ object Streams {
     import spark.implicits._
     val base = java.nio.file.Files
       .createTempDirectory("graft_p19").toString
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val models = withStreamPartitions(spark, 8) {
-      incrementalModelSuite(docs, base)
-    }
-    val disorder = withStreamPartitions(spark, 8) {
-      incrementalDisorderProfile(
-        eventsStream(spark, dir), s"$base/disorder")
-    }
-    val embSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    val embStream = spark.readStream.schema(embSchema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-    // the drain runs eagerly inside (start/processAllAvailable/stop);
-    // the returned graph view is lazy and unread here — the manifest
-    // audits the fold's vector-state coverage, not the edges
-    withStreamPartitions(spark, 8) {
-      incrementalKnnGraph(embStream, s"$base/knn"); ()
-    }
+    // The three source drains (documents suite / events disorder /
+    // embeddings k-NN) are INDEPENDENT streams over different state
+    // roots — run them concurrently (round-12: the sequential chain
+    // paid the heavy embeddings drain's full wall on top of the
+    // document suite's). Each drain gets its OWN cloned session
+    // (separate SQLConf) so the per-batch shuffle-partition tuning
+    // (withStreamPartitions / quadraticParts / rowParts) cannot race
+    // across drains; the clones share the SparkContext, scheduler
+    // and cache, and builder-level confs are inherited.
+    val (s1, s2, s3) = (spark.newSession(), spark.newSession(),
+      spark.newSession())
+    var models: Map[String, DataFrame] = null
+    var disorder: DataFrame = null
+    runParallel(Seq(
+      () => {
+        val schema = s1.read.parquet(s"$dir/documents.parquet").schema
+        val docs = s1.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        models = withStreamPartitions(s1, 8) {
+          incrementalModelSuite(docs, base)
+        }
+      },
+      () => {
+        disorder = withStreamPartitions(s2, 8) {
+          incrementalDisorderProfile(
+            eventsStream(s2, dir), s"$base/disorder")
+        }
+      },
+      () => {
+        val embSchema =
+          s3.read.parquet(s"$dir/embeddings.parquet").schema
+        val embStream = s3.readStream.schema(embSchema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        // the drain runs eagerly inside (start/processAllAvailable/
+        // stop); the returned graph view is lazy and unread here —
+        // the manifest audits the fold's vector-state coverage, not
+        // the edges
+        withStreamPartitions(s3, 8) {
+          incrementalKnnGraph(embStream, s"$base/knn"); ()
+        }
+      }))
     val knnVecs = new LsmState(spark, s"$base/knn/vecs", identity, 8)
       .result().count()
     new BandState(spark, s"$base/knn", Seq("tbl", "bkt")).drop()
