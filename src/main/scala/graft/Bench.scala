@@ -90,11 +90,21 @@ object Bench {
       // eviction/GC cost lands on whichever query runs next — round-3's
       // "unexplained d06 3.6x jump" was exactly this.
       spark.catalog.clearCache()
-      once()
+      // Both executions are timed and the MIN is reported. The first
+      // run pays codegen/JIT so its time is normally an upper bound —
+      // but this repo's own round history shows the opposite failure
+      // too: a transient host/GC spike landing on the second run
+      // inflates one key 10-50× on unchanged code (q18 51 s vs 2.5 s
+      // isolated, r13; e22 36 s vs 2.4 s, r11). min-of-two IS the
+      // "isolated rerun is the measurement" rule, applied in-sweep
+      // to both runs instead of by hand afterwards.
+      val w0 = System.nanoTime()
+      val okWarm = once()
+      val warmSecs = (System.nanoTime() - w0) / 1e9
       val t0 = System.nanoTime()
       val ok = once()
-      if (!ok) failed ::= name
-      val secs = (System.nanoTime() - t0) / 1e9
+      if (!ok || !okWarm) failed ::= name
+      val secs = math.min(warmSecs, (System.nanoTime() - t0) / 1e9)
       // After a heavy key, reclaim heap before the next measurement:
       // the round-11 sf1.0 rehearsal showed keys that run AFTER the
       // LSH-pair monsters absorbing their GC debt (e22 measured

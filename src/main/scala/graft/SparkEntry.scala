@@ -329,7 +329,11 @@ object SparkEntry {
   private def q18(s: SparkSession, dir: String): DataFrame = {
     val pct = operators.Percentiles.exactByGroup(
       T(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
-      Seq(0.5, 0.9))
+      Seq(0.5, 0.9),
+      // return flags are a tiny enum — the fused few-group path
+      // sizes and places boundaries in one job (a wrong hint only
+      // falls back to the general path)
+      maxGroupsHint = 64)
     pct.select(col("l_returnflag"),
         trunc4(col("p50")).as("p50"), trunc4(col("p90")).as("p90"))
       .orderBy("l_returnflag")
@@ -2356,7 +2360,8 @@ object SparkEntry {
       // lesson — uncached, the event-time window runs twice)
       .cache()
     val thr = operators.Percentiles.exactByGroup(
-        late, "event_type", "late_us", Seq(0.99))
+        late, "event_type", "late_us", Seq(0.99),
+        maxGroupsHint = 256)
       .select(col("event_type"),
         floor(col("p99")).cast("long").as("wm_delay_us"))
     late.join(thr, Seq("event_type"))
@@ -2389,7 +2394,8 @@ object SparkEntry {
       // windowed gap frame (same shape as e19)
       .cache()
     val quant = operators.Percentiles.exactByGroup(
-        gaps, "event_type", "gap_us", Seq(0.5, 0.99))
+        gaps, "event_type", "gap_us", Seq(0.5, 0.99),
+        maxGroupsHint = 256)
       .select(col("event_type"),
         floor(col("p50")).cast("long").as("p50_gap_us"),
         floor(col("p99")).cast("long").as("p99_gap_us"))

@@ -94,28 +94,106 @@ object Percentiles {
       numBuckets: Int = -1): DataFrame =
     exactByGroup(
       df.select(lit(0).as("__all"), col(valueCol)),
-      "__all", valueCol, ps, numBuckets).drop("__all")
+      "__all", valueCol, ps, numBuckets,
+      // the group column is a literal: exactly one group, so the
+      // fused single-sizing-job path is always safe here
+      maxGroupsHint = 1).drop("__all")
+
+  /** Probe resolution of the fused few-group path: one fixed
+    * 127-cut approximate-quantile sketch doubles as sizing AND
+    * boundary source, merging the old passes 0 and 1 into one job.
+    * Boundary fractions i/B are snapped to the nearest probe cut —
+    * only load balance moves (by ≤ n/256 rows per boundary), never
+    * values. */
+  private val ProbeCuts = 128
+
+  /** Ceiling on `maxGroupsHint`: the fused path collects one row per
+    * group (key + 127 doubles ≈ 1 KB), so the driver table stays
+    * ≤ ~8 MB — the same budget the boundary table honors. */
+  val MaxHintGroups = 8192
 
   /** One output row per group: a column per requested percentile,
     * named p50/p90/... from the fraction.
     *
     * @param numBuckets range buckets per group; -1 (default) sizes
     *   from the data: ceil(maxGroupRows / 64k), clamped to [2, 4096]
-    *   and to the global boundary budget divided by the group count. */
+    *   and to the global boundary budget divided by the group count.
+    * @param maxGroupsHint caller's upper bound on the group-column
+    *   cardinality (≤ [[MaxHintGroups]]); any positive value enables
+    *   the fused few-group path — one sizing+boundary job instead of
+    *   two, per-group bucket counts instead of one uniform count. A
+    *   hint that turns out too small falls back to the general path
+    *   (same values either way); -1 (default) = unknown/unbounded. */
   def exactByGroup(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       ps: Seq[Double],
-      numBuckets: Int = -1): DataFrame = {
+      numBuckets: Int = -1,
+      maxGroupsHint: Int = -1): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"percentile fractions must be in [0,1]: $ps")
+    require(maxGroupsHint <= MaxHintGroups,
+      s"maxGroupsHint must be <= $MaxHintGroups (driver-table budget); " +
+        s"omit the hint for high-cardinality group columns")
     val spark = df.sparkSession
     val g = col(groupCol)
     val v = col(valueCol)
     // NULL values are excluded before ranking (quantile_cont ignores
     // them; ranking them would shift every cut position)
     val allVals = df.select(g, v).filter(v.isNotNull)
+
+    // FEW-GROUP FUSED PATH: when the caller bounds the group
+    // cardinality (an upper bound is enough — a wrong hint only
+    // falls back), ONE aggregation job answers sizing AND boundary
+    // placement: per group, the exact count plus a fixed-resolution
+    // approximate-quantile probe. The driver then derives each
+    // group's bucket count from its size and subsets the probe cuts
+    // as that group's boundaries — per-GROUP bucket counts, where the
+    // general path's uniform count must fit the largest group. Small
+    // groups get a single bucket (empty boundary array → bucket 0 →
+    // pass 3 ranks the whole group locally, exactly the direct
+    // path). Passes 2-3 and the finishing interpolation are the
+    // SAME code as the general path, so values are identical by
+    // construction; only the number of jobs changes (q18's shape:
+    // 4 source scans + 3 rebuilt sizing shuffles → 3 scans).
+    if (numBuckets <= 1 && maxGroupsHint > 0) {
+      val fr = (1 until ProbeCuts).map(i => lit(i.toDouble / ProbeCuts))
+      val statsRows = allVals.groupBy(g.as("__g"))
+        .agg(count(lit(1)).as("__gn"),
+          percentile_approx(v.cast("double"), array(fr: _*), lit(256))
+            .as("__pb"))
+        .limit(maxGroupsHint + 1).collect()
+      if (statsRows.length <= maxGroupsHint) {
+        val perGroupCap = math.max(2L,
+          MaxTotalBoundaries / math.max(1, statsRows.length))
+        val bndRows = statsRows.map { r =>
+          val n = r.getLong(1)
+          val probe = r.getSeq[Double](2)
+          val want = (n + TargetRowsPerBucket - 1) / TargetRowsPerBucket
+          val bg = math.min(math.min(ProbeCuts.toLong, perGroupCap),
+            math.min(MaxBucketsPerGroup, math.max(1L, want))).toInt
+          // boundary i/bg → nearest probe cut j/ProbeCuts; distinct
+          // (colliding snaps just merge two buckets) and clamped to
+          // the probe's interior cuts
+          val idx = (1 until bg).map { i =>
+            math.min(ProbeCuts - 1,
+              math.max(1, math.round(ProbeCuts.toDouble * i / bg).toInt))
+          }.distinct
+          Row(r.get(0), idx.map(j => probe(j - 1)).toArray.toSeq)
+        }.toSeq
+        val bndSchema = StructType(Seq(
+          StructField("__g", df.schema(groupCol).dataType),
+          StructField("__bnds", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+        val bnds = broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(bndRows, 1), bndSchema))
+        return bucketedFrom(spark, allVals, g, v, ps, bnds)
+      }
+      // hint exceeded: the group column is higher-cardinality than
+      // the caller believed — fall through to the general path,
+      // whose budgets do not depend on the hint
+    }
 
     // HIGH-CARDINALITY REGIME (round 12): a group whose rows fit one
     // pass-3 task (n_g <= TargetRowsPerBucket) needs NO boundary
@@ -159,9 +237,9 @@ object Percentiles {
           g <=> col("__sg"))
         .select(g, v)
       return smallOut.unionByName(
-        bucketedPath(spark, bigVals, g, v, ps, buckets, groupCol))
+        bucketedPath(spark, bigVals, g, v, ps, buckets))
     }
-    bucketedPath(spark, allVals, g, v, ps, numBuckets, groupCol)
+    bucketedPath(spark, allVals, g, v, ps, numBuckets)
   }
 
   /** The boundary-bucket machinery (passes 1-3 of the scaladoc) over
@@ -172,8 +250,7 @@ object Percentiles {
       g: org.apache.spark.sql.Column,
       v: org.apache.spark.sql.Column,
       ps: Seq[Double],
-      buckets: Int,
-      groupCol: String): DataFrame = {
+      buckets: Int): DataFrame = {
 
     // Pass 1: per-group bucket boundaries, pinned on the driver so the
     // bucket function is identical in passes 2 and 3. Low accuracy is
@@ -187,6 +264,23 @@ object Percentiles {
     val bnds = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(bndsAgg.collect().toSeq, 1),
       bndsAgg.schema))
+    bucketedFrom(spark, vals, g, v, ps, bnds)
+  }
+
+  /** Passes 2-3 over `vals` given a driver-pinned per-group boundary
+    * table `bnds` (`__g`, `__bnds: array<double>`; possibly ragged —
+    * a group with an EMPTY array is one whole bucket, i.e. the direct
+    * small-group shape). Shared by the general path (uniform bucket
+    * count from pass 1) and the fused few-group path (per-group
+    * subsets of one probe sketch) — which is why the two are
+    * value-identical by construction. */
+  private def bucketedFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      vals: DataFrame,
+      g: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column,
+      ps: Seq[Double],
+      bnds: DataFrame): DataFrame = {
 
     // bucket = #boundaries strictly below the value (binary search —
     // O(log buckets) per row, codegen'd): monotone in the value, so
@@ -222,7 +316,7 @@ object Percentiles {
         }
     }.toSeq
     val ndSchema = StructType(Seq(
-      StructField("__g", vals.schema(groupCol).dataType),
+      StructField("__g", bnds.schema("__g").dataType),
       StructField("__bkt2", IntegerType),
       StructField("__off", LongType),
       StructField("__n", LongType)))

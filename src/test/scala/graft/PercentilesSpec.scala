@@ -167,6 +167,72 @@ class PercentilesSpec extends SparkSuite {
         s"group $grp")
   }
 
+  test("fused few-group path (maxGroupsHint) equals the general path " +
+      "on mixed sizes, NULL groups and ties") {
+    val bigGroup = spark.range(0, 70000L)
+      .select(lit("huge").as("grp"),
+        ((col("id") * 2654435761L) % 100003L).cast("double").as("v"))
+    val tied = (0 until 400).map(i => ("t", Seq(1.0, 2.0, 3.0)(i % 3)))
+      .toDF("grp", "v")
+    val mixed = data
+      .select(when(col("grp") === "g2", lit(null)).otherwise(col("grp"))
+        .as("grp"), col("v"))
+      .unionByName(bigGroup).unionByName(tied)
+    val ps = Seq(0.1, 0.5, 0.99)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => Option(r.getString(0)) ->
+        (1 to ps.size).map(r.getDouble).toSeq).toMap
+    val fused = toMap(Percentiles.exactByGroup(mixed, "grp", "v", ps,
+      maxGroupsHint = 16))
+    val general = toMap(Percentiles.exactByGroup(mixed, "grp", "v", ps))
+    assert(fused.keySet == general.keySet)
+    for (k <- fused.keySet; i <- ps.indices)
+      assert(math.abs(fused(k)(i) - general(k)(i)) < 1e-9,
+        s"group $k p=${ps(i)}")
+  }
+
+  test("a too-small maxGroupsHint falls back to the general path " +
+      "with identical values") {
+    val ps = Seq(0.25, 0.75)
+    // data has 3 groups; hint of 1 is wrong and must fall back
+    val hinted = Percentiles.exactByGroup(data, "grp", "v", ps,
+        maxGroupsHint = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(hinted.keySet == Set("g1", "g2", "g3"),
+      s"fallback must still produce every group: ${hinted.keySet}")
+    val byGroup = data.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    for (grp <- byGroup.keys; (p, i) <- ps.zipWithIndex)
+      assert(math.abs(hinted(grp).getDouble(1 + i) -
+        expected(byGroup(grp), p)) < 1e-9, s"$grp p=$p")
+  }
+
+  test("fused path gives a big group multiple buckets and a small " +
+      "group exactly one (per-group bucket counts)") {
+    val bigGroup = spark.range(0, 200000L)
+      .select(lit("huge").as("grp"),
+        ((col("id") * 2654435761L) % 100003L).cast("double").as("v"))
+    val mixed = data.unionByName(bigGroup)
+    val out = Percentiles.exactByGroup(mixed, "grp", "v", Seq(0.5),
+      maxGroupsHint = 8)
+    // plan shape: the ranking window partitions on (group, __bkt) —
+    // the big group's sort is bucket-bounded, never whole-group
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.windowExpressions.exists(_.toString.contains("row_number"))
+        => w
+    }
+    assert(windows.nonEmpty &&
+      windows.forall(_.partitionSpec.exists(_.toString.contains("__bkt"))),
+      "fused path must rank within (group, __bkt)")
+    // values: exact for both regimes
+    val got = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = mixed.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1))).toMap
+    for ((grp, vals) <- ref)
+      assert(math.abs(got(grp) - expected(vals, 0.5)) < 1e-9, s"$grp")
+  }
+
   test("mixed small/big groups: both paths run and agree with the " +
       "all-bucketed form") {
     // one group bigger than a pass-3 task (forces the bucketed path)
