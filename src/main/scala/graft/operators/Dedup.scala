@@ -414,8 +414,14 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: the hamming test is per-row
+      // arithmetic inside the pair join's stage, so failing
+      // candidates die where they are born and only SURVIVORS reach
+      // the dedup exchange (the round-11 bucket-local rule; the
+      // distinct must still run after — a pair sharing several
+      // chunks survives once per shared chunk)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** n-gram Jaccard similarity between candidate pairs: pairs carry
