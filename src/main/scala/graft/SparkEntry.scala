@@ -1002,6 +1002,18 @@ object SparkEntry {
       .orderBy("chunk_bytes")
   }
 
+  /** m08: content-defined chunking ([[Multimodal.cdcChunks]],
+    * gear-hash rolling cut, min 64 / max 1024 / expected 256 bytes)
+    * — m03's insertion-robust twin: boundaries follow CONTENT, so a
+    * payload that reappears shifted inside another still shares its
+    * chunk signatures (the property PlansSpec/MultimodalSpec pin;
+    * fixed-grid chunking shares none). No SQL oracle — DuckDB cannot
+    * express the per-byte rolling hash — so the driver records the
+    * rows-only check and the boundary semantics are spec-gated. */
+  private def m08(s: SparkSession, dir: String): DataFrame =
+    Multimodal.cdcChunks(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+
   /** s06: KNN over int8-quantized embeddings with exact re-scoring
     * ([[Similarity.quantizedKnn]]): integer byte-dot first pass over
     * a 4×-smaller representation, exact cosine on the surviving
@@ -3113,6 +3125,7 @@ object SparkEntry {
     "m05_payload_dedup" -> (m05 _),
     "m06_frame_dedup" -> (m06 _),
     "m07_chunk_plan" -> (m07 _),
+    "m08_cdc_chunks" -> (m08 _),
     "m02_frame_sample" -> (m02 _)
   )
 

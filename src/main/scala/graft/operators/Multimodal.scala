@@ -229,6 +229,47 @@ object Multimodal {
     }(Encoders.product[Chunk]).toDF()
   }
 
+  /** Content-defined chunking of a payload column — the
+    * insertion-robust sibling of [[chunkPayload]]'s fixed grid,
+    * computed by the [[graft.plans.CdcChunks]] gear-hash expression
+    * (FastCDC-style rolling cut; see its scaladoc for the
+    * re-synchronization property that makes chunk-level dedup
+    * survive edits). One row per chunk: (doc_id, chunk_idx,
+    * byte_start, n_chunk_bytes, chunk_md5).
+    *
+    * Shape at 100 TB: the cut array and every chunk signature are
+    * computed in the scan's stage (codegen byte loop + substr +
+    * md5 — no UDF, no shuffle of payload bytes); only the scalar
+    * chunk rows (16-byte md5, three ints) ever reach an exchange.
+    * Downstream chunk-level dedup is d01's exact-dedup shape on
+    * `chunk_md5`. */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      minLen: Int = 64,
+      maxLen: Int = 1024,
+      maskBits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val blob = encode(col(payloadCol), "UTF-8")
+    val cuts = GraftBridge.column(graft.plans.CdcChunks(
+      GraftBridge.expression(blob), minLen, maxLen, maskBits))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        blob.as("__p"), cuts.as("__cuts"))
+      .select(col("doc_id"), col("__p"), col("__cuts"),
+        posexplode(col("__cuts")).as(Seq("chunk_idx", "__end")))
+      // element_at is 1-indexed: for 0-based chunk_idx, element
+      // chunk_idx IS the previous cut (and index 0 = start of blob)
+      .withColumn("__start",
+        when(col("chunk_idx") === 0, lit(0))
+          .otherwise(element_at(col("__cuts"), col("chunk_idx"))))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__start").cast("long").as("byte_start"),
+        (col("__end") - col("__start")).cast("long").as("n_chunk_bytes"),
+        md5(col("__p").substr(col("__start") + 1,
+          col("__end") - col("__start"))).as("chunk_md5"))
+  }
+
   /** Per-payload duplicated-FRAME profile — [[payloadDedup]] pushed
     * to frame granularity (d16's duplicated-span shape on media):
     * each payload is sliced into `frames` even segments with

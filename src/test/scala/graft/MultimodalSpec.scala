@@ -202,4 +202,104 @@ class MultimodalSpec extends SparkSuite {
     assert(prof.getAs[Long]("n_frames") == 4L)
     assert(prof.getAs[Long]("n_dup") == 0L) // all four slices distinct
   }
+
+  // ---- content-defined chunking (m08 / plans.CdcChunks) ----
+
+  /** Deterministic pseudo-random printable text (no RNG object —
+    * splitmix-ish arithmetic on the index). */
+  private def synthText(n: Int, seed: Long): String = {
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      var z = (seed + i) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      sb.append((33 + (math.abs(z) % 94)).toChar)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def chunksOf(texts: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Multimodal.cdcChunks(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .groupBy(_.getLong(0)).view.mapValues(
+        _.sortBy(_.getLong(1)).map(r =>
+          (r.getLong(2), r.getLong(3), r.getString(4))).toSeq).toMap
+  }
+
+  test("CDC chunks tile the payload and honor min/max bounds") {
+    val text = synthText(20000, 7L)
+    val ch = chunksOf(Seq((1L, text)))(1L)
+    assert(ch.nonEmpty)
+    // contiguous tiling: starts chain and lengths sum to the payload
+    var expectStart = 0L
+    for ((start, len, _) <- ch) {
+      assert(start == expectStart, s"gap at $start")
+      expectStart = start + len
+    }
+    assert(expectStart == text.length.toLong)
+    // bounds: every chunk <= max; every non-final chunk >= min
+    assert(ch.forall(_._2 <= 1024))
+    assert(ch.init.forall(_._2 >= 64),
+      s"non-final chunk under minLen: ${ch.map(_._2)}")
+    // content-defined: more than one chunk and not all maxLen-forced
+    assert(ch.size > 4 && ch.map(_._2).distinct.size > 2)
+  }
+
+  test("CDC boundaries re-synchronize after an insertion; a fixed " +
+      "grid shares nothing") {
+    val base = synthText(20000, 11L)
+    val shifted = synthText(137, 13L) + base
+    val m = chunksOf(Seq((1L, base), (2L, shifted)))
+    val baseHashes = m(1L).map(_._3)
+    val shiftedHashes = m(2L).map(_._3).toSet
+    // every base chunk except the first few (pre-resync) and the
+    // forced tail must reappear verbatim in the shifted payload
+    val shared = baseHashes.count(shiftedHashes)
+    assert(shared >= baseHashes.size - 4,
+      s"CDC resync failed: ${shared}/${baseHashes.size} chunks shared")
+    // the fixed-grid contrast: m03-style 256-byte windows of the
+    // same two payloads share NO window hashes (insertion shifts
+    // every grid cell's content)
+    val grid = Multimodal.chunkPayload(
+      { import spark.implicits._
+        Seq((1L, base), (2L, shifted)).toDF("doc_id", "text") },
+      "doc_id", "text", window = 256, stride = 256)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    def gridSigs(rows: Array[org.apache.spark.sql.Row], text: String) =
+      rows.map { r =>
+        val st = r.getAs[Long]("byte_start").toInt
+        val len = r.getAs[Long]("n_chunk_bytes").toInt
+        text.substring(st, st + len)
+      }.toSet
+    val g1 = gridSigs(grid(1L), base)
+    val g2 = gridSigs(grid(2L), shifted)
+    // the only possible collisions are accidental; with 137 not a
+    // multiple of 256 the grids are fully misaligned
+    assert(g1.intersect(g2).isEmpty,
+      "fixed grid unexpectedly aligned after insertion")
+  }
+
+  test("CDC chunking is deterministic and per-row independent " +
+      "(same text -> same cuts regardless of neighbors)") {
+    val t = synthText(5000, 3L)
+    val alone = chunksOf(Seq((1L, t)))(1L)
+    val crowded = chunksOf(Seq((7L, synthText(900, 5L)), (8L, t),
+      (9L, "")))(8L)
+    assert(alone == crowded)
+  }
+
+  test("CDC edge payloads: empty text yields zero chunks, tiny text " +
+      "yields one sub-min final chunk") {
+    val m = chunksOf(Seq((1L, ""), (2L, "abc")))
+    assert(!m.contains(1L) || m(1L).isEmpty)
+    assert(m(2L).size == 1)
+    val (st, len, sig) = m(2L).head
+    assert(st == 0L && len == 3L)
+    // the signature is md5 of the whole tiny payload
+    assert(sig == java.security.MessageDigest.getInstance("MD5")
+      .digest("abc".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+  }
 }
