@@ -7,9 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.Sessions.tuneLocal(SparkSession.builder())
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,8192] runs the SAME dump
+    // under REAL executor processes (multi-process correctness
+    // rehearsal — custom expressions, aggregate buffers, and
+    // streaming state must serialize for real); SPARK_GRAFT_JARS
+    // ships the app jar to the executors in that mode. Same contract
+    // as Bench.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val jars = sys.env.get("SPARK_GRAFT_JARS")
+    val b0 = graft.Sessions.tuneLocal(SparkSession.builder())
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val spark = jars.fold(b0)(j => b0.config("spark.jars", j))
       .config("spark.sql.session.timeZone", "UTC")
       // permissive coercion (invalid cast/parse -> NULL) matches the
       // reference's pandas errors="coerce" semantics
