@@ -1679,6 +1679,28 @@ object SparkEntry {
         trunc4(col("__q10k") / 10000.0 / col("n_docs")).as("avg_quality"))
       .orderBy("pred_lang")
 
+  /** t30: tokenizer fertility audit ([[operators.Subword]]) — derive
+    * a bounded top-512-word vocabulary (one aggregate, driver state
+    * = the tokenizer artifact), then greedy longest-match encode
+    * every document map-side ([[graft.plans.SubwordEncode]], vocab
+    * rides the expression, zero shuffle) and report per-source
+    * tokens/doc, fertility (chars per token) and OOV share — the
+    * audit a pipeline runs before committing to a tokenizer. No SQL
+    * oracle (greedy maximal munch is an iterative recurrence DuckDB
+    * cannot express declaratively) — rows-only + SubwordSpec's
+    * hand-segmented cases, maximal-munch pins, and audit-arithmetic
+    * checks. */
+  private def t30(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    // vocab size 16 < the synthetic corpus's 31 distinct words, so
+    // the OOV char-fallback and in-word prefix munch paths are
+    // EXERCISED here (a corpus-covering vocab would report all-zero
+    // unk and reduce the encode to word segmentation); production
+    // passes a real trained-vocab size
+    operators.Subword.fertilityAudit(
+      docs, operators.Subword.deriveVocab(docs, size = 16))
+  }
+
   /** t04: document fingerprint (md5 of normalized text). */
   private def t04(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
@@ -3014,6 +3036,7 @@ object SparkEntry {
     "t27_context_plan" -> (t27 _),
     "t28_freq_spectrum" -> (t28 _),
     "t29_lang_value" -> (t29 _),
+    "t30_tokenizer_fertility" -> (t30 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
