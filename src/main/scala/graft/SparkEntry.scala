@@ -1701,6 +1701,59 @@ object SparkEntry {
       docs, operators.Subword.deriveVocab(docs, size = 16))
   }
 
+  /** t31: markup strip — the boilerplate-removal pass of web-corpus
+    * curation. The synthetic corpus carries no markup, so every 5th
+    * doc is deterministically wrapped in an HTML shell (tags plus
+    * the named entities the decoder handles) and then cleaned with
+    * [[TextFns.stripMarkup]]: a map-side regexp/replace chain, zero
+    * shuffle, cost = the scan. Emits the cleaned text plus how many
+    * chars the strip removed — the audit signal a curation stage
+    * monitors (a jump in removed share means the upstream extractor
+    * regressed). */
+  private def t31(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<html><body><p>"), col("text"),
+            lit("</p><div id=ad>Click &amp; win &lt;a deal&gt; " +
+              "now&nbsp;!</div></body></html>")))
+          .otherwise(col("text")).as("__raw"))
+      .select(col("doc_id"), col("__raw"),
+        TextFns.stripMarkup(col("__raw")).as("text_clean"))
+      .select(col("doc_id"), col("text_clean"),
+        (length(col("__raw")) - length(col("text_clean")))
+          .cast("long").as("removed_chars"))
+      .orderBy("doc_id")
+
+  /** t32: URL-level dedup via canonicalization — the cheapest dedup
+    * pass a crawl pipeline runs (before any content hashing): per-doc
+    * URLs are synthesized deterministically (mixed-case host, default
+    * :443 port, utm_ and ref tracking params, fragment — the noise real
+    * crawl URLs carry), canonicalized map-side with
+    * [[Normalize.canonicalUrl]], and grouped: one shuffle on the
+    * canonical form, electing min-doc_id as keeper. At 100 TB the
+    * canonical-url groupBy is the stage's only exchange and carries
+    * (url, id) pairs, never document bytes. */
+  private def t32(s: SparkSession, dir: String): DataFrame = {
+    // host mod 5 / path mod 50: doc_id%5 is determined by doc_id%50,
+    // so the canonical URL collapses to doc_id%50 — every canonical
+    // group holds ~n/50 docs, a real dedup population (the tracking
+    // params vary WITHIN each group, so only canonicalization, not
+    // string equality, finds these dups)
+    val url = concat(
+      lit("HTTPS://WWW.Host"), (col("doc_id") % 5).cast("string"),
+      lit(".COM:443/p/"), (col("doc_id") % 50).cast("string"),
+      lit("?utm_source=feed&utm_campaign=w"),
+      (col("doc_id") % 4).cast("string"),
+      lit("&ref=r"), (col("doc_id") % 3).cast("string"),
+      lit("&q=keep#sec"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), Normalize.canonicalUrl(url).as("url"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc"))
+      .orderBy("url")
+  }
+
   /** t04: document fingerprint (md5 of normalized text). */
   private def t04(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
@@ -3037,6 +3090,8 @@ object SparkEntry {
     "t28_freq_spectrum" -> (t28 _),
     "t29_lang_value" -> (t29 _),
     "t30_tokenizer_fertility" -> (t30 _),
+    "t31_markup_strip" -> (t31 _),
+    "t32_url_canonical" -> (t32 _),
     "a02_sketch_rollup" -> (a02 _),
     "a03_heavy_hitters" -> (a03 _),
     "a04_kmv_set_algebra" -> (a04 _),
@@ -4059,6 +4114,49 @@ object SparkEntry {
         |  floor(sum(CAST(round(quality * 10000, 0) AS BIGINT))
         |    / 10000.0 / count(*) * 10000) / 10000 AS avg_quality
         |FROM q GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
+    "t31_markup_strip" ->
+      // the replace chain must decode entities in the SAME order as
+      // TextFns.stripMarkup (amp LAST — see its scaladoc)
+      """WITH r AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN '<html><body><p>' || text ||
+        |        '</p><div id=ad>Click &amp; win &lt;a deal&gt; ' ||
+        |        'now&nbsp;!</div></body></html>'
+        |      ELSE text END AS raw
+        |  FROM documents),
+        |c AS (SELECT doc_id, raw,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS text_clean
+        |  FROM r)
+        |SELECT doc_id, text_clean,
+        |  (length(raw) - length(text_clean))::BIGINT AS removed_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t32_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |    'HTTPS://WWW.Host' || (doc_id % 5)::VARCHAR ||
+        |    '.COM:443/p/' || (doc_id % 50)::VARCHAR ||
+        |    '?utm_source=feed&utm_campaign=w' || (doc_id % 4)::VARCHAR ||
+        |    '&ref=r' || (doc_id % 3)::VARCHAR || '&q=keep#sec' AS raw
+        |  FROM documents),
+        |f AS (SELECT doc_id, regexp_replace(raw, '#.*$', '') AS nf
+        |  FROM u),
+        |p AS (SELECT doc_id, nf,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*') AS pre
+        |  FROM f),
+        |c AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(pre), ':443$', ''),
+        |      ':80$', '')
+        |    || regexp_replace(
+        |         regexp_replace(substring(nf, length(pre) + 1),
+        |           '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+        |         '[?&]+$', '') AS url
+        |  FROM p)
+        |SELECT url, count(*)::BIGINT AS n_docs,
+        |  min(doc_id) AS keeper_doc
+        |FROM c GROUP BY url ORDER BY url""".stripMargin,
     "t03_lang_id" ->
       """WITH h AS (SELECT doc_id, lang,
         |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),

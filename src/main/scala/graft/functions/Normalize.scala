@@ -150,4 +150,23 @@ object Normalize {
     * no row materialization per input). */
   def jsonLongField(c: Column, field: String): Column =
     wrap(graft.plans.JsonLongField(expr(c), field))
+
+  /** URL canonicalization for URL-level dedup (t32): lowercase the
+    * scheme+authority (per RFC 3986 only those are case-insensitive
+    * — path and query keep their case), strip a default :443/:80
+    * port, drop the fragment and the tracking parameters (utm_*,
+    * ref), and tidy dangling separators. A pure regexp/substr
+    * composition (codegen, zero shuffle); the grouping a URL-dedup
+    * pass then does on the canonical form is the one shuffle of that
+    * pipeline stage. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val prefix =
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", 0)
+    val rest = noFrag.substr(length(prefix) + lit(1), length(noFrag))
+    val canonPrefix = regexp_replace(
+      regexp_replace(lower(prefix), ":443$", ""), ":80$", "")
+    val noTrack = regexp_replace(rest, "(utm_[a-z]+|ref)=[^&]*&?", "")
+    concat(canonPrefix, regexp_replace(noTrack, "[?&]+$", ""))
+  }
 }

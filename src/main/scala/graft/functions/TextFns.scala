@@ -131,4 +131,23 @@ object TextFns {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(graft.plans.PiiScan(GraftBridge.expression(c)))
   }
+
+  /** t31's markup stripper — the boilerplate-removal pass of a web
+    * corpus pipeline: drop tags, decode the named HTML entities,
+    * collapse whitespace. Three codegen regexp/replace passes over
+    * the scan (zero shuffle — the cost IS the scan); `&amp;` decodes
+    * LAST, the standard order, so `&amp;lt;` yields the literal
+    * `&lt;` instead of double-decoding to `<`. The DuckDB oracle
+    * runs the identical chain, pinning the transform cross-engine
+    * byte-for-byte. */
+  def stripMarkup(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) =>
+        replace(acc, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -84,4 +84,33 @@ class NormalizeSpec extends SparkSuite {
     assert(one(Normalize.normalizeKey(lit(" n221la "))) == "221LA")
     assert(one(Normalize.normalizeKey(lit("221LA"))) == "221LA")
   }
+
+  test("stripMarkup drops tags, decodes entities in order, collapses ws") {
+    import graft.functions.TextFns
+    assert(one(TextFns.stripMarkup(lit(
+      "<html><body><p class=x>a  b</p><br/>c &amp; d</body></html>")))
+      == "a b c & d")
+    // &amp; decodes LAST: &amp;lt; must yield the literal "&lt;",
+    // never double-decode to "<"
+    assert(one(TextFns.stripMarkup(lit("x &amp;lt; y"))) == "x &lt; y")
+    assert(one(TextFns.stripMarkup(lit(
+      "&lt;tag&gt; &quot;q&quot; &apos;a&apos;&nbsp;end")))
+      == "<tag> \"q\" 'a' end")
+    // markup-free text passes through modulo whitespace normalization
+    assert(one(TextFns.stripMarkup(lit("  plain   text "))) == "plain text")
+    assert(one(TextFns.stripMarkup(lit(null).cast("string"))) == null)
+  }
+
+  test("canonicalUrl lowercases authority only, strips noise") {
+    val c = (s: String) => one(Normalize.canonicalUrl(lit(s)))
+    // scheme+host lowercase, :443 stripped, utm_*/ref dropped,
+    // fragment dropped, real params and PATH CASE preserved
+    assert(c("HTTPS://WWW.Ex.COM:443/P/9?utm_source=a&ref=r&q=Keep#frag")
+      == "https://www.ex.com/P/9?q=Keep")
+    // all params tracking -> dangling '?' tidied away
+    assert(c("http://a.com:80/x?utm_id=1&utm_b=2") == "http://a.com/x")
+    // non-default port survives; no query/fragment is a no-op
+    assert(c("https://A.com:8443/p") == "https://a.com:8443/p")
+    assert(c("https://a.com/p?q=1") == "https://a.com/p?q=1")
+  }
 }
