@@ -212,12 +212,31 @@ object SparkEntry {
   }
 
   /** q16: catalog metadata / row-count introspection — hb.status +
-    * list_tables. Single job: union of per-table count aggs. */
-  private def q16(s: SparkSession, dir: String): DataFrame =
+    * list_tables. Row counts come from parquet FOOTER statistics,
+    * not scans: a child session (shared context, own SQLConf — the
+    * p19 cloned-session pattern, so the flags touch nothing else)
+    * takes the DSv2 read path with
+    * `spark.sql.parquet.aggregatePushdown`, and the plan shows
+    * `PushedAggregation: [COUNT(*)]` — the whole key is a
+    * metadata read, exactly how the single-node baseline answers it
+    * (Q16Probe at sf1.0: 4.0 s scan-count → 0.7 s footer-count,
+    * and the gap grows with data; at 100 TB counting by scan is a
+    * full-corpus read). Events intentionally bypasses Tables.load's
+    * ts normalization here — a count needs no cast, and a projection
+    * above the scan would block the pushdown. */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val meta = s.newSession()
+    meta.conf.set("spark.sql.sources.useV1SourceList", "")
+    meta.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // NANOS-typed events columns need the legacy long surface on the
+    // v2 path too (count ignores the value, but the schema must map)
+    meta.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.names.map { n =>
-      T(s, dir, n).agg(count(lit(1)).as("n_rows"))
+      meta.read.parquet(s"$dir/$n.parquet")
+        .agg(count(lit(1)).as("n_rows"))
         .select(lit(n).as("table_name"), col("n_rows"))
     }.reduce(_ unionAll _).orderBy("table_name")
+  }
 
   // ---------------------------------------------------------------
   // Normalization functions (reference's normalize layer)
