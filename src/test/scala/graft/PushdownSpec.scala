@@ -65,4 +65,19 @@ class PushdownSpec extends SparkSuite {
       !sch.contains("l_orderkey") && !sch.contains("l_shipdate")),
       s"profiler scan unpruned: $schemas")
   }
+
+  test("q16 counts come from footer statistics, not scans") {
+    // every per-table count must be answered by the DSv2 pushed
+    // aggregation (a plain scan-count of a 100 TB catalog is a
+    // full-corpus read); the child-session flags make all ten
+    // subplans BatchScan with PushedAggregation: [COUNT(*)]
+    val plan = SparkEntry.queries("q16_status_metadata")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val pushed = "PushedAggregation: \\[COUNT\\(\\*\\)\\]".r
+      .findAllIn(plan).length
+    assert(pushed == graft.Tables.names.length,
+      s"expected ${graft.Tables.names.length} pushed counts, saw $pushed")
+    assert(!plan.contains("FileSourceScanExec"),
+      "q16 fell back to the v1 scan path")
+  }
 }
