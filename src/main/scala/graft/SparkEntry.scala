@@ -1519,15 +1519,24 @@ object SparkEntry {
     val lc = cl.groupBy("lang").agg(sum("c").as("n"))
     val vocab = tok.select("t").distinct()
     val v = vocab.agg(count(lit(1)).as("v"))
+    // Exact-integer scoring (the t21/t26 trick): within one
+    // (doc_id, m_lang) group every add-1 likelihood shares the SAME
+    // denominator n+v, so avg(p) = sum(c+1) / ((n+v)·cnt) — carried
+    // as integers to ONE double division. Averaging doubles instead
+    // puts engine-specific summation order under the 1e-6 floor, and
+    // at sf0.1 one row landed exactly on the truncation knife-edge
+    // (Spark 0.0335 vs DuckDB 0.033499).
     val mat = docs.select("lang").distinct()
       .join(lc, "lang")
       .crossJoin(vocab).crossJoin(broadcast(v))
       .join(cl, Seq("lang", "t"), "left")
       .select(col("lang").as("m_lang"), col("t"),
-        ((coalesce(col("c"), lit(0L)) + 1) / (col("n") + col("v"))).as("p"))
+        (coalesce(col("c"), lit(0L)) + 1).as("c1"),
+        (col("n") + col("v")).as("den"))
     val sc = tok.join(broadcast(mat), Seq("t"))
       .groupBy(col("doc_id"), col("m_lang"))
-      .agg((floor(avg(col("p")) * 1000000) / 1000000).as("score"))
+      .agg((floor((sum(col("c1")) * lit(1000000L)) /
+        (max(col("den")) * count(lit(1)))) / 1000000).as("score"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("m_lang").asc)
     sc.withColumn("__rn", row_number().over(w))
@@ -3998,13 +4007,15 @@ object SparkEntry {
         |vocab AS (SELECT DISTINCT t FROM tok),
         |vs AS (SELECT count(*) AS v FROM vocab),
         |mat AS (SELECT l.lang AS m_lang, vo.t,
-        |    (coalesce(cl.c, 0) + 1)::DOUBLE / (lc.n + vs.v) AS p
+        |    (coalesce(cl.c, 0) + 1)::BIGINT AS c1,
+        |    (lc.n + vs.v)::BIGINT AS den
         |  FROM (SELECT DISTINCT lang FROM documents) l
         |  JOIN lc ON lc.lang = l.lang
         |  CROSS JOIN vocab vo CROSS JOIN vs
         |  LEFT JOIN cl ON cl.lang = l.lang AND cl.t = vo.t),
         |sc AS (SELECT tok.doc_id, mat.m_lang,
-        |    floor(avg(mat.p) * 1000000) / 1000000 AS score
+        |    floor((sum(mat.c1) * 1000000)::DOUBLE
+        |      / (max(mat.den) * count(*))) / 1000000 AS score
         |  FROM tok JOIN mat ON mat.t = tok.t GROUP BY 1, 2),
         |r AS (SELECT doc_id, m_lang, score,
         |    row_number() OVER (PARTITION BY doc_id
