@@ -153,9 +153,16 @@ object Normalize {
 
   /** URL canonicalization for URL-level dedup (t32): lowercase the
     * scheme+authority (per RFC 3986 only those are case-insensitive
-    * — path and query keep their case), strip a default :443/:80
-    * port, drop the fragment and the tracking parameters (utm_*,
-    * ref), and tidy dangling separators. A pure regexp/substr
+    * — path and query keep their case), strip the scheme's OWN
+    * default port only (https:443 / http:80 — an http://h:443 is a
+    * different origin per RFC 6454 and must survive), drop the
+    * fragment and the tracking parameters (utm_*, ref), and tidy
+    * dangling separators. Tracking removal is separator-anchored so
+    * `href=`/`pref=` params and path segments like `/ref=sr_1` are
+    * untouched; it runs in two passes (`&`-prefixed params, then the
+    * one possible `?`-prefixed leader) because both Java regex and
+    * the RE2 oracle resume scanning after a consumed separator —
+    * lookbehind is not RE2-expressible. A pure regexp/substr
     * composition (codegen, zero shuffle); the grouping a URL-dedup
     * pass then does on the canonical form is the one shuffle of that
     * pipeline stage. */
@@ -165,8 +172,14 @@ object Normalize {
       regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", 0)
     val rest = noFrag.substr(length(prefix) + lit(1), length(noFrag))
     val canonPrefix = regexp_replace(
-      regexp_replace(lower(prefix), ":443$", ""), ":80$", "")
-    val noTrack = regexp_replace(rest, "(utm_[a-z]+|ref)=[^&]*&?", "")
+      regexp_replace(lower(prefix), "^(https://[^/:]+):443$", "$1"),
+      "^(http://[^/:]+):80$", "$1")
+    // pass 1 strips every &-prefixed tracking param (separator
+    // consumed WITH the param, so runs never break); pass 2 strips
+    // the at-most-one ?-prefixed leader, keeping the '?'
+    val noAmp = regexp_replace(rest, "&(utm_[a-z]+|ref)=[^&]*", "")
+    val noTrack =
+      regexp_replace(noAmp, "\\?(utm_[a-z]+|ref)=[^&]*&?", "?")
     concat(canonPrefix, regexp_replace(noTrack, "[?&]+$", ""))
   }
 }

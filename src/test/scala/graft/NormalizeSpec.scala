@@ -112,5 +112,21 @@ class NormalizeSpec extends SparkSuite {
     // non-default port survives; no query/fragment is a no-op
     assert(c("https://A.com:8443/p") == "https://a.com:8443/p")
     assert(c("https://a.com/p?q=1") == "https://a.com/p?q=1")
+    // 'ref' only dies as a WHOLE ?/&-delimited param name: href=,
+    // pref=, xref= params and path segments like /ref=sr_1 survive
+    assert(c("https://a.com/p?href=/x&q=1") == "https://a.com/p?href=/x&q=1")
+    assert(c("https://a.com/p?pref=dark&xref=9") ==
+      "https://a.com/p?pref=dark&xref=9")
+    assert(c("https://a.com/dp/B00X/ref=sr_1_1?q=1") ==
+      "https://a.com/dp/B00X/ref=sr_1_1?q=1")
+    assert(c("https://a.com/p?ref=spam&href=/x") == "https://a.com/p?href=/x")
+    // interleaved tracking params all die, separators stay sane
+    assert(c("https://a.com/p?utm_a=1&q=1&ref=r&r2=2&utm_b=3") ==
+      "https://a.com/p?q=1&r2=2")
+    // default-port strip is scheme-AWARE: http://h:443 and
+    // https://h:80 are distinct origins (RFC 6454) and survive
+    assert(c("http://a.com:443/x") == "http://a.com:443/x")
+    assert(c("https://a.com:80/x") == "https://a.com:80/x")
+    assert(c("HTTP://A.com:80/x") == "http://a.com/x")
   }
 }

@@ -77,7 +77,13 @@ class PushdownSpec extends SparkSuite {
       .findAllIn(plan).length
     assert(pushed == graft.Tables.names.length,
       s"expected ${graft.Tables.names.length} pushed counts, saw $pushed")
-    assert(!plan.contains("FileSourceScanExec"),
+    // a v1 fallback renders as "FileScan parquet" (never the exec
+    // class name), so guard on the rendered token and require every
+    // subplan to be a v2 BatchScan
+    assert(!plan.contains("FileScan"),
       "q16 fell back to the v1 scan path")
+    val batch = "BatchScan".r.findAllIn(plan).length
+    assert(batch == graft.Tables.names.length,
+      s"expected ${graft.Tables.names.length} BatchScans, saw $batch")
   }
 }
