@@ -133,6 +133,8 @@ object Percentiles {
       maxGroupsHint: Int = -1): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"percentile fractions must be in [0,1]: $ps")
+    require(ps.map(tag).distinct.size == ps.size,
+      s"duplicate percentile fractions: $ps")
     require(maxGroupsHint <= MaxHintGroups,
       s"maxGroupsHint must be <= $MaxHintGroups (driver-table budget); " +
         s"omit the hint for high-cardinality group columns")
@@ -147,16 +149,31 @@ object Percentiles {
     // cardinality (an upper bound is enough — a wrong hint only
     // falls back), ONE aggregation job answers sizing AND boundary
     // placement: per group, the exact count plus a fixed-resolution
-    // approximate-quantile probe. The driver then derives each
-    // group's bucket count from its size and subsets the probe cuts
-    // as that group's boundaries — per-GROUP bucket counts, where the
-    // general path's uniform count must fit the largest group. Small
-    // groups get a single bucket (empty boundary array → bucket 0 →
-    // pass 3 ranks the whole group locally, exactly the direct
-    // path). Passes 2-3 and the finishing interpolation are the
-    // SAME code as the general path, so values are identical by
-    // construction; only the number of jobs changes (q18's shape:
-    // 4 source scans + 3 rebuilt sizing shuffles → 3 scans).
+    // approximate-quantile probe. From the probe, TWO finishes:
+    //
+    //  - '''Sketch-windowed selection''' (r13, the common case): the
+    //    probe's deterministic rank guarantee (GK summaries, rank
+    //    error ≤ εn with ε = 1/accuracy) brackets every target rank
+    //    inside a value window [vlo, vhi] a couple of probe cuts
+    //    wide. ONE more scan then answers everything exactly: per
+    //    (group, window) the exact `count(v < vlo)` and the actual
+    //    window rows (collect_list — ~n/32 rows, budget-checked
+    //    BEFORE launching, duplicate runs widened from the probe
+    //    itself). The driver sorts each window (≤ a few hundred k
+    //    doubles) and reads the target order statistic at position
+    //    rank − below. Two scans total, no shuffle of data rows, no
+    //    window sort. A post-hoc validity check (target position
+    //    inside the collected window) re-runs the bucketed path if
+    //    the sketch ever under-delivered, so correctness NEVER rests
+    //    on the sketch guarantee.
+    //  - '''Bucketed refinement''' (fallback): the r12 shape — the
+    //    driver subsets the probe cuts as per-group bucket
+    //    boundaries and passes 2-3 rank only the buckets containing
+    //    a target. Taken when a window would blow the candidate
+    //    budget: colossal groups (window ~n/32 only fits the driver
+    //    for n ≲ 2²⁶) or duplicate-heavy data. This is the same
+    //    multi-round selection machine, just with one more round —
+    //    the 100 TB regime by design.
     if (numBuckets <= 1 && maxGroupsHint > 0) {
       val fr = (1 until ProbeCuts).map(i => lit(i.toDouble / ProbeCuts))
       val statsRows = allVals.groupBy(g.as("__g"))
@@ -165,6 +182,11 @@ object Percentiles {
             .as("__pb"))
         .limit(maxGroupsHint + 1).collect()
       if (statsRows.length <= maxGroupsHint) {
+        windowedSelect(spark, allVals, df.schema(groupCol), g, v, ps,
+          statsRows) match {
+          case Some(out) => return out
+          case None => // budget/validity miss: bucketed refinement
+        }
         val perGroupCap = math.max(2L,
           MaxTotalBoundaries / math.max(1, statsRows.length))
         val bndRows = statsRows.map { r =>
@@ -240,6 +262,160 @@ object Percentiles {
         bucketedPath(spark, bigVals, g, v, ps, buckets))
     }
     bucketedPath(spark, allVals, g, v, ps, numBuckets)
+  }
+
+  /** Deterministic rank error of the fused probe: Spark's GK
+    * summaries guarantee |est − true| ≤ n/accuracy. */
+  private val SketchAcc = 256
+
+  /** Total candidate-row budget of the windowed selection across all
+    * (group, window) pairs (~32 MB of doubles on the driver — the
+    * same order as the boundary budget). Exceeding it falls back to
+    * bucketed refinement, it never errors. Mutable ONLY so
+    * PercentilesSpec can force the fallback without 4M-row fixtures;
+    * production never writes it. */
+  private[graft] var MaxCandidateRows = 1L << 22
+
+  /** One-round sketch-windowed selection (see the fused-path comment
+    * in [[exactByGroup]]): returns None when a window's upper-bound
+    * row count blows [[MaxCandidateRows]] or when the collected
+    * window fails the post-hoc validity check — both re-route to the
+    * bucketed path, so the sketch guarantee is an optimization, not
+    * a correctness dependency. */
+  private def windowedSelect(
+      spark: org.apache.spark.sql.SparkSession,
+      vals: DataFrame,
+      gField: StructField,
+      g: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column,
+      ps: Seq[Double],
+      statsRows: Array[Row]): Option[DataFrame] = {
+    val P = ProbeCuts
+    val eps = 1.0 / SketchAcc
+    // Per group: target ranks (floor/ceil of every (n-1)p) and their
+    // probe-cut windows [jlo, jhi] (0 = unbounded below, P =
+    // unbounded above), merged into clusters while they overlap.
+    // Window validity: cut j's true rank is within n(j/P ± ε), so
+    // jlo = ⌊P((t−1)/n − ε)⌋ has rank ≤ t−1 (its value sits at or
+    // below the target) and jhi = ⌈P(t/n + ε)⌉ has rank ≥ t.
+    case class Cluster(cid: Int, jlo: Int, jhi: Int,
+        vlo: Option[Double], vhi: Option[Double], targets: Seq[Long])
+    val perGroup = statsRows.map { r =>
+      val key = r.get(0)
+      val n = r.getLong(1)
+      val probe = r.getSeq[Double](2) // value at cut j is probe(j-1)
+      val targets = ps.flatMap { p =>
+        val pos = (n - 1) * p
+        Seq(math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
+      }.distinct.sorted
+      val wins = targets.map { t =>
+        val jlo = math.max(0,
+          math.floor(P * ((t - 1).toDouble / n - eps)).toInt)
+        val jhi = {
+          val j = math.ceil(P * (t.toDouble / n + eps)).toInt
+          if (j > P - 1) P else j
+        }
+        (t, jlo, jhi)
+      }
+      val clusters = wins.foldLeft(List.empty[(Int, Int, List[Long])]) {
+        case (acc, (t, jlo, jhi)) => acc match {
+          case (clo, chi, ts) :: rest if jlo <= chi =>
+            (clo, math.max(chi, jhi), t :: ts) :: rest
+          case _ => (jlo, jhi, List(t)) :: acc
+        }
+      }.reverse.zipWithIndex.map { case ((jlo, jhi, ts), i) =>
+        Cluster(i, jlo, jhi,
+          if (jlo >= 1) Some(probe(jlo - 1)) else None,
+          if (jhi <= P - 1) Some(probe(jhi - 1)) else None,
+          ts.reverse)
+      }
+      (key, n, probe, clusters)
+    }
+    // Budget check from the probe alone, BEFORE launching the scan.
+    // Upper-bounds each cluster's true row count, widening boundary
+    // values across their full duplicate run of probe cuts (a heavy
+    // duplicate at a window edge otherwise hides arbitrary mass):
+    // rows ≤ vhi all rank below the first cut ABOVE vhi's run.
+    val totalEst = perGroup.iterator.map { case (_, n, probe, cls) =>
+      cls.iterator.map { c =>
+        val hi = c.vhi match {
+          case None => n
+          case Some(x) =>
+            var j = c.jhi
+            while (j <= P - 2 && probe(j) == x) j += 1
+            math.min(n, math.ceil(n * ((j + 1).toDouble / P + eps)).toLong)
+        }
+        val lo = c.vlo match {
+          case None => 0L
+          case Some(x) =>
+            var j = c.jlo
+            while (j >= 2 && probe(j - 2) == x) j -= 1
+            math.max(0L, math.floor(n * ((j - 1).toDouble / P - eps)).toLong)
+        }
+        math.max(0L, hi - lo)
+      }.sum
+    }.sum
+    if (totalEst > MaxCandidateRows) return None
+
+    val cRows: Seq[Row] = perGroup.toSeq.flatMap { case (key, _, _, cls) =>
+      cls.map(c => Row(key, c.cid,
+        c.vlo.map(Double.box).orNull, c.vhi.map(Double.box).orNull))
+    }
+    val cSchema = StructType(Seq(
+      StructField("__g", gField.dataType),
+      StructField("__cid", IntegerType),
+      StructField("__vlo", org.apache.spark.sql.types.DoubleType),
+      StructField("__vhi", org.apache.spark.sql.types.DoubleType)))
+    val cdf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(cRows, 1), cSchema))
+    val vd = v.cast("double")
+    // ONE scan: the broadcast join fans each row out to its group's
+    // clusters (≤ 2|ps| of them); per (group, cluster) the exact
+    // strict below-count and the sorted window rows come back from
+    // the same aggregate. collect_list drops the nulls the when()
+    // leaves for out-of-window rows.
+    val inWin = (col("__vlo").isNull || vd >= col("__vlo")) &&
+      (col("__vhi").isNull || vd <= col("__vhi"))
+    val agged = vals.join(cdf, g <=> col("__g"))
+      .groupBy(col("__g"), col("__cid"))
+      .agg(
+        sum(when(col("__vlo").isNotNull && vd < col("__vlo"), 1L)
+          .otherwise(0L)).as("__below"),
+        sort_array(collect_list(when(inWin, vd))).as("__cand"))
+      .collect()
+    val byKey = agged.map { r =>
+      ((r.get(0), r.getInt(1)), (r.getLong(2), r.getSeq[Double](3)))
+    }.toMap
+    val outRows = perGroup.map { case (key, n, _, cls) =>
+      // target rank → exact order statistic, or None on any miss
+      val at = scala.collection.mutable.HashMap.empty[Long, Double]
+      var ok = true
+      cls.foreach { c =>
+        byKey.get((key, c.cid)) match {
+          case Some((below, cand)) =>
+            c.targets.foreach { t =>
+              val idx = t - below
+              if (idx >= 1 && idx <= cand.length)
+                at(t) = cand((idx - 1).toInt)
+              else ok = false
+            }
+          case None => ok = false
+        }
+      }
+      if (!ok) return None // sketch under-delivered: refine instead
+      val pvals = ps.map { p =>
+        val pos = (n - 1) * p
+        val lo = at(math.floor(pos).toLong + 1)
+        val hi = at(math.ceil(pos).toLong + 1)
+        Double.box(lo + (hi - lo) * (pos - math.floor(pos)))
+      }
+      Row.fromSeq(key +: pvals)
+    }.toSeq
+    val outSchema = StructType(gField +:
+      ps.map(p => StructField("p" + tag(p),
+        org.apache.spark.sql.types.DoubleType)))
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows, 1), outSchema))
   }
 
   /** The boundary-bucket machinery (passes 1-3 of the scaladoc) over
@@ -338,18 +514,20 @@ object Percentiles {
     * rows per (group, percentile) and interpolate (type 7). Both the
     * direct small-group path and the bucketed path end here, which
     * is WHY they are value-identical by construction. */
+  /** Output-column naming: integer percents name as p50/p90;
+    * fractional ones keep their decimals with '_' (p12_5) so nearby
+    * fractions cannot collide. */
+  private def tag(p: Double): String = {
+    val pct = p * 100
+    if (pct == pct.round.toDouble) pct.round.toString
+    else pct.toString.replace('.', '_')
+  }
+
   private def finishRanked(
       ranked: DataFrame,
       g: org.apache.spark.sql.Column,
       v: org.apache.spark.sql.Column,
       ps: Seq[Double]): DataFrame = {
-    // integer percents name as p50/p90; fractional ones keep their
-    // decimals with '_' (p12_5) so nearby fractions cannot collide
-    def tag(p: Double): String = {
-      val pct = p * 100
-      if (pct == pct.round.toDouble) pct.round.toString
-      else pct.toString.replace('.', '_')
-    }
     require(ps.map(tag).distinct.size == ps.size,
       s"duplicate percentile fractions: $ps")
     val boundaryAggs = ps.flatMap { p =>

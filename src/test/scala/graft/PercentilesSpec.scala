@@ -207,30 +207,57 @@ class PercentilesSpec extends SparkSuite {
         expected(byGroup(grp), p)) < 1e-9, s"$grp p=$p")
   }
 
-  test("fused path gives a big group multiple buckets and a small " +
-      "group exactly one (per-group bucket counts)") {
+  test("fused path answers by windowed selection — no ranking window " +
+      "operator in the plan, values exact") {
     val bigGroup = spark.range(0, 200000L)
       .select(lit("huge").as("grp"),
         ((col("id") * 2654435761L) % 100003L).cast("double").as("v"))
     val mixed = data.unionByName(bigGroup)
     val out = Percentiles.exactByGroup(mixed, "grp", "v", Seq(0.5),
       maxGroupsHint = 8)
-    // plan shape: the ranking window partitions on (group, __bkt) —
-    // the big group's sort is bucket-bounded, never whole-group
+    // plan shape (r13): the sketch-windowed selection finishes on the
+    // driver — the result plan has NO window rank at all (the old
+    // pass-3 window is gone from the fast path)
     val windows = out.queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window
-        if w.windowExpressions.exists(_.toString.contains("row_number"))
-        => w
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(windows.nonEmpty &&
-      windows.forall(_.partitionSpec.exists(_.toString.contains("__bkt"))),
-      "fused path must rank within (group, __bkt)")
+    assert(windows.isEmpty,
+      "windowed selection must not plan a ranking window")
     // values: exact for both regimes
     val got = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val ref = mixed.collect().groupBy(_.getString(0))
       .view.mapValues(_.map(_.getDouble(1))).toMap
     for ((grp, vals) <- ref)
       assert(math.abs(got(grp) - expected(vals, 0.5)) < 1e-9, s"$grp")
+  }
+
+  test("fused path over budget falls back to bucketed refinement: big " +
+      "group multi-bucket, small group one bucket, same values") {
+    val bigGroup = spark.range(0, 200000L)
+      .select(lit("huge").as("grp"),
+        ((col("id") * 2654435761L) % 100003L).cast("double").as("v"))
+    val mixed = data.unionByName(bigGroup)
+    val saved = Percentiles.MaxCandidateRows
+    try {
+      Percentiles.MaxCandidateRows = 64 // force the budget miss
+      val out = Percentiles.exactByGroup(mixed, "grp", "v", Seq(0.5),
+        maxGroupsHint = 8)
+      // plan shape: the ranking window partitions on (group, __bkt) —
+      // the big group's sort is bucket-bounded, never whole-group
+      val windows = out.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.windowExpressions.exists(_.toString.contains("row_number"))
+          => w
+      }
+      assert(windows.nonEmpty &&
+        windows.forall(_.partitionSpec.exists(_.toString.contains("__bkt"))),
+        "bucketed fallback must rank within (group, __bkt)")
+      val got = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val ref = mixed.collect().groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getDouble(1))).toMap
+      for ((grp, vals) <- ref)
+        assert(math.abs(got(grp) - expected(vals, 0.5)) < 1e-9, s"$grp")
+    } finally Percentiles.MaxCandidateRows = saved
   }
 
   test("mixed small/big groups: both paths run and agree with the " +
