@@ -128,20 +128,38 @@ object SparkEntry {
       .orderBy("o_custkey")
   }
 
-  /** q10: distinct counts — one two-phase distinct per key column,
-    * crossJoined (all one-row frames). Three countDistincts in a
-    * single aggregate plan as an Expand (3 projected copies of every
-    * row through one multi-key distinct agg — 4.7× DuckDB at sf1.0);
-    * the split form column-prunes each scan and shuffles only
-    * per-column distinct values, with the three branches running as
-    * parallel stages of one job. */
+  /** q10: distinct counts — [[operators.ExactDistinct]]'s one-scan
+    * form when the footer row count fits its gate (every scan task
+    * pre-distincts into primitive sets, driver merges packed keys —
+    * one job, no shuffle, no Expand; sf1.0: 0.60 s → 0.26 s); above
+    * the gate or on any overflow, the distributed form — one
+    * two-phase distinct per key column, crossJoined (column-pruned
+    * scans, only per-column distinct values shuffled, the three
+    * branches parallel stages of one job) — which is the 100 TB
+    * route. */
   private def q10(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_partkey", "l_suppkey", "l_orderkey")
+    val names = Seq("n_parts", "n_supps", "n_orders")
     val li = T(s, dir, "lineitem")
-    def dc(c: String, as: String): DataFrame =
-      li.select(col(c)).distinct().agg(count(col(c)).as(as))
-    dc("l_partkey", "n_parts")
-      .crossJoin(dc("l_suppkey", "n_supps"))
-      .crossJoin(dc("l_orderkey", "n_orders"))
+    val fast =
+      try operators.ExactDistinct.longCounts(li, cols,
+        operators.ExactDistinct.parquetRowCount(s, s"$dir/lineitem.parquet"))
+      catch { case scala.util.control.NonFatal(_) => None }
+    fast match {
+      case Some(cnts) =>
+        import org.apache.spark.sql.types.{StructField, StructType}
+        s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(cnts: _*)),
+          StructType(names.map(n =>
+            StructField(n, org.apache.spark.sql.types.LongType,
+              nullable = false))))
+      case None =>
+        def dc(c: String, as: String): DataFrame =
+          li.select(col(c)).distinct().agg(count(col(c)).as(as))
+        dc(cols(0), names(0))
+          .crossJoin(dc(cols(1), names(1)))
+          .crossJoin(dc(cols(2), names(2)))
+    }
   }
 
   /** q11: EXISTS / NOT EXISTS as left_semi / left_anti joins. */

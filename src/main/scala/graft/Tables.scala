@@ -18,9 +18,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized logical frames per (session, dir, name): a DataFrame
+    * is only a plan (never data — caching data here would break the
+    * 100 TB streaming posture), but `spark.read.parquet` pays a
+    * footer-based schema inference on EVERY call, a ~50-150 ms tax
+    * each of the 182 `queries` entries paid per invocation (r13).
+    * The fixture tables are immutable for a session's lifetime, so
+    * the resolved plan is reusable; mutable sources (LSM fold state,
+    * registry dirs) do NOT go through this path. */
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, s"$dir/$name.parquet")
-    else spark.read.parquet(s"$dir/$name.parquet")
+    loaded.computeIfAbsent((spark, dir, name), { _ =>
+      if (name == "events") loadEvents(spark, s"$dir/$name.parquet")
+      else spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
 

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+
+/** One-scan exact distinct counts for long-typed key columns.
+  *
+  * Spark's `count(DISTINCT a), count(DISTINCT b), ...` plans an
+  * Expand (one input row per counted column) through two aggregate
+  * stages and an exchange — correct and scalable, but at moderate
+  * table sizes the fixed two-stage machinery costs ~6× what the
+  * actual hashing is worth (q10 at sf1.0: 0.60 s vs 0.26 s measured,
+  * DuckDB answers in 0.10 s). This operator does what a single-node
+  * engine does, distributed: every scan task pre-distincts its rows
+  * into primitive open-addressing sets ([[LongOpenSet]] — no boxing,
+  * no sort) and ships only the PACKED DISTINCT KEYS; the driver
+  * merges per column in parallel threads. One job, no shuffle, no
+  * second stage.
+  *
+  * Scale honesty — driver intake is the collected distinct keys, so
+  * the fast path is GATED, never assumed:
+  *
+  *  - callers pass the exact table row count read from parquet
+  *    footers ([[parquetRowCount]], a driver-side metadata read, no
+  *    job); above [[MaxFastPathRows]] the operator declines
+  *    (`None`) and the caller keeps Spark's distributed form — the
+  *    100 TB route, where the Expand machinery is the right design
+  *    and its constant is amortized;
+  *  - every task additionally caps what it will emit
+  *    ([[MaxTaskKeysPerCol]]); any overflow poisons the fast path
+  *    post-hoc and the caller falls back, so a pathological
+  *    all-distinct column can never melt the driver even under the
+  *    row gate (worst intake ≈ min(rows, tasks·cap)·8 B·|cols| ≈
+  *    400 MB theoretical at the gate boundary, ~45 MB measured for
+  *    q10's 6M-row / 1.7M-distinct shape).
+  *
+  * NULL keys are ignored, matching `count(DISTINCT c)`.
+  */
+object ExactDistinct {
+
+  /** Row-count gate for the fast path (2²⁴ ≈ 16.8M rows). */
+  val MaxFastPathRows: Long = 1L << 24
+
+  /** Per-task, per-column emitted-key cap (2²⁰ keys = 8 MB). */
+  val MaxTaskKeysPerCol: Int = 1 << 20
+
+  /** Exact row count from parquet footers, summed over the part
+    * files of `path` — driver-side metadata only, no Spark job (the
+    * same footer statistics q16's DSv2 COUNT(*) pushdown reads). */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.toSeq
+      else Seq(st)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** Distinct counts for `cols` (all LongType) of `df` in one scan,
+    * or None when any gate declines — size gate up front, per-task
+    * overflow post-hoc, non-long columns always. Callers MUST have a
+    * fallback (the plain countDistinct form). */
+  def longCounts(
+      df: DataFrame,
+      cols: Seq[String],
+      totalRowsFromFooters: Long): Option[Seq[Long]] = {
+    if (totalRowsFromFooters > MaxFastPathRows) return None
+    if (!cols.forall(c => df.schema(c).dataType == LongType)) return None
+    val n = cols.length
+    val cap = MaxTaskKeysPerCol
+    val proj = df.select(cols.map(col): _*)
+    val parts = columnarSets(proj, n, cap)
+      .getOrElse(rowSets(proj, n, cap))
+    if (parts.exists(_.contains(null))) return None
+    // merge per column in parallel — each column's inserts are
+    // independent, and the widest column dominates the wall
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val merged = (0 until n).map { i =>
+      Future {
+        val s = new LongOpenSet(1 << 16)
+        parts.foreach { arrs =>
+          val a = arrs(i)
+          var j = 0
+          while (j < a.length) { s.add(a(j)); j += 1 }
+        }
+        s.size
+      }
+    }
+    Some(Await.result(Future.sequence(merged), Duration.Inf))
+  }
+
+  /** The one columnar parquet scan at the bottom of `proj`'s plan,
+    * but ONLY when executing that scan alone loses nothing: every
+    * node above it must be a pure pass-through (codegen wrapper,
+    * columnar→row, attribute-only projection) and the scan itself
+    * must carry no data filters (a residual FilterExec — or a
+    * pushed-but-unguaranteed parquet filter — would be silently
+    * dropped). Anything unexpected → None → callers run the general
+    * plan. */
+  private[operators] def bareColumnarScan(proj: DataFrame)
+      : Option[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution._
+    def benign(p: SparkPlan): Boolean = p match {
+      case _: FileSourceScanExec => true
+      case w: WholeStageCodegenExec => benign(w.child)
+      case i: InputAdapter => benign(i.child)
+      case c: ColumnarToRowExec => benign(c.child)
+      case pr: ProjectExec =>
+        pr.projectList.forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.AttributeReference]) &&
+          benign(pr.child)
+      case _ => false
+    }
+    val plan = proj.queryExecution.executedPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    if (scans.length == 1 && benign(plan) &&
+        scans.head.supportsColumnar && scans.head.dataFilters.isEmpty)
+      Some(scans.head)
+    else None
+  }
+
+  /** Per-partition distinct sets read straight off the vectorized
+    * parquet ColumnarBatches — skips codegen and the ColumnarToRow
+    * conversion (~25% of the job for q10's shape). Applies only when
+    * the projection planned as exactly one bare columnar file scan
+    * whose pruned output is the requested long columns; anything
+    * else returns None and the row path runs. */
+  private def columnarSets(
+      proj: DataFrame,
+      n: Int,
+      cap: Int): Option[Array[Array[Array[Long]]]] = {
+    val scan = bareColumnarScan(proj) match {
+      case Some(s) => s
+      case None => return None
+    }
+    val names = proj.schema.fieldNames.toSeq
+    val outNames = scan.output.map(_.name)
+    if (outNames.sorted != names.sorted ||
+        scan.output.exists(_.dataType != LongType)) return None
+    val idx = names.map(outNames.indexOf).toArray
+    Some(scan.executeColumnar().mapPartitions { it =>
+      val sets = Array.fill(n)(new LongOpenSet(1 << 12))
+      while (it.hasNext) {
+        val b = it.next()
+        val rows = b.numRows()
+        var i = 0
+        while (i < n) {
+          val v = b.column(idx(i))
+          val s = sets(i)
+          var r = 0
+          while (r < rows) {
+            if (!v.isNullAt(r)) s.add(v.getLong(r))
+            r += 1
+          }
+          i += 1
+        }
+      }
+      Iterator.single(sets.map(s =>
+        if (s.size > cap) null else s.toArray))
+    }.collect())
+  }
+
+  private def rowSets(
+      proj: DataFrame,
+      n: Int,
+      cap: Int): Array[Array[Array[Long]]] =
+    proj.queryExecution.toRdd.mapPartitions { it =>
+      val sets = Array.fill(n)(new LongOpenSet(1 << 12))
+      while (it.hasNext) {
+        val row = it.next()
+        var i = 0
+        while (i < n) {
+          if (!row.isNullAt(i)) sets(i).add(row.getLong(i))
+          i += 1
+        }
+      }
+      // null array = overflow sentinel: this task saw more distinct
+      // keys than it may ship
+      Iterator.single(sets.map(s =>
+        if (s.size > cap) null else s.toArray))
+    }.collect()
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+/** Minimal open-addressing Long hash set: linear probing,
+  * power-of-two capacity, load factor 1/2, zero boxing. 0 is held in
+  * a sideband flag so the key array can use 0 as the empty sentinel.
+  * Built for executor/driver-side exact-distinct merges (q10's
+  * one-stage form) where `java.util.HashSet[java.lang.Long]` boxing
+  * and node churn dominate the actual hashing. */
+final class LongOpenSet(initCap: Int = 16) extends Serializable {
+  private[this] var cap =
+    math.max(16, Integer.highestOneBit(math.max(1, initCap - 1)) << 1)
+  private[this] var mask = cap - 1
+  private[this] var keys = new Array[Long](cap)
+  private[this] var n = 0
+  private[this] var hasZero = false
+
+  @inline private[this] def slot(k: Long): Int = {
+    // 64-bit mix (splitmix64 finalizer) so sequential keys spread
+    var h = k
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^= h >>> 31
+    var i = (h & mask).toInt
+    while (keys(i) != 0L && keys(i) != k) i = (i + 1) & mask
+    i
+  }
+
+  def add(k: Long): Unit =
+    if (k == 0L) hasZero = true
+    else {
+      val i = slot(k)
+      if (keys(i) == 0L) {
+        keys(i) = k
+        n += 1
+        if (n * 2 > cap) grow()
+      }
+    }
+
+  private[this] def grow(): Unit = {
+    val old = keys
+    cap <<= 1
+    mask = cap - 1
+    keys = new Array[Long](cap)
+    var i = 0
+    while (i < old.length) {
+      val k = old(i)
+      if (k != 0L) keys(slot(k)) = k
+      i += 1
+    }
+  }
+
+  /** Count of distinct keys added (including 0 if seen). */
+  def size: Long = n.toLong + (if (hasZero) 1L else 0L)
+
+  /** The distinct keys, packed (order unspecified). */
+  def toArray: Array[Long] = {
+    val out = new Array[Long](size.toInt)
+    var j = 0
+    if (hasZero) { out(0) = 0L; j = 1 }
+    var i = 0
+    while (i < keys.length) {
+      if (keys(i) != 0L) { out(j) = keys(i); j += 1 }
+      i += 1
+    }
+    out
+  }
+}

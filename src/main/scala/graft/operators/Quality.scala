@@ -111,6 +111,14 @@ object Quality {
       numericCols: Seq[String],
       stringCols: Seq[String]): DataFrame = {
     require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns")
+    profileFused(df, numericCols, stringCols)
+      .getOrElse(profileGeneral(df, numericCols, stringCols))
+  }
+
+  private def profileGeneral(
+      df: DataFrame,
+      numericCols: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
     val all = numericCols ++ stringCols
     // Shape (round 12): ONE full-width scan computes every hash-able
     // statistic (counts, null counts, numeric min/max) in a single
@@ -164,6 +172,227 @@ object Quality {
           .as("max_str"))
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Per-partition profile shipped to the driver by the fused path:
+    * one shared row count, then per-column non-null counts, numeric
+    * min/max, string min/max, and packed distinct sets (null array =
+    * that task overflowed its cap → caller falls back). */
+  private case class PartProfile(
+      rows: Long,
+      cnt: Array[Long],
+      minNum: Array[Double],
+      maxNum: Array[Double],
+      numKeys: Array[Array[Long]],
+      minStr: Array[String],
+      maxStr: Array[String],
+      strKeys: Array[Array[String]])
+
+  /** Fused single-scan profile (r13): when `df` is a bare columnar
+    * parquet scan of the profiled columns, EVERYTHING — counts, null
+    * counts, numeric and string min/max, and EXACT per-column
+    * distinct counts — comes off one pass over the vectorized
+    * ColumnarBatches: each task pre-distincts into primitive sets
+    * ([[LongOpenSet]] on IEEE-normalized bits for numerics, a small
+    * UTF8String set for strings) and ships packed keys; the driver
+    * merges. One job, no shuffle, no Expand, no per-column distinct
+    * branches (q35 at sf1.0: 1.0 s → ~0.35 s; DuckDB 0.09).
+    *
+    * Gated exactly like [[ExactDistinct]]: footer row count ≤ its
+    * fast-path budget up front, per-task emit caps with overflow
+    * sentinels post-hoc, unexpected plan shapes or column types →
+    * None — the general multi-branch form below remains the 100 TB
+    * route, where per-column distinct exchanges are the right
+    * design. String comparisons use UTF8String binary order (what
+    * Spark's min/max computes); -0.0 normalizes to 0.0 and NaN to
+    * the canonical bits so bit-distinct equals value-distinct. */
+  private def profileFused(
+      df: DataFrame,
+      numericCols: Seq[String],
+      stringCols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+    val all = numericCols ++ stringCols
+    val okTypes = all.forall { c =>
+      df.schema.fieldNames.contains(c) && (df.schema(c).dataType match {
+        case DoubleType | LongType | IntegerType =>
+          numericCols.contains(c)
+        case StringType => stringCols.contains(c)
+        case _ => false
+      })
+    }
+    if (!okTypes) return None
+    val proj = df.select(all.map(col): _*)
+    val scan = ExactDistinct.bareColumnarScan(proj) match {
+      case Some(s) => s
+      case None => return None
+    }
+    val outNames = scan.output.map(_.name)
+    if (outNames.sorted != all.sorted) return None
+    val spark = df.sparkSession
+    val totalRows =
+      try scan.relation.location.rootPaths.map(p =>
+        ExactDistinct.parquetRowCount(spark, p.toString)).sum
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (totalRows > ExactDistinct.MaxFastPathRows) return None
+
+    val nNum = numericCols.length
+    val nStr = stringCols.length
+    val numIdx = numericCols.map(outNames.indexOf).toArray
+    val strIdx = stringCols.map(outNames.indexOf).toArray
+    val numIsLong = numericCols.map(c =>
+      df.schema(c).dataType != DoubleType).toArray
+    val cap = ExactDistinct.MaxTaskKeysPerCol
+    val parts = scan.executeColumnar().mapPartitions { it =>
+      val cnt = new Array[Long](nNum + nStr)
+      val mnN = new Array[Double](nNum)
+      val mxN = new Array[Double](nNum)
+      val mnL = new Array[Long](nNum)
+      val mxL = new Array[Long](nNum)
+      val seenN = new Array[Boolean](nNum)
+      val numSets = Array.fill(nNum)(new LongOpenSet(1 << 12))
+      val mnS = new Array[org.apache.spark.unsafe.types.UTF8String](nStr)
+      val mxS = new Array[org.apache.spark.unsafe.types.UTF8String](nStr)
+      val strSets = Array.fill(nStr)(
+        new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String])
+      var rows = 0L
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        rows += n
+        var i = 0
+        while (i < nNum) {
+          val v = b.column(numIdx(i))
+          val s = numSets(i)
+          val isLong = numIsLong(i)
+          var r = 0
+          while (r < n) {
+            if (!v.isNullAt(r)) {
+              cnt(i) += 1
+              if (isLong) {
+                // compare in LONG space (double rounds past 2^53);
+                // the min/max → double cast happens once at the end,
+                // same as the general path's min(col).cast(double)
+                val k = v.getLong(r)
+                if (!seenN(i)) { mnL(i) = k; mxL(i) = k; seenN(i) = true }
+                else {
+                  if (k < mnL(i)) mnL(i) = k
+                  if (k > mxL(i)) mxL(i) = k
+                }
+                s.add(k)
+              } else {
+                // Double.compare ordering == Spark's double
+                // aggregate ordering (NaN greatest, -0.0 < 0.0)
+                val d = v.getDouble(r)
+                if (!seenN(i)) { mnN(i) = d; mxN(i) = d; seenN(i) = true }
+                else {
+                  if (java.lang.Double.compare(d, mnN(i)) < 0) mnN(i) = d
+                  if (java.lang.Double.compare(d, mxN(i)) > 0) mxN(i) = d
+                }
+                s.add(java.lang.Double.doubleToLongBits(d + 0.0))
+              }
+            }
+            r += 1
+          }
+          i += 1
+        }
+        i = 0
+        while (i < nStr) {
+          val v = b.column(strIdx(i))
+          val set = strSets(i)
+          var r = 0
+          while (r < n) {
+            if (!v.isNullAt(r)) {
+              cnt(nNum + i) += 1
+              val u = v.getUTF8String(r)
+              if (mnS(i) == null || u.compareTo(mnS(i)) < 0)
+                mnS(i) = u.clone()
+              if (mxS(i) == null || u.compareTo(mxS(i)) > 0)
+                mxS(i) = u.clone()
+              if (set.size() <= cap && !set.contains(u))
+                set.add(u.clone())
+            }
+            r += 1
+          }
+          i += 1
+        }
+      }
+      var ii = 0
+      while (ii < nNum) {
+        if (seenN(ii) && numIsLong(ii)) {
+          mnN(ii) = mnL(ii).toDouble
+          mxN(ii) = mxL(ii).toDouble
+        }
+        ii += 1
+      }
+      Iterator.single(PartProfile(
+        rows, cnt,
+        mnN, mxN,
+        numSets.map(s => if (s.size > cap) null else s.toArray),
+        mnS.map(u => if (u == null) null else u.toString),
+        mxS.map(u => if (u == null) null else u.toString),
+        strSets.map(s =>
+          if (s.size() > cap) null
+          else {
+            val a = new Array[String](s.size())
+            val itr = s.iterator(); var j = 0
+            while (itr.hasNext) { a(j) = itr.next().toString; j += 1 }
+            a
+          })))
+    }.collect()
+    if (parts.exists(p =>
+        p.numKeys.exists(_ == null) || p.strKeys.exists(_ == null)))
+      return None
+
+    val total = parts.map(_.rows).sum
+    val outRows = all.zipWithIndex.map { case (c, ci) =>
+      val isNum = ci < nNum
+      val n = parts.map(_.cnt(ci)).sum
+      val nulls = total - n
+      if (isNum) {
+        val mset = new LongOpenSet(1 << 16)
+        parts.foreach { p =>
+          val a = p.numKeys(ci); var j = 0
+          while (j < a.length) { mset.add(a(j)); j += 1 }
+        }
+        // validity = the part saw a non-null value; merge with
+        // Double.compare so NaN stays greatest (Spark ordering)
+        val valid = parts.filter(_.cnt(ci) > 0)
+        val mins = valid.map(_.minNum(ci))
+        val maxs = valid.map(_.maxNum(ci))
+        def lt(a: Double, b: Double) = java.lang.Double.compare(a, b) < 0
+        org.apache.spark.sql.Row(c, n, nulls, mset.size,
+          if (mins.isEmpty) null
+          else Double.box(mins.reduce((a, b) => if (lt(a, b)) a else b)),
+          if (maxs.isEmpty) null
+          else Double.box(maxs.reduce((a, b) => if (lt(a, b)) b else a)),
+          null, null)
+      } else {
+        val si = ci - nNum
+        val mset = new java.util.HashSet[String]
+        parts.foreach(p => p.strKeys(si).foreach(mset.add))
+        val mins = parts.flatMap(p => Option(p.minStr(si)))
+        val maxs = parts.flatMap(p => Option(p.maxStr(si)))
+        // binary (UTF-8 byte) order, same as the executor-side and
+        // Spark's own string min/max
+        def u8(x: String) =
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        org.apache.spark.sql.Row(c, n, nulls, mset.size.toLong, null, null,
+          if (mins.isEmpty) null else mins.minBy(u8).toString,
+          if (maxs.isEmpty) null else maxs.maxBy(u8).toString)
+      }
+    }
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("n_nulls", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("min_num", DoubleType),
+      StructField("max_num", DoubleType),
+      StructField("min_str", StringType),
+      StructField("max_str", StringType)))
+    Some(spark.createDataFrame(
+      java.util.Arrays.asList(outRows: _*), schema))
   }
 
   /** Equi-width histogram in two aggregate passes: a one-row min/max

@@ -71,6 +71,42 @@ class QualitySpec extends SparkSuite {
     assert(prof.count() == 2)
   }
 
+  test("fused columnar profile equals the general plan on adversarial " +
+      "values (NaN, -0.0, all-null, longs, non-ASCII) and a filter " +
+      "defeats its gate") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("profspec").toString + "/t.parquet"
+    Seq[(Option[Double], Option[Long], Option[Double], Option[String])](
+      (Some(1.5), Some(7L), None, Some("a")),
+      (Some(Double.NaN), Some(-3L), None, Some("éclair")),
+      (Some(-0.0), Some(Long.MaxValue), None, Some("")),
+      (Some(0.0), None, None, None),
+      (Some(1.5), Some(7L), None, Some("zz"))
+    ).toDF("d", "l", "allnull", "s").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val raw = spark.read.parquet(tmp)
+    val num = Seq("d", "l", "allnull")
+    val fused = Quality.profile(raw, num, Seq("s"))
+      .orderBy("column_name").collect()
+    // a filter above the scan must force the general plan — and the
+    // general plan doubles as the value oracle here
+    val filtered = raw.filter(col("d").isNotNull || lit(true))
+    val general = Quality.profile(filtered, num, Seq("s"))
+      .orderBy("column_name").collect()
+    assert(fused.toSeq == general.toSeq,
+      s"fused $fused vs general $general")
+    // spot-pin the tricky ones: NaN is the max (Spark order), -0.0
+    // and 0.0 count as ONE distinct value, all-null profiles to nulls
+    val byName = fused.map(r => r.getString(0) -> r).toMap
+    assert(byName("d").getDouble(5).isNaN)
+    assert(byName("d").getLong(3) == 3L) // {1.5, NaN, ±0.0-as-one}
+    val an = byName("allnull")
+    assert(an.getLong(1) == 0 && an.getLong(2) == 5 && an.getLong(3) == 0
+      && an.isNullAt(4) && an.isNullAt(5))
+    assert(byName("l").getDouble(5) == Long.MaxValue.toDouble)
+  }
+
   test("histogram: counts partition the rows, max closes last bucket") {
     val df = (0 to 100).map(_.toDouble).toDF("v")
     val h = Quality.histogram(df, col("v"), 10)
