@@ -32,6 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Pre-size the heap when asked: a 96g heap growing up from the
+  // ~2g default -Xms under a cache-heavy first query pays the
+  // expansion in GC churn ON that query (measured: p18's first
+  // sf1.0 run 3960 task-CPU-s vs 200 steady) — benchmarks pass
+  // SPARK_DRIVER_XMS to take heap sizing out of the measurement.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_XMS", "1g")}",
   // The default 240 MB code cache overflows across the bench's ~266
   // warm+measure codegen compilations (133 queries × 2 runs), and the
   // JIT starts flushing compiled code mid-sweep: the d-family measured

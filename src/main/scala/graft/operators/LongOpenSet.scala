@@ -25,6 +25,9 @@ final class LongOpenSet(initCap: Int = 16) extends Serializable {
     i
   }
 
+  def contains(k: Long): Boolean =
+    if (k == 0L) hasZero else keys(slot(k)) == k
+
   def add(k: Long): Unit =
     if (k == 0L) hasZero = true
     else {

@@ -100,8 +100,23 @@ object Similarity {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(
       graft.plans.TopKPairs(
-        GraftBridge.expression(struct(score.as("score"), id.as("id"))), k,
-        dedupIds)
+        GraftBridge.expression(score.cast("double")),
+        GraftBridge.expression(id.cast("long")), k, dedupIds)
+        .toAggregateExpression())
+  }
+
+  /** Retention prune (rank ≤ k OR score > threshold) as ONE
+    * bounded-state aggregate ([[graft.plans.ThresholdTopKPairs]]) —
+    * the single-pass replacement for filter ∪ degree-join ∪ top-k
+    * over a persisted candidate stream (see graphFold's threshold
+    * path). */
+  def thresholdTopKAgg(score: Column, id: Column, k: Int,
+      threshold: Double, dedupIds: Boolean = false): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.ThresholdTopKPairs(
+        GraftBridge.expression(score.cast("double")),
+        GraftBridge.expression(id.cast("long")), k, threshold, dedupIds)
         .toAggregateExpression())
   }
 

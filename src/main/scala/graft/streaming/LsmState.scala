@@ -77,25 +77,73 @@ final class LsmState(
   private val fs = StateIO.fs(spark, root)
   private val latestFile = s"$root/_latest"
 
-  def readPtr(): Option[String] =
-    StateIO.readString(fs, latestFile).map(_.trim).filter(_.nonEmpty)
+  // ---- lazy control-state cache -----------------------------------
+  // Between constructions, this instance is the fold's ONLY writer
+  // (foreachBatch triggers run serially; a crashed fold restarts with
+  // a FRESH instance, which re-reads the store). So the pointer, the
+  // part listing, and the pointed-at snapshot's manifest are read
+  // from the filesystem ONCE and then maintained by append/compact
+  // instead of re-listed per view — a trigger over a multi-fold key
+  // otherwise pays ~3 control round-trips PER FOLD per view, and on
+  // an object store each LIST/GET is 10-100 ms of pure floor.
+  // Mutations are synchronized: multi-model triggers run their
+  // appends concurrently (Streams.runParallel), and although each
+  // fold has its own instance, the cache must stay coherent if a
+  // caller ever shares one.
+  private[this] var ptrCache: Option[Option[String]] = None
+  private[this] var partsCache: Option[Vector[String]] = None
+  private[this] var foldedCache: Option[(Option[String], Set[String])] = None
+
+  def readPtr(): Option[String] = synchronized {
+    ptrCache match {
+      case Some(p) => p
+      case None =>
+        val p = StateIO.readString(fs, latestFile)
+          .map(_.trim).filter(_.nonEmpty)
+        ptrCache = Some(p)
+        p
+    }
+  }
+
+  private def allParts(): Vector[String] = synchronized {
+    partsCache match {
+      case Some(ps) => ps
+      case None =>
+        val ps = StateIO.listNames(fs, s"$root/parts")
+          .filter(_.startsWith("b")).toVector
+        partsCache = Some(ps)
+        ps
+    }
+  }
 
   private def listParts(except: Option[Long]): Seq[String] = {
     val skip = except.map(id => s"b$id")
-    StateIO.listNames(fs, s"$root/parts")
-      .filter(n => n.startsWith("b") && !skip.contains(n))
+    allParts().filter(n => !skip.contains(n))
   }
 
   /** Part names the pointed-at snapshot already folded (its `_folded`
     * manifest) — excluded from every view so a compaction crash
     * between the pointer move and part cleanup can't double-present
-    * rows. Missing manifest (pre-manifest state dirs) → empty. */
-  private def foldedParts(): Set[String] = readPtr() match {
-    case None => Set.empty
-    case Some(p) =>
-      StateIO.readString(fs, s"$p/_folded")
-        .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
-        .getOrElse(Set.empty)
+    * rows. Missing manifest (pre-manifest state dirs) → empty.
+    * Cached per pointer value: the manifest is immutable once its
+    * snapshot is published. */
+  private def foldedParts(): Set[String] = {
+    val ptr = readPtr()
+    synchronized {
+      foldedCache match {
+        case Some((p, f)) if p == ptr => f
+        case _ =>
+          val f = ptr match {
+            case None => Set.empty[String]
+            case Some(p) =>
+              StateIO.readString(fs, s"$p/_folded")
+                .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+                .getOrElse(Set.empty[String])
+          }
+          foldedCache = Some((ptr, f))
+          f
+      }
+    }
   }
 
   /** The folded current state: compacted snapshot ∪ live unfolded
@@ -116,8 +164,13 @@ final class LsmState(
   /** O(batch): write this batch's delta as its own part dir,
     * overwrite-keyed on the batch id (checkpoint replays are
     * idempotent). */
-  def append(id: Long, delta: DataFrame): Unit =
+  def append(id: Long, delta: DataFrame): Unit = {
     delta.write.mode("overwrite").parquet(s"$root/parts/b$id")
+    synchronized {
+      partsCache = partsCache.map(ps =>
+        if (ps.contains(s"b$id")) ps else (ps :+ s"b$id").sorted)
+    }
+  }
 
   /** Amortized compaction: every `compactEvery` batches, fold the
     * whole view into a fresh versioned snapshot, record the folded
@@ -125,7 +178,18 @@ final class LsmState(
     * prefix — parquet readers ignore it), move the durable pointer,
     * then (and only then) remove the folded parts. */
   def maybeCompact(id: Long): Unit =
-    if ((id + 1) % compactEvery == 0) view().foreach { v =>
+    if ((id + 1) % compactEvery == 0) {
+      // compaction is the ONE consumer where a stale part listing
+      // would LEAK state (a crash-leftover part missing from the
+      // cache would never be folded or swept) — re-list from the
+      // filesystem here, amortized 1/compactEvery, and let the
+      // per-trigger views keep the cached listing
+      synchronized { partsCache = None }
+      compactNow(id)
+    }
+
+  private def compactNow(id: Long): Unit =
+    view().foreach { v =>
       // a batch replaying after its own pointer move must not read
       // v<id> while overwriting it — divert to a sibling path
       val preferred = s"$root/v$id"
@@ -139,9 +203,16 @@ final class LsmState(
       v.write.mode("overwrite").parquet(out)
       StateIO.writeString(fs, s"$out/_folded", folded.mkString("\n"))
       StateIO.writeStringAtomic(spark, fs, latestFile, out)
+      synchronized {
+        ptrCache = Some(Some(out))
+        foldedCache = Some((Some(out), folded.toSet))
+      }
       // only after the pointer is durable; a crash here leaves
       // parts the manifest already masks out of every view
       folded.foreach(n => StateIO.delete(fs, s"$root/parts/$n"))
+      synchronized {
+        partsCache = partsCache.map(_.filterNot(folded.toSet))
+      }
       // retire superseded snapshots: every v* dir the pointer no
       // longer names is dead weight — without this sweep, storage
       // grows by one full snapshot per compaction, an

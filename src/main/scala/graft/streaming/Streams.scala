@@ -65,10 +65,17 @@ object Streams {
     * constant sized for steady-state trickle batches (measured on the
     * p19 one-batch sf1.0 drain: the 7-model delta extraction spent
     * 7-8 s per pass in 8-task stages on a 32-core box). */
-  private def rowParts(spark: SparkSession, rows: Long): Int = {
+  private def rowParts(
+      spark: SparkSession, rows: Long, costWeight: Int = 1): Int = {
     val base = spark.conf.get("spark.sql.shuffle.partitions", "8").toInt
     val cores = spark.sparkContext.defaultParallelism
-    math.max(base, math.min(cores, math.ceil(rows / 16e3).toInt))
+    // costWeight scales the per-row work estimate: a trigger running
+    // SEVEN model extractions over one cached batch (p19) does ~7× a
+    // single fold's per-row CPU, so its per-task row target shrinks
+    // by the same factor — the wall clock is bounded by the heaviest
+    // model's task count, not the aggregate throughput
+    math.max(base,
+      math.min(cores, math.ceil(rows * costWeight.toDouble / 16e3).toInt))
   }
 
   /** Round-robin repartition a micro-batch to the session's shuffle
@@ -739,19 +746,30 @@ object Streams {
         .map(_.trim).filter(_.nonEmpty)
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val delta = dsirDelta(spread(batch.toDF()), targetSource, dim)
-        val merged = readPtr() match {
-          case None => delta
-          case Some(p) =>
-            spark.read.parquet(p).unionByName(delta)
-              .groupBy("b")
-              .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
-        }
-        // bounded at dim rows at ANY corpus scale: single-file
-        // snapshot, same rationale as the p04 LM model
-        publishSnapshot(spark, s"$base/_latest", s"$base/v$id") { out =>
-          merged.coalesce(1).write.mode("overwrite").parquet(out)
-        }
+        // cache before the sizing count (shared source read), and
+        // size the trigger by the batch's row mass: the bigram
+        // explode + feature hash is ~4 token-folds of per-row CPU,
+        // and a corpus-sized catch-up batch at the trickle constant
+        // ran the whole extraction on 8 of 32 cores
+        val raw = batch.toDF().cache()
+        try {
+          val bs = raw.sparkSession
+          withStreamPartitions(bs, rowParts(bs, raw.count(), costWeight = 4)) {
+            val delta = dsirDelta(spread(raw), targetSource, dim)
+            val merged = readPtr() match {
+              case None => delta
+              case Some(p) =>
+                spark.read.parquet(p).unionByName(delta)
+                  .groupBy("b")
+                  .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+            }
+            // bounded at dim rows at ANY corpus scale: single-file
+            // snapshot, same rationale as the p04 LM model
+            publishSnapshot(spark, s"$base/_latest", s"$base/v$id") { out =>
+              merged.coalesce(1).write.mode("overwrite").parquet(out)
+            }
+          }
+        } finally raw.unpersist(blocking = false)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -869,11 +887,13 @@ object Streams {
         val newPairs = cross.map(within.unionByName(_)).getOrElse(within)
           .distinct()
         // pairs part FIRST (it executes the lazy cross-probe against
-        // the band table as it stood BEFORE this batch), bands after
+        // the band table as it stood BEFORE this batch), bands after;
+        // compactions touch disjoint state and overlap
         pairsSt.append(id, newPairs)
         bands.append(id, newBands)
-        pairsSt.maybeCompact(id)
-        bands.maybeCompact(id, compactEvery)
+        runParallel(Seq(
+          () => pairsSt.maybeCompact(id),
+          () => bands.maybeCompact(id, compactEvery)))
         newBands.unpersist(blocking = false)
         ()
       }
@@ -944,41 +964,29 @@ object Streams {
         .select(col("vec_id"), col("col.id").as("nbr_id"),
           col("col.score").as("sim"))
     case Some(t) =>
-      // retention prune: keep rank ≤ k OR sim > t — computed WITHOUT
-      // sorting each node's full retained edge set. (The previous
-      // row_number window re-sorted every node's edges at every
-      // compaction; a dense duplicate cluster has unbounded
-      // above-threshold degree, making that O(edges log edges) per
-      // hot node.) Above-threshold edges are kept by a plain filter
-      // (no sort, predicate pushes to the parquet scan). The top-k
-      // complement comes from the bounded heap over only the
-      // sim ≤ t edges: under the (sim desc, nbr_id) order every
-      // above-threshold edge outranks every sim ≤ t edge, so a
-      // sim ≤ t edge's overall rank is h + (rank among sim ≤ t
-      // edges) where h = the node's above-threshold degree — it
-      // survives iff its heap position < k − h. Identical output to
-      // the windowed form (equality spec in StreamsSpec), bounded
-      // O(k) state per node. With dedupEdges (the per-batch
-      // pre-prune over the duplicate-carrying bucket-local stream):
-      // the retained side dedups by an output-sized distinct —
-      // duplicates are bit-equal rows — and hDeg counts the DEDUPED
-      // set, or a duplicated above-threshold edge would inflate the
-      // node's degree and evict a legitimate top-k survivor.
-      val above0 = edges.filter(col("sim") > t)
-        .select(col("vec_id"), col("nbr_id"), col("sim"))
-      val above = if (dedupEdges) above0.distinct() else above0
-      val hDeg = above.groupBy(col("vec_id"))
-        .agg(count(lit(1)).as("__h"))
-      val belowTop = edges.filter(col("sim") <= t)
-        .groupBy(col("vec_id"))
+      // retention prune: keep rank ≤ k OR sim > t — ONE bounded-state
+      // aggregate pass ([[graft.operators.Similarity.thresholdTopKAgg]]):
+      // per node, every above-threshold edge is retained (dedup'd by
+      // neighbor when dedupEdges — duplicates are bit-equal) alongside
+      // a k-bounded heap of the sim ≤ t edges, and the eval emits the
+      // heap's best k − h where h = the node's above-threshold degree
+      // (under the (sim desc, nbr_id) order every above-threshold edge
+      // outranks every sim ≤ t edge, so a sim ≤ t edge survives iff
+      // its heap position < k − h). Identical output to the windowed
+      // form (equality spec in StreamsSpec). This replaced a
+      // three-reader plan (above filter ∪ degree join ∪ below top-k)
+      // whose shared candidate input had to be PERSISTED per trigger —
+      // a ~10⁸-row columnar cache at sf1.0 whose build/decode, not the
+      // scoring, dominated the fold (round-13 stage profile); the
+      // one-pass aggregate consumes the scored stream exactly once,
+      // un-cached, with per-node state = own output mass + k.
+      edges.groupBy(col("vec_id"))
         .agg(graft.operators.Similarity
-          .topKAgg(col("sim"), col("nbr_id"), k, dedupEdges).as("top"))
-        .select(col("vec_id"), posexplode(col("top")))
-        .join(hDeg, Seq("vec_id"), "left")
-        .filter(col("pos") < lit(k.toLong) - coalesce(col("__h"), lit(0L)))
-        .select(col("vec_id"), col("col.id").as("nbr_id"),
-          col("col.score").as("sim"))
-      above.unionByName(belowTop)
+          .thresholdTopKAgg(col("sim"), col("nbr_id"), k, t, dedupEdges)
+          .as("top"))
+        .select(col("vec_id"), explode(col("top")).as("e"))
+        .select(col("vec_id"), col("e.id").as("nbr_id"),
+          col("e.score").as("sim"))
   }
 
   /** p15: incremental k-NN GRAPH maintenance — s16's corpus-wide
@@ -1099,34 +1107,26 @@ object Streams {
         // rows per batch) to output-sized (k per touched node plus
         // above-threshold edges). dedupEdges collapses the
         // bucket-local stream's one-row-per-shared-table duplicates
-        // inside the same bounded heaps. The THRESHOLD fold consumes
-        // its edge stream twice (above-filter + below-top-k) — spill-
-        // persist the scored stream for that one write so the
-        // candidate scoring join runs once, not twice; the plain
-        // top-k fold is a single pass and needs no persist.
+        // inside the same bounded heaps. BOTH fold forms are now a
+        // single aggregate pass over the scored stream (the threshold
+        // form's one-pass retention aggregate replaced the persisted
+        // three-reader plan — see graphFold), so the scoring join
+        // runs exactly once with no per-trigger candidate cache.
         // Edge part FIRST (executes the lazy cross-probe against the
         // pre-batch band table), then vecs, then bands.
-        val symIn =
-          if (keepThreshold.isDefined) {
-            val p = sym.persist(org.apache.spark.storage.StorageLevel
-              .MEMORY_AND_DISK)
-            // materialize EAGERLY: the threshold fold reads this
-            // frame from three concurrent stages (above-filter, hDeg,
-            // below-top-k), and a lazy persist lets each recompute
-            // the full scoring join before any commits the cache
-            // (measured: three parallel 15 s stages doing identical
-            // work at sf1.0). One pass; the fold reads the cache.
-            p.count()
-            p
-          } else sym
         graphSt.append(id,
-          graphFold(k, keepThreshold, dedupEdges = true)(symIn))
-        vecsSt.append(id, newVecs)
-        bands.append(id, newBands)
-        graphSt.maybeCompact(id)
-        vecsSt.maybeCompact(id)
-        bands.maybeCompact(id, compactEvery)
-        if (keepThreshold.isDefined) symIn.unpersist(blocking = false)
+          graphFold(k, keepThreshold, dedupEdges = true)(sym))
+        // the edge append above executed every read of the PRE-batch
+        // band/vec state (the lazy cross-probe); the remaining two
+        // appends touch disjoint state and overlap (runParallel —
+        // the p19 trigger treatment), as do the three compactions
+        runParallel(Seq(
+          () => vecsSt.append(id, newVecs),
+          () => bands.append(id, newBands)))
+        runParallel(Seq(
+          () => graphSt.maybeCompact(id),
+          () => vecsSt.maybeCompact(id),
+          () => bands.maybeCompact(id, compactEvery)))
         bandedV.unpersist(blocking = false)
         }
         } finally raw.unpersist(blocking = false)
@@ -1318,13 +1318,17 @@ object Streams {
           .select(col("a_id"), col("b_id"))
           .distinct()
         // pairs part FIRST (executes the lazy cross-probe against the
-        // pre-batch band table), then vecs, then bands
+        // pre-batch band table); the remaining two appends touch
+        // disjoint state and overlap, as do the compactions
+        // (runParallel — the p19 trigger treatment)
         pairsSt.append(id, survivors)
-        vecsSt.append(id, newVecs)
-        bands.append(id, newBands)
-        pairsSt.maybeCompact(id)
-        vecsSt.maybeCompact(id)
-        bands.maybeCompact(id, compactEvery)
+        runParallel(Seq(
+          () => vecsSt.append(id, newVecs),
+          () => bands.append(id, newBands)))
+        runParallel(Seq(
+          () => pairsSt.maybeCompact(id),
+          () => vecsSt.maybeCompact(id),
+          () => bands.maybeCompact(id, compactEvery)))
         bandedV.unpersist(blocking = false)
         }
         } finally raw.unpersist(blocking = false)

@@ -234,6 +234,38 @@ class CliSpec extends SparkSuite {
       spark.sql(s"DROP TABLE IF EXISTS ${graft.registry.Registry.FtsTable}")
   }
 
+  test("publish materializes the derived views and the FTS index") {
+    var msgs = List.empty[String]
+    try {
+      val rows = Cli.run(spark, dataRoot, Seq("publish"), msgs ::= _)
+        .get.collect()
+      assert(msgs.exists(_.startsWith("publish complete")))
+      val counts = rows.map(r =>
+        r.getAs[String]("artifact") -> r.getAs[Long]("n_rows")).toMap
+      // every artifact of the reference's publish stage is reported
+      assert(counts.keySet == Set("aircraft_decoded", "owners_clean",
+        "owners_summary", graft.registry.Registry.FtsTable))
+      // the written views hold the lazy views' exact row counts, and
+      // the parquet really landed beside the base tables
+      val reg = new graft.registry.Registry(
+        spark, s"$dataRoot/publish", _ => ())
+      for ((n, df) <- Seq("aircraft_decoded" -> reg.aircraftDecoded,
+          "owners_clean" -> reg.ownersClean,
+          "owners_summary" -> reg.ownersSummary)) {
+        assert(Files.exists(
+          Paths.get(s"$dataRoot/publish/views/$n.parquet")), n)
+        val written = spark.read
+          .parquet(s"$dataRoot/publish/views/$n.parquet")
+        assert(counts(n) == df.count(), n)
+        assert(written.columns.toSeq == df.columns.toSeq, n)
+      }
+      // the FTS layout is live: the probe answers from the table
+      assert(Cli.run(spark, dataRoot,
+        Seq("fts", "POLICE", "ANGELES"), _ => ()).get.count() == 1)
+    } finally
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.registry.Registry.FtsTable}")
+  }
+
   test("fts --ranked orders by tf-idf relevance, keeps AND semantics") {
     val root = Files.createTempDirectory("graft_cli_rank").toString
     val zip = s"$root/snapshot.zip"
