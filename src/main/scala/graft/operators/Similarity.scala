@@ -919,15 +919,18 @@ object Similarity {
       vecCol: String,
       k: Int,
       numSub: Int = 8,
-      codebookK: Int = 32,
+      // cb=64/candMult=64 is the round-13 MEASURED production
+      // default — the round-12 sweep's own frontier (recall@5 0.961
+      // at LOWER cost than the 0.861 cb=32/cm=32 pick: finer books
+      // shrink the re-rank's wasted candidates, and the ADC table is
+      // still only numSub×64 doubles per broadcast query row) —
+      // R12RecallSweep table in BENCH_FULL.md; the >= 0.9 floor is
+      // spec-pinned. Memory: codebooks are numSub×codebookK×subDim
+      // doubles (4 KB here) broadcast once — no scale concern.
+      codebookK: Int = 64,
       sampleN: Int = 4096,
       trainIters: Int = 10,
-      // candMult=32 is the round-12 MEASURED production default:
-      // recall@5 0.861 on the adversarial low-sim corpus vs 0.733 at
-      // 16, for indistinguishable cost (the ADC scan dominates, the
-      // re-rank set is still tiny) — R12RecallSweep table in
-      // BENCH_FULL.md; the >= 0.85 floor is spec-pinned
-      candMult: Int = 32,
+      candMult: Int = 64,
       seed: Long = 42L): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
@@ -1052,12 +1055,18 @@ object Similarity {
       vecCol: String,
       k: Int,
       numCells: Int = 10,
-      // nprobe=8 of 10 cells with 64-code residual books is the
-      // round-12 MEASURED production default: recall@5 0.867 on the
-      // adversarial low-sim corpus (0.678 at the old nprobe=5/32) —
-      // R12RecallSweep table in BENCH_FULL.md; >= 0.85 spec-pinned.
-      // Production tuning trades nprobe/numCells at fixed recall.
-      nprobe: Int = 8,
+      // nprobe=10 of 10 cells with 64-code residual books is the
+      // round-13 MEASURED production default — the round-12 sweep's
+      // own frontier (recall@5 0.928 at LOWER cost than nprobe=8's
+      // 0.867: fewer re-rank misses outweigh the extra cell scans at
+      // this cell count) — R12RecallSweep table in BENCH_FULL.md;
+      // >= 0.9 spec-pinned. At this DEFAULT cell count a full probe
+      // degenerates IVF's coarse prune into per-cell-codebook PQ,
+      // which is exactly what the measurement says to do at 10
+      // cells; production tuning at real scale grows numCells with
+      // the corpus (~sqrt(n)) and keeps nprobe a FRACTION of it —
+      // the prune starts paying once cells outnumber probes.
+      nprobe: Int = 10,
       numSub: Int = 8,
       codebookK: Int = 64,
       sampleN: Int = 4096,

@@ -285,11 +285,14 @@ class SimilaritySpec extends SparkSuite {
     assert(run1 == run2, "IVF-PQ result not deterministic across runs")
   }
 
-  test("tuned production configs hold recall >= 0.85 on the sf0.1 " +
-      "corpus (round-12 pin; R12RecallSweep table in BENCH_FULL.md)") {
-    // the documented >= 0.85 configs, pinned on the corpus the sweep
-    // measured: 2000 adversarial low-sim vectors, 36 hash-sampled
-    // queries, exact truth
+  test("tuned production configs hold recall >= 0.9 on the sf0.1 " +
+      "corpus (round-13 pin; R12RecallSweep table in BENCH_FULL.md)") {
+    // the documented >= 0.9 configs — the round-12 sweep's own
+    // frontier rows (pq cb=64/candMult=64 measured 0.961; ivfpq
+    // nprobe=10/cb=64 measured 0.928), adopted as defaults in
+    // round 13 — pinned on the corpus the sweep measured: 2000
+    // adversarial low-sim vectors, 36 hash-sampled queries, exact
+    // truth
     val emb01 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
     val qs = graft.operators.Sampling.hashSample(emb01, "vec_id", 0.02,
       seed = 7L)
@@ -304,12 +307,12 @@ class SimilaritySpec extends SparkSuite {
     val pq = recallOf(
       Similarity.pqKnn(emb01, qs, "vec_id", "embedding", 5))
     info(s"sf0.1 PQ recall@5 (tuned defaults) = $pq")
-    assert(pq >= 0.85, s"tuned PQ config under the pin: $pq")
+    assert(pq >= 0.9, s"tuned PQ config under the pin: $pq")
     val ivfpq = recallOf(
       Similarity.ivfPqKnn(emb01, qs, "vec_id", "embedding", 5,
         numCells = 10))
     info(s"sf0.1 IVF-PQ recall@5 (tuned defaults) = $ivfpq")
-    assert(ivfpq >= 0.85, s"tuned IVF-PQ config under the pin: $ivfpq")
+    assert(ivfpq >= 0.9, s"tuned IVF-PQ config under the pin: $ivfpq")
   }
 
   test("quantizedKnn: exact-rescored int8 path equals brute force") {
