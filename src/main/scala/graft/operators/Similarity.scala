@@ -105,6 +105,21 @@ object Similarity {
         .toAggregateExpression())
   }
 
+  /** Re-rank candidate budget for the quantized ANN paths: k·candMult
+    * with a corpus-proportional floor of n/16 (capped at 2¹⁶). The
+    * FRESH-corpus sweep (round 13, non-replicated 20k vectors) showed
+    * a fixed budget starving recall as the corpus grows — quantization
+    * "confusers" that outscore a true neighbor accumulate ∝ n at
+    * fixed codebook bits, so the re-rank set must grow with n: pq
+    * cb=64 measured cm=64 → 0.809 but n/16 (≈ cm=256 here) → 0.958
+    * at FLAT wall (the ADC scan dominates; re-ranking 6% of the
+    * corpus exactly is cheap). The cap keeps the floor from eating
+    * the probe at 10⁸⁺ rows — past it, raise codebook bits instead
+    * (cb=128/cm=256 measured 0.986): error per candidate, not
+    * candidate count, is the scalable lever. */
+  private def rerankBudget(k: Int, candMult: Int, n: Long): Int =
+    math.max(k * candMult, math.min(n / 16, 1L << 16).toInt)
+
   /** Retention prune (rank ≤ k OR score > threshold) as ONE
     * bounded-state aggregate ([[graft.plans.ThresholdTopKPairs]]) —
     * the single-pass replacement for filter ∪ degree-join ∪ top-k
@@ -935,6 +950,7 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
     val subDim = dim / numSub
+    val corpusN = corpus.count() // parquet footer count; sizes the re-rank
     val sample = corpus
       .select(col(idCol).as("__id"),
         transform(col(vecCol), _.cast("double")).as("__v"))
@@ -1011,7 +1027,8 @@ object Similarity {
     val cands = encoded.join(broadcast(qtabs), col("cand_id") =!= col("q_id"))
       .select(col("q_id"), approx.as("asim"), col("cand_id"))
       .groupBy("q_id")
-      .agg(topKAgg(col("asim"), col("cand_id"), k * candMult).as("top"))
+      .agg(topKAgg(col("asim"), col("cand_id"),
+        rerankBudget(k, candMult, corpusN)).as("top"))
       .select(col("q_id"), explode(col("top")).as("c"))
       .select(col("q_id"), col("c.id").as("cand_id"))
 
@@ -1077,6 +1094,7 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
     val subDim = dim / numSub
+    val corpusN = corpus.count() // parquet footer count; sizes the re-rank
     // (No up-front corpus spread here, unlike pqKnn: kmeansCells
     // re-executes its input per Lloyd iteration, so a repartition
     // would be re-paid coarseIters times — measured NET-NEGATIVE,
@@ -1209,7 +1227,8 @@ object Similarity {
       .filter(col("cand_id") =!= col("q_id"))
       .select(col("q_id"), approx.as("asim"), col("cand_id"))
       .groupBy("q_id")
-      .agg(topKAgg(col("asim"), col("cand_id"), k * candMult).as("top"))
+      .agg(topKAgg(col("asim"), col("cand_id"),
+        rerankBudget(k, candMult, corpusN)).as("top"))
       .select(col("q_id"), explode(col("top")).as("c"))
       .select(col("q_id"), col("c.id").as("cand_id"))
     cands
