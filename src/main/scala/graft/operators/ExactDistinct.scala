@@ -111,7 +111,7 @@ object ExactDistinct {
     * pushed-but-unguaranteed parquet filter — would be silently
     * dropped). Anything unexpected → None → callers run the general
     * plan. */
-  private[operators] def bareColumnarScan(proj: DataFrame)
+  private[graft] def bareColumnarScan(proj: DataFrame)
       : Option[org.apache.spark.sql.execution.FileSourceScanExec] = {
     import org.apache.spark.sql.execution._
     def benign(p: SparkPlan): Boolean = p match {
