@@ -8,6 +8,20 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
+/** The ONE total order every pair buffer retains and emits by:
+  * >0 iff (s1,i1) is WORSE than (s2,i2) — lower score, ties broken
+  * by larger id. Double.compare's total order puts NaN above every
+  * value (a NaN cosine ranks best, matching Spark's DESC sort) and
+  * orders -0.0 below 0.0 strictly, so ±0.0-scored entries sort
+  * identically in the heap, the threshold buffer, and the windowed
+  * row_number form. */
+private[plans] object PairOrder {
+  @inline def cmp(s1: Double, i1: Long, s2: Double, i2: Long): Int = {
+    val c = java.lang.Double.compare(s2, s1) // lower score = worse
+    if (c != 0) c else java.lang.Long.compare(i1, i2) // larger id = worse
+  }
+}
+
 /** Bounded top-k buffer: a size-capped binary heap over (score, id)
   * pairs where "worst" = lowest score, ties broken by larger id (so
   * the kept set matches `ORDER BY score DESC, id ASC LIMIT k`).
@@ -31,17 +45,16 @@ import org.apache.spark.sql.types._
   * like a fresh entry. The membership scan is O(k) per add — free at
   * the k this engine uses (≤ tens). */
 final class TopKBuffer(val k: Int, val dedupIds: Boolean = false) {
-  private val scores = new Array[Double](math.max(k, 0))
-  private val ids = new Array[Long](math.max(k, 0))
+  // arrays grow geometrically up to k: sparse groups (e.g. the ANN
+  // candidate aggregation after the rerankBudget floor raised k to
+  // n/16, capped 2^16) should not pay a ~1 MB eager allocation per
+  // group buffer when they only ever see a handful of rows
+  private var scores = new Array[Double](math.min(math.max(k, 0), 16))
+  private var ids = new Array[Long](scores.length)
   private var n = 0
 
-  /** >0 iff (s1,i1) is WORSE than (s2,i2): lower score, ties broken
-    * by larger id. Double.compare's total order puts NaN above every
-    * value, matching Spark's DESC sort (a NaN cosine ranks best). */
-  private def cmp(s1: Double, i1: Long, s2: Double, i2: Long): Int = {
-    val c = java.lang.Double.compare(s2, s1) // lower score = worse
-    if (c != 0) c else java.lang.Long.compare(i1, i2) // larger id = worse
-  }
+  @inline private def cmp(s1: Double, i1: Long, s2: Double, i2: Long): Int =
+    PairOrder.cmp(s1, i1, s2, i2)
 
   // max-heap on "worseness": the root is the worst kept entry
   private def siftUp(i0: Int): Unit = {
@@ -89,6 +102,11 @@ final class TopKBuffer(val k: Int, val dedupIds: Boolean = false) {
       }
     }
     if (n < k) {
+      if (n == scores.length) {
+        val newCap = math.min(k, math.max(n * 2, 16))
+        scores = java.util.Arrays.copyOf(scores, newCap)
+        ids = java.util.Arrays.copyOf(ids, newCap)
+      }
       scores(n) = score; ids(n) = id; n += 1
       siftUp(n - 1)
     } else if (cmp(scores(0), ids(0), score, id) > 0) {
@@ -216,12 +234,21 @@ case class TopKPairs(
 }
 
 /** Buffer for the RETENTION prune (keep rank ≤ k OR score > t): all
-  * above-threshold entries (dedup'd by id when `dedupIds`) plus a
-  * k-bounded below-threshold heap, in ONE pass over the scored
-  * stream. The two sides partition cleanly because a given (group,
-  * id) pair always arrives with the SAME score (our LSH duplicates
-  * are bit-equal), and a NaN score joins neither side — exactly the
-  * two-filter form it replaces (`> t` and `<= t` both reject NaN).
+  * above-threshold entries plus a k-bounded below-threshold heap, in
+  * ONE pass over the scored stream. A NaN score joins neither side —
+  * exactly the two-filter form it replaces (`> t` and `<= t` both
+  * reject NaN).
+  *
+  * `dedupIds = true` is id-unique ACROSS the threshold, best score
+  * wins — matching TopKBuffer's dedup semantics so a general caller
+  * of `Similarity.thresholdTopKAgg` gets top-k-over-distinct-ids
+  * behavior, not just the LSH folds' bit-equal-duplicate case: a
+  * repeat above-side arrival keeps the better score (not the
+  * first-seen), and an id held above never also surfaces from the
+  * below heap (above scores strictly outrank below scores, so
+  * above always wins the cross-threshold tie; the below side is
+  * filtered at [[result]]/[[held]] rather than eagerly evicted —
+  * the heap is k-bounded, so the deferred filter is O(k)).
   *
   * Keeping the full k below-threshold entries (rather than k − |above|)
   * is what makes this a merge monoid: |above| only grows across
@@ -234,13 +261,19 @@ final class ThresholdTopKBuffer(
   private var aIds = new Array[Long](8)
   private[plans] var an = 0
   private val seen =
-    if (dedupIds) new graft.operators.LongOpenSet() else null
+    if (dedupIds) new graft.operators.LongIntOpenMap() else null
 
   def add(score: Double, id: Long): Unit = {
     if (score > t) {
       if (dedupIds) {
-        if (seen.contains(id)) return // bit-equal duplicate
-        seen.add(id)
+        val at = seen.getOrNeg(id)
+        if (at >= 0) {
+          // repeat arrival: best score wins (same rule as TopKBuffer)
+          if (PairOrder.cmp(aScores(at), aIds(at), score, id) > 0)
+            aScores(at) = score
+          return
+        }
+        seen.put(id, an)
       }
       if (an == aScores.length) {
         aScores = java.util.Arrays.copyOf(aScores, an * 2)
@@ -257,23 +290,28 @@ final class ThresholdTopKBuffer(
     below.addAll(other.below)
   }
 
+  // below entries whose id is also held above are shadowed (above
+  // always scores better); the heap is k-bounded so this is O(k)
+  private def belowSurvivors: Array[(Double, Long)] =
+    if (seen == null) below.sortedDesc
+    else below.sortedDesc.filter(e => !seen.contains(e._2))
+
   /** Retained rows, globally sorted best→worst: every above entry
-    * (they all outrank every below entry), then the below heap's
-    * best k − |above|. */
+    * (they all outrank every below entry), then the surviving below
+    * heap's best k − |above|. */
   def result: Array[(Double, Long)] = {
     val above = Array.tabulate(an)(i => (aScores(i), aIds(i)))
     scala.util.Sorting.stableSort(above,
       (a: (Double, Long), b: (Double, Long)) =>
-        java.lang.Double.compare(b._1, a._1) < 0 ||
-          (a._1 == b._1 && a._2 < b._2))
-    above ++ below.sortedDesc.take(math.max(0, k - an))
+        PairOrder.cmp(a._1, a._2, b._1, b._2) < 0)
+    above ++ belowSurvivors.take(math.max(0, k - an))
   }
 
-  /** Everything the buffer holds (above + FULL below heap) — the
-    * serialization payload; replaying through [[add]] reconstructs
-    * the state including the dedup set. */
+  /** Everything the buffer holds (above + surviving below heap) —
+    * the serialization payload; replaying through [[add]]
+    * reconstructs the state including the dedup map. */
   private[plans] def held: Array[(Double, Long)] =
-    Array.tabulate(an)(i => (aScores(i), aIds(i))) ++ below.sortedDesc
+    Array.tabulate(an)(i => (aScores(i), aIds(i))) ++ belowSurvivors
 }
 
 /** The retention prune (rank ≤ k OR score > threshold) as ONE

@@ -58,6 +58,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * each full snapshot (pipelines/publish.py); this is the
   * ingest-incremental replacement for that rebuild at a scale where
   * rebuilding is not an option.
+  *
+  * ==Reader freshness contract==
+  * An instance caches the pointer, part listing, and manifest after
+  * first read and maintains them through its OWN `append`/
+  * `maybeCompact` calls (see the cache comment below). Two usage
+  * shapes are therefore supported: (1) the single writer — the
+  * foreachBatch fold that owns the store; (2) a freshly constructed
+  * reader, which sees the store as of its construction. A LONG-LIVED
+  * second instance on the same root does NOT observe another
+  * instance's later writes — a detached reader held across foreign
+  * appends/compactions must call [[refresh]] (or construct anew) to
+  * re-read the control state. Every in-repo caller is shape (1) or
+  * (2).
   */
 final class LsmState(
     spark: SparkSession,
@@ -93,6 +106,16 @@ final class LsmState(
   private[this] var ptrCache: Option[Option[String]] = None
   private[this] var partsCache: Option[Vector[String]] = None
   private[this] var foldedCache: Option[(Option[String], Set[String])] = None
+
+  /** Drop the cached control state so the next read re-lists the
+    * store — for a detached long-lived reader that must observe
+    * ANOTHER instance's appends/compactions (see the class doc's
+    * freshness contract; the owning fold never needs this). */
+  def refresh(): Unit = synchronized {
+    ptrCache = None
+    partsCache = None
+    foldedCache = None
+  }
 
   def readPtr(): Option[String] = synchronized {
     ptrCache match {

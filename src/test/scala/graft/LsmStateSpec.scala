@@ -68,6 +68,24 @@ class LsmStateSpec extends SparkSuite {
     assert(st.view(except = Some(9L)).get.count() == 2L)
   }
 
+  test("refresh() lets a detached reader observe a foreign writer's appends") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lsm_refresh").toString
+    val writer = new LsmState(spark, root, identity, compactEvery = 2)
+    writer.append(0, Seq((1L, "a")).toDF("id", "v"))
+    val reader = new LsmState(spark, root, identity, compactEvery = 2)
+    assert(reader.result().count() == 1L)
+    // the reader's control state is cached as of first read: a
+    // foreign append is invisible until refresh()
+    writer.append(1, Seq((2L, "b")).toDF("id", "v"))
+    assert(reader.result().count() == 1L,
+      "detached reader must be stable-as-of-first-read before refresh")
+    reader.refresh()
+    assert(reader.result().count() == 2L,
+      "refresh must re-read pointer, parts, and manifest")
+  }
+
   test("re-appending a batch id overwrites, never duplicates (replay contract)") {
     import spark.implicits._
     val root = java.nio.file.Files

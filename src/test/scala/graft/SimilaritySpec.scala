@@ -125,6 +125,56 @@ class SimilaritySpec extends SparkSuite {
     p2.add(0.9, 20); p2.add(0.85, 22)
     p1.addAll(p2)
     assert(p1.sortedDesc.toSeq == Seq((0.9, 20L), (0.85, 22L)))
+    // a large-k buffer that sees few rows must not need k slots up
+    // front (geometric growth) and must still match sort-take-k
+    val sparse = new graft.plans.TopKBuffer(1 << 16)
+    (1L to 40L).foreach(i => sparse.add(i * 0.01, i))
+    assert(sparse.sortedDesc.toSeq ==
+      (1L to 40L).reverse.map(i => (i * 0.01, i)))
+  }
+
+  test("ThresholdTopKBuffer dedupIds is id-unique across the threshold, best wins") {
+    def buf() = new graft.plans.ThresholdTopKBuffer(2, 0.5, dedupIds = true)
+    // same id above twice at DIFFERENT scores: best wins, one entry
+    val b1 = buf()
+    b1.add(0.6, 10); b1.add(0.9, 10); b1.add(0.7, 11)
+    assert(b1.result.toSeq == Seq((0.9, 10L), (0.7, 11L)))
+    // same id on BOTH sides: the above entry shadows the below one,
+    // and the freed below rank goes to the next-best distinct id
+    val b2 = buf()
+    b2.add(0.9, 20); b2.add(0.3, 20); b2.add(0.2, 21); b2.add(0.1, 22)
+    assert(b2.result.toSeq == Seq((0.9, 20L), (0.2, 21L)),
+      "an id held above must not also surface from the below heap")
+    // below-then-above arrival order: same outcome
+    val b3 = buf()
+    b3.add(0.3, 30); b3.add(0.9, 30); b3.add(0.2, 31)
+    assert(b3.result.toSeq == Seq((0.9, 30L), (0.2, 31L)))
+    // survives the aggregate's serialize/deserialize round trip
+    val agg = graft.plans.ThresholdTopKPairs(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      2, 0.5, dedupIds = true)
+    assert(agg.deserialize(agg.serialize(b2)).result.toSeq ==
+      b2.result.toSeq)
+    // merge path: partials holding the same id above at different
+    // scores converge to the best
+    val m1 = buf(); val m2 = buf()
+    m1.add(0.6, 40); m2.add(0.8, 40); m2.add(0.55, 41)
+    m1.merge(m2)
+    assert(m1.result.toSeq == Seq((0.8, 40L), (0.55, 41L)))
+  }
+
+  test("ThresholdTopKBuffer orders ±0.0 by the shared pair order") {
+    // threshold below -0.0 so both signed zeros land above: the sort
+    // must be the strict shared order (score DESC via Double.compare,
+    // id ASC), not an ad-hoc ==-tie comparator — 0.0 outranks -0.0
+    // regardless of id or arrival order
+    val b = new graft.plans.ThresholdTopKBuffer(4, -1.0, dedupIds = false)
+    b.add(-0.0, 2); b.add(0.0, 1); b.add(-0.0, 1); b.add(0.0, 2)
+    assert(b.result.map(p =>
+      (if (java.lang.Double.doubleToRawLongBits(p._1) == 0L) "+0" else "-0",
+        p._2)).toSeq ==
+      Seq(("+0", 1L), ("+0", 2L), ("-0", 1L), ("-0", 2L)))
   }
 
   test("bucket-local knn graph equals the candidate-join oracle at any cap") {
