@@ -250,8 +250,8 @@ object SparkEntry {
   private val metaSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]
 
-  private def q16(s: SparkSession, dir: String): DataFrame = {
-    val meta = metaSessions.computeIfAbsent(s, { parent =>
+  private[graft] def metaSession(s: SparkSession): SparkSession =
+    metaSessions.computeIfAbsent(s, { parent =>
       val m = parent.newSession()
       m.conf.set("spark.sql.sources.useV1SourceList", "")
       m.conf.set("spark.sql.parquet.aggregatePushdown", "true")
@@ -261,11 +261,62 @@ object SparkEntry {
       m.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       m
     })
-    Tables.names.map { n =>
-      meta.read.parquet(s"$dir/$n.parquet")
-        .agg(count(lit(1)).as("n_rows"))
-        .select(lit(n).as("table_name"), col("n_rows"))
-    }.reduce(_ unionAll _).orderBy("table_name")
+
+  /** The one-table footer count — a DSv2 BatchScan whose COUNT(*) is
+    * answered from parquet footer statistics (PushedAggregation),
+    * never a data scan. Plan-pinned in PushdownSpec. */
+  private[graft] def footerCountFrame(
+      meta: SparkSession, path: String): DataFrame =
+    meta.read.parquet(path).agg(count(lit(1)).as("n_rows"))
+
+  /** Snapshot fingerprint of a table path: the (name, length, mtime)
+    * triple of every data file under it, hashed. A rewrite changes
+    * part-file names (job UUIDs) and lengths, an append adds names —
+    * any content change moves the fingerprint. Cost is ONE filesystem
+    * LIST per table per status call: metadata-only, vs re-planning a
+    * footer-count query (~80 ms of DSv2 planning per table at every
+    * scale — the q16 floor this cache removes). */
+  private[graft] def snapshotFingerprint(
+      s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    val entries =
+      if (st.isDirectory)
+        fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      else Array(st)
+    entries.map(e =>
+        s"${e.getPath.getName}:${e.getLen}:${e.getModificationTime}")
+      .sorted.mkString("|").hashCode.toString + ":" + entries.length
+  }
+
+  // path → (snapshot fingerprint, row count). Status calls re-pay
+  // only the LIST; the footer-count query (and its per-table DSv2
+  // planning constant) runs once per snapshot version.
+  private val footerCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]
+
+  /** Footer row count of `path`, cached against its snapshot
+    * fingerprint — a changed file set recounts, an unchanged one is
+    * a pure metadata read. */
+  private[graft] def cachedFooterCount(
+      s: SparkSession, path: String): Long = {
+    val fp = snapshotFingerprint(s, path)
+    val hit = footerCountCache.get(path)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val c = footerCountFrame(metaSession(s), path).head().getLong(0)
+      footerCountCache.put(path, (fp, c))
+      c
+    }
+  }
+
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.names.map { n =>
+      (n, cachedFooterCount(s, s"$dir/$n.parquet"))
+    }
+    import s.implicits._
+    counts.toDF("table_name", "n_rows").orderBy("table_name")
   }
 
   // ---------------------------------------------------------------
@@ -1760,9 +1811,15 @@ object SparkEntry {
     // the OOV char-fallback and in-word prefix munch paths are
     // EXERCISED here (a corpus-covering vocab would report all-zero
     // unk and reduce the encode to word segmentation); production
-    // passes a real trained-vocab size
+    // passes a real trained-vocab size.
+    // ROUND 14: the vocab is MERGE-trained ([[operators.Subword
+    // .trainBpeVocab]], 32 BPE merges over the corpus word-frequency
+    // table, piece inventory capped at 24) — the audit now measures
+    // subword fragmentation under a real merge inventory (in-word
+    // multi-piece splits), not just whole-word coverage, while the
+    // small cap keeps the prefix-munch and OOV paths live
     operators.Subword.fertilityAudit(
-      docs, operators.Subword.deriveVocab(docs, size = 16))
+      docs, operators.Subword.trainBpeVocab(docs, merges = 32, size = 24))
   }
 
   /** t31: markup strip — the boilerplate-removal pass of web-corpus

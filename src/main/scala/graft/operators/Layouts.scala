@@ -50,6 +50,7 @@ object Layouts {
       props: Map[String, String] = Map.empty): Unit = {
     require(bucketCols.nonEmpty, "a layout needs at least one bucket column")
     val spark = df.sparkSession
+    ensureWritable(spark, table)
     val sorts = if (sortCols.nonEmpty) sortCols else bucketCols
     df.write.bucketBy(numBuckets, bucketCols.head, bucketCols.drop(1): _*)
       .sortBy(sorts.head, sorts.drop(1): _*)
@@ -79,20 +80,7 @@ object Layouts {
     // the manifest is O(#layouts) — driver-bounded by construction, so
     // collect-merge-rewrite is the honest implementation (an append-only
     // log would need compaction; a merge join is overkill for tens of rows)
-    // a fresh session's catalog won't know the table even when a prior
-    // session left its warehouse directory behind; saveAsTable would
-    // then refuse with LOCATION_ALREADY_EXISTS — clear the stale dir
-    if (!spark.catalog.tableExists(ManifestTable)) {
-      val warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir").stripPrefix("file:")
-      val stale = java.nio.file.Paths.get(warehouse, ManifestTable)
-      if (java.nio.file.Files.isDirectory(stale)) {
-        val files = java.nio.file.Files.walk(stale)
-        try files.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-        finally files.close()
-      }
-    }
+    ensureWritable(spark, ManifestTable)
     val merged =
       if (spark.catalog.tableExists(ManifestTable)) {
         val prior = spark.table(ManifestTable)
@@ -104,6 +92,26 @@ object Layouts {
       } else row
     merged.coalesce(1).write.mode("overwrite").saveAsTable(ManifestTable)
   }
+
+  /** Make `table` safely writable by saveAsTable: a fresh session's
+    * catalog won't know a table even when a prior session left its
+    * warehouse directory behind, and saveAsTable then refuses with
+    * LOCATION_ALREADY_EXISTS — clear the orphaned dir. A table the
+    * CURRENT catalog knows is left alone (mode("overwrite") handles
+    * it). Layout writers with bespoke sibling tables (IVF centroids,
+    * PQ books) go through this too. */
+  def ensureWritable(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir").stripPrefix("file:")
+      val stale = java.nio.file.Paths.get(warehouse, table)
+      if (java.nio.file.Files.isDirectory(stale)) {
+        val files = java.nio.file.Files.walk(stale)
+        try files.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally files.close()
+      }
+    }
 
   /** The manifest as a DataFrame (empty with the right schema when no
     * layout has been published yet). */

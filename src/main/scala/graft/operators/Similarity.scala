@@ -124,7 +124,11 @@ object Similarity {
     * bounded-state aggregate ([[graft.plans.ThresholdTopKPairs]]) —
     * the single-pass replacement for filter ∪ degree-join ∪ top-k
     * over a persisted candidate stream (see graphFold's threshold
-    * path). */
+    * path). With `dedupIds = true` the output is id-unique across
+    * BOTH sides of the threshold, best score wins — same semantics
+    * as [[topKAgg]]'s dedup, so general callers whose candidate
+    * streams carry an id at differing scores (not just the LSH
+    * folds' bit-equal duplicates) get top-k-over-distinct-ids. */
   def thresholdTopKAgg(score: Column, id: Column, k: Int,
       threshold: Double, dedupIds: Boolean = false): Column = {
     import org.apache.spark.sql.GraftBridge
@@ -477,6 +481,7 @@ object Similarity {
         "planesPerTable" -> planesPerTable.toString,
         "dim" -> dim.toString, "seed" -> seed.toString,
         "vecs_table" -> s"${table}_vecs"))
+    Layouts.ensureWritable(corpus.sparkSession, s"${table}_vecs")
     corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .write.mode("overwrite").saveAsTable(s"${table}_vecs")
   }
@@ -1283,9 +1288,275 @@ object Similarity {
       props = Map("numCells" -> numCells.toString,
         "maxIter" -> maxIter.toString, "seed" -> seed.toString,
         "centroids_table" -> s"${table}_centroids"))
+    Layouts.ensureWritable(spark, s"${table}_centroids")
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .write.mode("overwrite").saveAsTable(s"${table}_centroids")
+  }
+
+  /** Write-once IVF-PQ index layout — the publish-time home for the
+    * √n-cells geometry that is unaffordable per query (the round-13
+    * measurement: training 141 cells inline cost 90 s at 20k rows;
+    * a layout pays it once). Three tables through the [[Layouts]]
+    * door:
+    *
+    *   - `table` — the code table: (cell, vec_id, embedding,
+    *     __cnorm, __c0..__c{numSub-1}), bucketed+sorted by cell so a
+    *     probe's `cell IN (probed)` scan is bucket-pruned and the
+    *     ADC pass runs with ZERO index-side exchange;
+    *   - `table_centroids` — the frozen coarse quantizer;
+    *   - `table_books` — the GLOBAL residual codebooks, one row per
+    *     subspace. Global (not per-cell) books are the deliberate
+    *     scale choice, matching FAISS's IndexIVFPQ default: per-cell
+    *     books at √n cells mean O(√n · numSub) driver Lloyd fits and
+    *     a 128·√n-vector driver sample — the exact cost the layout
+    *     exists to remove — while global books train on ONE bounded
+    *     pooled sample regardless of corpus size, make the per-query
+    *     ADC table cell-independent (numSub·codebookK dots per query,
+    *     not per (query, cell)), and the corpus-proportional re-rank
+    *     floor absorbs the residual-coarseness recall cost.
+    *
+    * `numCells = 0` sizes the coarse quantizer at ~√n (floor 16) —
+    * the geometry where the coarse prune starts paying (cells must
+    * outnumber probes). `replicateMargin` (default 0.1 cosine)
+    * controls boundary replication — see the assignment comment
+    * below; R14IvfPqProbe on the 20k fresh corpus measured
+    * nprobe/numCells = 0.25 → recall 0.747 unreplicated vs 0.935 at
+    * margin 0.1 (storage ×2.84 on that worst-case near-uniform
+    * fixture; clusterable corpora replicate less because fewer cells
+    * tie within the margin), probe wall 7.3 s vs the per-query s08
+    * path's 47.9 s — BENCH_FULL.md round-14. At 100 TB: the publish
+    * is one count, one bounded driver k-means, one map-side
+    * assign/encode pass, and one bucketed shuffle; probes thereafter
+    * touch nprobe/numCells of the buckets. */
+  def writeIvfPqLayout(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      numCells: Int = 0,
+      numBuckets: Int = 16,
+      nprobeDefault: Int = 0,
+      numSub: Int = 8,
+      codebookK: Int = 64,
+      sampleN: Int = 4096,
+      trainIters: Int = 10,
+      coarseIters: Int = 5,
+      replicateMargin: Double = 0.1,
+      maxAssign: Int = 4,
+      seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
+    val subDim = dim / numSub
+    val n = corpus.count()
+    val cellsN =
+      if (numCells > 0) numCells
+      else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // frozen coarse quantizer (distributed Lloyd; driver state is
+    // cellsN·dim doubles)
+    val cents = trainCentroids(
+      corpus, idCol, vecCol, cellsN, coarseIters, seed)
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+    // cell assignment, optionally with BOUNDARY REPLICATION (the
+    // SPANN closure idea — Chen et al., "SPANN: Highly-efficient
+    // Billion-scale Approximate Nearest Neighbor Search", NeurIPS'21
+    // §3.2): a vector whose 2nd..Mth cells score within
+    // `replicateMargin` cosine of its best cell is stored in THOSE
+    // cells too (≤ maxAssign copies). A boundary vector is exactly
+    // the one a pruned probe misses — its true cell ranks just past
+    // nprobe — so bounded replication buys coarse recall at
+    // weakly-clusterable corpora for a measured storage factor,
+    // where growing nprobe would pay on every query forever. Probes
+    // dedup candidate ids (best score wins), so replication is
+    // output-invisible. Scored structs materialize in their own
+    // select; the filter/slice lambdas otherwise re-evaluate the
+    // cellsN-cosine array per element.
+    val scoredArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col(vecCol), typedLit(c)).as("sim"),
+        lit(i).as("cell"))
+    }: _*)
+    val assigned =
+      if (replicateMargin <= 0.0) {
+        corpus.select(col(idCol).as("vec_id"),
+          col(vecCol).as("embedding"), nearestCellCol(col(vecCol), cents))
+      } else {
+        corpus
+          .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+            scoredArr.as("__scored"))
+          .select(col("vec_id"), col("embedding"),
+            array_max(col("__scored")).getField("sim").as("__best"),
+            col("__scored"))
+          .select(col("vec_id"), col("embedding"),
+            slice(reverse(array_sort(filter(col("__scored"), s =>
+              s.getField("sim") >= col("__best") - lit(replicateMargin)))),
+              1, maxAssign).as("__kept"))
+          .select(col("vec_id"), col("embedding"),
+            explode(col("__kept")).as("__sc"))
+          .select(col("vec_id"), col("embedding"),
+            col("__sc.cell").as("cell"))
+      }
+    // global residual books on ONE pooled hash-ordered sample:
+    // residual = v − centroid(cell(v)), computed map-side against the
+    // broadcast centroid table
+    val withRes = assigned
+      .join(broadcast(centsDf), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        zip_with(transform(col("embedding"), _.cast("double")),
+          col("centroid"), (a, b) => a - b).as("__res"))
+    val sample = withRes
+      .orderBy(xxhash64(col("vec_id"), lit(seed + 1)), col("vec_id"))
+      .limit(sampleN)
+      .select(col("__res")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= codebookK,
+      s"residual sample ${sample.length} < codebookK $codebookK")
+    val books: Array[Array[Array[Double]]] = (0 until numSub).map { s =>
+      lloydEuclid(sample.map(_.slice(s * subDim, (s + 1) * subDim)),
+        codebookK, trainIters)
+    }.toArray
+    val bookNormSq: Array[Array[Double]] =
+      books.map(_.map(c => c.map(x => x * x).sum))
+    // encode: argmin-L2 residual code per subspace against the
+    // LITERAL global books (codegen transform loop, as in pqKnn) +
+    // the exact vector norm for the approx-cosine denominator
+    val withSubs = withRes.select(
+      (col("cell") +: col("vec_id") +: col("embedding") +:
+        l2norm(transform(col("embedding"), _.cast("double")))
+          .as("__cnorm") +:
+        (0 until numSub).map(s =>
+          slice(col("__res"), s * subDim + 1, subDim).as(s"__s$s"))): _*)
+    val withScores = withSubs.select(
+      (col("cell") +: col("vec_id") +: col("embedding") +:
+        col("__cnorm") +:
+        (0 until numSub).map { s =>
+          val packed = typedLit(books(s).zipWithIndex.map { case (c, j) =>
+            (c.toSeq, bookNormSq(s)(j))
+          }.toSeq)
+          transform(packed, e =>
+            dotNative(col(s"__s$s"), e.getField("_1")) -
+              e.getField("_2") / 2).as(s"__sc$s")
+        }): _*)
+    val encoded = withScores.select(
+      (col("cell") +: col("vec_id") +: col("embedding") +:
+        col("__cnorm") +:
+        (0 until numSub).map { s =>
+          (array_position(col(s"__sc$s"), array_max(col(s"__sc$s"))) - 1)
+            .cast("int").as(s"__c$s")
+        }): _*)
+    Layouts.publish(encoded, table, "ivfpq_codes", Seq("cell"), numBuckets,
+      props = Map(
+        "numCells" -> cellsN.toString, "numSub" -> numSub.toString,
+        "codebookK" -> codebookK.toString, "seed" -> seed.toString,
+        "nprobe_default" -> (if (nprobeDefault > 0) nprobeDefault
+          else math.max(1, cellsN / 4)).toString,
+        "base_rows" -> n.toString,
+        "replicateMargin" -> replicateMargin.toString,
+        "centroids_table" -> s"${table}_centroids",
+        "books_table" -> s"${table}_books"))
+    Layouts.ensureWritable(spark, s"${table}_centroids")
+    Layouts.ensureWritable(spark, s"${table}_books")
+    centsDf.write.mode("overwrite").saveAsTable(s"${table}_centroids")
+    books.zipWithIndex
+      .map { case (b, s) => (s, b.map(_.toSeq).toSeq) }.toSeq
+      .toDF("sub", "book")
+      .write.mode("overwrite").saveAsTable(s"${table}_books")
+  }
+
+  /** Probe a [[writeIvfPqLayout]] index: rank the STORED frozen
+    * centroids per query, `cell IN (top-nprobe)` bucket-prunes the
+    * code-table scan, ADC-score the probed cells' codes against the
+    * query's (cell-independent) dot tables, exact-rerank the
+    * corpus-proportional survivor set from the SAME pruned scan.
+    * No training, no corpus aggregate, no index-side exchange at
+    * query time — the ADC pass joins broadcast query state into the
+    * bucketed scan. `nprobe = 0` uses the published default
+    * (numCells/4). */
+  def ivfPqAnnFromLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 0,
+      candMult: Int = 16): DataFrame = {
+    val man = Layouts.manifest(spark)
+      .filter(col("layout") === table)
+      .select(col("n_rows"), col("props")).head()
+    val corpusN = man.getLong(0)
+    val props = man.getString(1).split(";").map(_.split("=", 2))
+      .collect { case Array(k0, v) => k0 -> v }.toMap
+    val numSub = props("numSub").toInt
+    val np =
+      if (nprobe > 0) nprobe
+      else props.getOrElse("nprobe_default",
+        math.max(1, props("numCells").toInt / 4).toString).toInt
+    // tiny driver reads: the global books (numSub·codebookK·subDim
+    // doubles) become plan literals for the query-side dot tables
+    val books: Map[Int, Seq[Seq[Double]]] =
+      spark.table(s"${table}_books").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Seq[Double]](1)).toMap
+    val dim = queries.select(size(col(vecCol))).head.getInt(0)
+    require(dim % numSub == 0, s"query dim $dim not divisible by $numSub")
+    val subDim = dim / numSub
+    val cents = broadcast(spark.table(s"${table}_centroids"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    // probe rows carry q·centroid (the cell-dependent ADC term) and
+    // the per-subspace dot tables (cell-INdependent — global books)
+    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= np)
+      .select(col("q_id"), col("qv"), col("cell"),
+        dotNative(transform(col("qv"), _.cast("double")), col("centroid"))
+          .as("__qdotc"))
+    val qd = probed.select(
+      (col("q_id") +: col("cell") +: col("__qdotc") +:
+        l2norm(transform(col("qv"), _.cast("double"))).as("__qnorm") +:
+        (0 until numSub).map { s =>
+          transform(typedLit(books(s)), c =>
+            dotNative(slice(transform(col("qv"), _.cast("double")),
+              s * subDim + 1, subDim), c)).as(s"__t$s")
+        }): _*)
+    // literal probe-cell set (bounded by |queries|·nprobe) so the
+    // bucketed scan prunes to the probed buckets; relies on the
+    // session-wide autoBucketedScan=false default (see [[Layouts]])
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = spark.table(table).filter(col("cell").isin(cells: _*))
+    val approx = (col("__qdotc") +
+      (0 until numSub).map(s =>
+        element_at(col(s"__t$s"), col(s"__c$s") + 1)).reduce(_ + _)) /
+      (col("__cnorm") * col("__qnorm"))
+    val cands = pruned.join(broadcast(qd), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), approx.as("asim"), col("vec_id").as("cand_id"))
+      .groupBy("q_id")
+      .agg(topKAgg(col("asim"), col("cand_id"),
+        rerankBudget(k, candMult, corpusN)).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("cand_id"))
+    // exact rerank reads vectors from the SAME pruned bucketed scan —
+    // candidates only exist inside probed cells
+    cands
+      .join(pruned.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv")), Seq("cand_id"))
+      .join(broadcast(
+        queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))),
+        Seq("q_id"))
+      .groupBy("q_id")
+      // dedupIds: a replicated layout (replicateMargin > 0) can
+      // surface the same candidate from several probed cells — the
+      // best-wins id-unique heap makes replication output-invisible
+      .agg(topKAgg(cosine(col("qv"), col("cv")), col("cand_id"), k,
+        dedupIds = true).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cand_id"))
   }
 
   /** Probe a [[writeIvfLayout]] table: queries rank the STORED frozen

@@ -48,6 +48,107 @@ object Subword {
     SubwordVocab(words.toSeq ++ Seq(" ", "\n", "\t"))
   }
 
+  /** BPE merge-trained vocabulary (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL'16 — the
+    * public word-frequency-dictionary trainer): ONE distributed
+    * aggregate collects the top-`maxWords` (word, count) table, then
+    * `merges` rounds of the classic driver loop — count adjacent
+    * symbol pairs weighted by word frequency, merge the most
+    * frequent pair (ties broken lexicographically, so training is
+    * deterministic), rewrite the dictionary — build the subword
+    * inventory. The resulting pieces (single chars + merged symbols,
+    * frequency-capped to `size`) are applied with the SAME greedy
+    * longest-match encode as [[deriveVocab]]'s word vocab — the
+    * WordPiece-style application of a BPE-trained inventory, so the
+    * fertility audit measures subword fragmentation (a real
+    * pipeline's regime), not just whole-word coverage.
+    *
+    * Scale shape: identical to [[deriveVocab]] — one bounded
+    * aggregate (top-maxWords head) is the only distributed work; the
+    * merge loop is O(merges · Σ word lengths) on a ≤ maxWords-row
+    * driver table, milliseconds at any corpus size. */
+  def trainBpeVocab(
+      docs: DataFrame,
+      merges: Int = 64,
+      size: Int = 512,
+      maxWords: Int = 4096): SubwordVocab = {
+    require(size <= SubwordVocab.MaxEntries,
+      s"vocab size $size exceeds the ${SubwordVocab.MaxEntries} bound")
+    val wordRows = docs
+      .select(explode(TextFns.tokensLower(col("text"))).as("w"))
+      .filter(length(col("w")) > 0 &&
+        octet_length(col("w")) <= SubwordVocab.MaxEntryBytes)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // dictionary: word → (symbol sequence, corpus count)
+    var dict: Array[(Array[String], Long)] =
+      wordRows.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    var done = 0
+    while (done < merges) {
+      val pairCounts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      dict.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = merges
+      else {
+        val ((a, b), _) = pairCounts.maxBy { case ((x, y), c) =>
+          (c, x, y) // count, then lexicographic — deterministic
+        }(Ordering.Tuple3(Ordering.Long,
+          Ordering.String.reverse, Ordering.String.reverse))
+        val merged = a + b
+        if (merged.getBytes("UTF-8").length >
+            SubwordVocab.MaxEntryBytes) {
+          done = merges // longest useful piece reached
+        } else {
+          dict = dict.map { case (syms, n) =>
+            if (syms.length < 2) (syms, n)
+            else {
+              val out = new scala.collection.mutable.ArrayBuffer[String](
+                syms.length)
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == a &&
+                    syms(i + 1) == b) {
+                  out += merged; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              (out.toArray, n)
+            }
+          }
+          done += 1
+        }
+      }
+    }
+    // piece inventory by corpus frequency: merged symbols + the
+    // single chars (char fallback keeps rare words encodable rather
+    // than OOV), capped to `size` by (freq desc, piece asc)
+    val pieceCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    dict.foreach { case (syms, n) =>
+      syms.foreach(s =>
+        pieceCounts.update(s, pieceCounts.getOrElse(s, 0L) + n))
+      var i = 0
+      while (i < syms.length) { // char fallbacks, weighted once
+        syms(i).foreach { ch =>
+          val c = ch.toString
+          if (!pieceCounts.contains(c)) pieceCounts.update(c, 0L)
+        }
+        i += 1
+      }
+    }
+    val pieces = pieceCounts.toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(size).map(_._1)
+    SubwordVocab(pieces ++ Seq(" ", "\n", "\t"))
+  }
+
   /** struct(n_tokens, n_unk, n_chars) for one text column under
     * `vocab` — composable encode column for callers that need the
     * raw per-document numbers. */

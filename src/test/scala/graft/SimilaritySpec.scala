@@ -105,6 +105,46 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("written IVF-PQ layout: pruned ADC probe keeps recall, plan stays bucketed") {
+    Similarity.writeIvfPqLayout(emb, "vec_id", "embedding",
+      "graft_ivfpq_spec", numCells = 10, numBuckets = 8,
+      codebookK = 16, coarseIters = 5)
+    try {
+      // manifest row carries the geometry a probe trusts
+      val m = graft.operators.Layouts.manifest(spark)
+        .filter(col("layout") === "graft_ivfpq_spec").collect()
+      assert(m.length == 1, "expected exactly one manifest row")
+      val props = m.head.getAs[String]("props")
+      assert(props.contains("numCells=10") && props.contains("numSub=8")
+        && props.contains("books_table=graft_ivfpq_spec_books"), props)
+      val df = Similarity.ivfPqAnnFromLayout(spark, "graft_ivfpq_spec",
+        queries, "vec_id", "embedding", 5, nprobe = 6)
+      val plan = df.queryExecution.executedPlan.toString
+      // the code-table side is scanned bucketed (pruned to probed
+      // cells) and joined broadcast — no index-side exchange
+      assert(plan.contains("SelectedBucketsCount"),
+        s"expected bucket pruning in:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      val ann = resultSet(df)
+      assert(ann.size == 50 && !ann.exists(p => p._1 == p._2))
+      val recall = (ann intersect brute).size.toDouble / brute.size
+      info(s"IVF-PQ-from-layout recall@5 (nprobe=6/10, cb=16) = $recall")
+      assert(recall >= 0.5, s"layout-probe recall too low: $recall")
+      // determinism: a second probe of the same layout is identical
+      assert(resultSet(Similarity.ivfPqAnnFromLayout(spark,
+        "graft_ivfpq_spec", queries, "vec_id", "embedding", 5,
+        nprobe = 6)) == ann)
+      // the published nprobe default (numCells/4) answers too
+      assert(resultSet(Similarity.ivfPqAnnFromLayout(spark,
+        "graft_ivfpq_spec", queries, "vec_id", "embedding", 5))
+        .size == 50)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_centroids")
+      spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_books")
+    }
+  }
+
   test("TopKBuffer dedupIds keeps at most one (best) entry per id") {
     val b = new graft.plans.TopKBuffer(2, dedupIds = true)
     b.add(0.9, 10); b.add(0.9, 10); b.add(0.8, 11)

@@ -79,6 +79,35 @@ class SubwordSpec extends SparkSuite {
     assert(v.entries.toSet == Set("b", "a", " ", "\n", "\t"))
   }
 
+  test("trainBpeVocab: hand-computed merges, deterministic ties, char fallback") {
+    // corpus words: "abab" x3, "abc" x2 -> pair counts round 1:
+    // (a,b): 2*3 + 1*2 = 8, (b,a): 1*3 = 3, (b,c): 2 -> merge "ab"
+    // round 2: (ab,ab): 3, (ab,c): 2 -> merge "abab"
+    val docs = Seq(
+      (1L, "abab abab abab", "en", "web"),
+      (2L, "abc abc", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val v2 = Subword.trainBpeVocab(docs, merges = 2, size = 8)
+    assert(v2.entries.contains("ab") && v2.entries.contains("abab"),
+      s"expected the two hand-computed merges in ${v2.entries}")
+    // char fallbacks survive the inventory (c appears unmerged; a, b
+    // exist as fallback chars even though every occurrence merged)
+    assert(Seq("a", "b", "c").forall(v2.entries.contains),
+      s"char fallbacks missing from ${v2.entries}")
+    // deterministic: training twice gives the same inventory
+    assert(Subword.trainBpeVocab(docs, merges = 2, size = 8)
+      .entries.toSeq == v2.entries.toSeq)
+    // with one merge only, "abab" is not yet a piece
+    val v1 = Subword.trainBpeVocab(docs, merges = 1, size = 8)
+    assert(v1.entries.contains("ab") && !v1.entries.contains("abab"))
+    // encode under the trained vocab: maximal munch uses the longest
+    // merge ("abab" one token; "abc" = "ab" + "c")
+    val r = v2.encode(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abab abc"))
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 0L)),
+      "expected [abab][ ][ab][c]")
+  }
+
   test("fertilityAudit arithmetic on a hand-computed corpus") {
     val docs = Seq(
       (1L, "the the", "en", "s1"), // the, " ", the -> 3 tok, 7 chars
