@@ -2716,6 +2716,11 @@ object SparkEntry {
     val ev = T(s, dir, "events")
     val signup = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    // cache (lazy): the count/mean aggregate and the exact-percentile
+    // machinery's probe + window passes all read this latency frame —
+    // uncached, the two event scans + join run three times (e21's
+    // cached-frame lesson; the frame is one small row per converted
+    // user)
     val lat = ev.filter(col("event_type") === "purchase")
       .join(signup, Seq("user_id"))
       .filter(col("ts") >= col("t0"))
@@ -2723,6 +2728,7 @@ object SparkEntry {
       .agg(min(col("ts")).as("t1"), min(col("t0")).as("t00"))
       .select((unix_micros(col("t1")) - unix_micros(col("t00")))
         .as("lat_us"))
+      .cache()
     val pq = operators.Percentiles.exact(lat, "lat_us", Seq(0.5, 0.9))
       .select(floor(col("p50")).cast("long").as("p50_lat_us"),
         floor(col("p90")).cast("long").as("p90_lat_us"))
