@@ -4582,9 +4582,15 @@ object SparkEntry {
         |FROM w JOIN c USING (g) GROUP BY w.doc_id
         |ORDER BY doc_id""".stripMargin,
     "d17_substring_rewrite" ->
-      // first occurrence = min (doc_id, pos) struct, both engines
-      // order structs lexicographically; kept token indices are the
-      // ones covered by NO removable window (p <= i < p+8)
+      // first occurrence = min (doc_id, pos), packed into ONE BIGINT
+      // (doc_id·2³² + pos: pos ≤ ~100 « 2³², doc_id ≤ ~9·10⁸, so the
+      // pack fits 2⁶³ and its numeric order IS the lexicographic
+      // struct order). A min(struct) grouped by millions of distinct
+      // grams — the organic cardinality of a NON-replicated corpus —
+      // blows DuckDB's per-group aggregate state past the box (70 GB+
+      // observed at sf1.0f); the packed-key min is a plain BIGINT
+      // aggregate. Kept token indices are the ones covered by NO
+      // removable window (p <= i < p+8).
       """WITH tok AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS tk
         |  FROM documents),
@@ -4594,10 +4600,10 @@ object SparkEntry {
         |      recursive := true)
         |  FROM tok),
         |c AS (SELECT g, count(*)::BIGINT AS cnt,
-        |    min({'d': doc_id, 'p': pos}) AS first FROM w GROUP BY 1),
+        |    min(doc_id * 4294967296 + pos) AS first FROM w GROUP BY 1),
         |rem AS (SELECT doc_id, list(pos) AS rps
         |  FROM w JOIN c USING (g)
-        |  WHERE cnt >= 2 AND NOT (doc_id = first.d AND pos = first.p)
+        |  WHERE cnt >= 2 AND doc_id * 4294967296 + pos <> first
         |  GROUP BY 1),
         |k AS (SELECT t.doc_id, tk,
         |    list_filter(generate_series(1, len(tk)),
