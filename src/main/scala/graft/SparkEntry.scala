@@ -3015,6 +3015,28 @@ object SparkEntry {
   private def p19(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.streamingModelSuite(s, dir)
 
+  /** p20: INCREMENTAL ANN-index maintenance over the PUBLISHED
+    * write-once IVF-PQ layout — p05's assignment fold completed to
+    * the full index: the layout publishes once over the base corpus
+    * (frozen coarse quantizer + global residual books), each
+    * micro-batch of new vectors is assigned + residual-encoded
+    * MAP-SIDE against the frozen quantizers and appended into the
+    * same bucketed code table
+    * ([[graft.operators.Similarity.appendIvfPqLayout]] via
+    * [[graft.streaming.Streams.streamingIvfPqCodes]]), and every
+    * append returns the staleness audit (quantization-error drift vs
+    * the publish baseline, batch cell skew) that tells the owner when
+    * to re-train. O(batch) per trigger, no k-means after publish, no
+    * re-shuffle of history — the 100 TB ingestion path for a served
+    * ANN index. Output is the maintained index's per-cell profile;
+    * frozen books make the encode per-row deterministic, so the code
+    * table equals the batch encode under any chunking (IvfPqAppendSpec
+    * pins replay, drift trigger, and probe-recall preservation).
+    * Rows-only oracle (k-means cells + PQ codes aren't
+    * SQL-expressible). */
+  private def p20(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingIvfPqCodes(s, dir)
+
   /** p13: INCREMENTAL disorder profile — e18's watermark-tuning
     * measurement maintained per micro-batch
     * ([[graft.streaming.Streams.incrementalDisorderProfile]]): each
@@ -3324,6 +3346,7 @@ object SparkEntry {
     "p17_incremental_cluster_dedup" -> (p17 _),
     "p18_incremental_graph_dedup" -> (p18 _),
     "p19_incremental_model_suite" -> (p19 _),
+    "p20_incremental_ann_layout" -> (p20 _),
     "m01_binary_meta" -> (m01 _),
     "m03_chunk_payload" -> (m03 _),
     "m04_modality_mixture" -> (m04 _),

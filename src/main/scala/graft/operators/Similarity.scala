@@ -1360,53 +1360,16 @@ object Similarity {
       corpus, idCol, vecCol, cellsN, coarseIters, seed)
     val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
-    // cell assignment, optionally with BOUNDARY REPLICATION (the
-    // SPANN closure idea — Chen et al., "SPANN: Highly-efficient
-    // Billion-scale Approximate Nearest Neighbor Search", NeurIPS'21
-    // §3.2): a vector whose 2nd..Mth cells score within
-    // `replicateMargin` cosine of its best cell is stored in THOSE
-    // cells too (≤ maxAssign copies). A boundary vector is exactly
-    // the one a pruned probe misses — its true cell ranks just past
-    // nprobe — so bounded replication buys coarse recall at
-    // weakly-clusterable corpora for a measured storage factor,
-    // where growing nprobe would pay on every query forever. Probes
-    // dedup candidate ids (best score wins), so replication is
-    // output-invisible. Scored structs materialize in their own
-    // select; the filter/slice lambdas otherwise re-evaluate the
-    // cellsN-cosine array per element.
-    val scoredArr = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col(vecCol), typedLit(c)).as("sim"),
-        lit(i).as("cell"))
-    }: _*)
-    val assigned =
-      if (replicateMargin <= 0.0) {
-        corpus.select(col(idCol).as("vec_id"),
-          col(vecCol).as("embedding"), nearestCellCol(col(vecCol), cents))
-      } else {
-        corpus
-          .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-            scoredArr.as("__scored"))
-          .select(col("vec_id"), col("embedding"),
-            array_max(col("__scored")).getField("sim").as("__best"),
-            col("__scored"))
-          .select(col("vec_id"), col("embedding"),
-            slice(reverse(array_sort(filter(col("__scored"), s =>
-              s.getField("sim") >= col("__best") - lit(replicateMargin)))),
-              1, maxAssign).as("__kept"))
-          .select(col("vec_id"), col("embedding"),
-            explode(col("__kept")).as("__sc"))
-          .select(col("vec_id"), col("embedding"),
-            col("__sc.cell").as("cell"))
-      }
+    val assigned = assignIvfCells(
+      corpus, idCol, vecCol, cents, replicateMargin, maxAssign)
     // global residual books on ONE pooled hash-ordered sample:
     // residual = v − centroid(cell(v)), computed map-side against the
     // broadcast centroid table
-    val withRes = assigned
+    val sample = assigned
       .join(broadcast(centsDf), Seq("cell"))
-      .select(col("cell"), col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         zip_with(transform(col("embedding"), _.cast("double")),
           col("centroid"), (a, b) => a - b).as("__res"))
-    val sample = withRes
       .orderBy(xxhash64(col("vec_id"), lit(seed + 1)), col("vec_id"))
       .limit(sampleN)
       .select(col("__res")).collect().map(_.getSeq[Double](0).toArray)
@@ -1416,20 +1379,120 @@ object Similarity {
       lloydEuclid(sample.map(_.slice(s * subDim, (s + 1) * subDim)),
         codebookK, trainIters)
     }.toArray
+    val encoded = encodeIvfPqCodes(assigned, centsDf, books, numSub, subDim)
+    val baseProps = Map(
+      "numCells" -> cellsN.toString, "numSub" -> numSub.toString,
+      "codebookK" -> codebookK.toString, "seed" -> seed.toString,
+      "nprobe_default" -> (if (nprobeDefault > 0) nprobeDefault
+        else math.max(1, cellsN / 4)).toString,
+      "base_rows" -> n.toString,
+      "replicateMargin" -> replicateMargin.toString,
+      "maxAssign" -> maxAssign.toString,
+      "centroids_table" -> s"${table}_centroids",
+      "books_table" -> s"${table}_books")
+    Layouts.publish(encoded, table, "ivfpq_codes", Seq("cell"), numBuckets,
+      props = baseProps)
+    Layouts.ensureWritable(spark, s"${table}_centroids")
+    Layouts.ensureWritable(spark, s"${table}_books")
+    centsDf.write.mode("overwrite").saveAsTable(s"${table}_centroids")
+    books.zipWithIndex
+      .map { case (b, s) => (s, b.map(_.toSeq).toSeq) }.toSeq
+      .toDF("sub", "book")
+      .write.mode("overwrite").saveAsTable(s"${table}_books")
+    // publish-time quantization-error baseline for the append path's
+    // staleness audit — read back from the WRITTEN table (one cheap
+    // single-column columnar scan; re-evaluating `encoded` would
+    // re-run the whole encode), then re-record the manifest row with
+    // the baseline attached
+    val written = spark.table(table)
+    val meanErr = written.agg(avg(col("__qerr"))).head.getDouble(0)
+    Layouts.recordManifest(spark, table, "ivfpq_codes", Seq("cell"),
+      numBuckets, written.count(),
+      baseProps + ("mean_code_err" -> f"$meanErr%.8f"))
+  }
+
+  /** Cell assignment against FROZEN coarse centroids, optionally with
+    * BOUNDARY REPLICATION (the SPANN closure idea — Chen et al.,
+    * "SPANN: Highly-efficient Billion-scale Approximate Nearest
+    * Neighbor Search", NeurIPS'21 §3.2): a vector whose 2nd..Mth
+    * cells score within `replicateMargin` cosine of its best cell is
+    * stored in THOSE cells too (≤ maxAssign copies). A boundary
+    * vector is exactly the one a pruned probe misses — its true cell
+    * ranks just past nprobe — so bounded replication buys coarse
+    * recall at weakly-clusterable corpora for a measured storage
+    * factor, where growing nprobe would pay on every query forever.
+    * Probes dedup candidate ids (best score wins), so replication is
+    * output-invisible. Scored structs materialize in their own
+    * select; the filter/slice lambdas otherwise re-evaluate the
+    * cells-cosine array per element. Shared by the publish
+    * ([[writeIvfPqLayout]]) and append ([[appendIvfPqLayout]]) paths
+    * so an appended vector lands in exactly the cells a publish
+    * would have put it in. Returns (vec_id, embedding, cell). */
+  private[graft] def assignIvfCells(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[Seq[Double]],
+      replicateMargin: Double,
+      maxAssign: Int): DataFrame =
+    if (replicateMargin <= 0.0) {
+      corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).as("embedding"), nearestCellCol(col(vecCol), cents))
+    } else {
+      val scoredArr = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(cosine(col(vecCol), typedLit(c)).as("sim"),
+          lit(i).as("cell"))
+      }: _*)
+      corpus
+        .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+          scoredArr.as("__scored"))
+        .select(col("vec_id"), col("embedding"),
+          array_max(col("__scored")).getField("sim").as("__best"),
+          col("__scored"))
+        .select(col("vec_id"), col("embedding"),
+          slice(reverse(array_sort(filter(col("__scored"), s =>
+            s.getField("sim") >= col("__best") - lit(replicateMargin)))),
+            1, maxAssign).as("__kept"))
+        .select(col("vec_id"), col("embedding"),
+          explode(col("__kept")).as("__sc"))
+        .select(col("vec_id"), col("embedding"),
+          col("__sc.cell").as("cell"))
+    }
+
+  /** Residual-PQ encode against FROZEN global books — argmin-L2 code
+    * per subspace via the LITERAL-book codegen transform loop (as in
+    * pqKnn) + the exact vector norm for the approx-cosine
+    * denominator. Per-row deterministic (literal books, first-max
+    * argmax), which is the whole batch/incremental equivalence the
+    * append path's replay spec rests on. The extra `__qerr` column is
+    * the ADC reconstruction error Σ_s ‖r_s − book_s[c_s]‖², read off
+    * the argmax pass for free (max score_s = (‖r_s‖² −
+    * min_j‖r_s − c_j‖²)/2), so staleness audits never need a decode
+    * pass. Returns (cell, vec_id, embedding, __cnorm, __c0..,
+    * __qerr). */
+  private[graft] def encodeIvfPqCodes(
+      assigned: DataFrame,
+      centsDf: DataFrame,
+      books: Array[Array[Array[Double]]],
+      numSub: Int,
+      subDim: Int): DataFrame = {
     val bookNormSq: Array[Array[Double]] =
       books.map(_.map(c => c.map(x => x * x).sum))
-    // encode: argmin-L2 residual code per subspace against the
-    // LITERAL global books (codegen transform loop, as in pqKnn) +
-    // the exact vector norm for the approx-cosine denominator
+    val withRes = assigned
+      .join(broadcast(centsDf), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        zip_with(transform(col("embedding"), _.cast("double")),
+          col("centroid"), (a, b) => a - b).as("__res"))
     val withSubs = withRes.select(
       (col("cell") +: col("vec_id") +: col("embedding") +:
         l2norm(transform(col("embedding"), _.cast("double")))
           .as("__cnorm") +:
+        dotNative(col("__res"), col("__res")).as("__resn2") +:
         (0 until numSub).map(s =>
           slice(col("__res"), s * subDim + 1, subDim).as(s"__s$s"))): _*)
     val withScores = withSubs.select(
       (col("cell") +: col("vec_id") +: col("embedding") +:
-        col("__cnorm") +:
+        col("__cnorm") +: col("__resn2") +:
         (0 until numSub).map { s =>
           val packed = typedLit(books(s).zipWithIndex.map { case (c, j) =>
             (c.toSeq, bookNormSq(s)(j))
@@ -1438,30 +1501,108 @@ object Similarity {
             dotNative(col(s"__s$s"), e.getField("_1")) -
               e.getField("_2") / 2).as(s"__sc$s")
         }): _*)
-    val encoded = withScores.select(
-      (col("cell") +: col("vec_id") +: col("embedding") +:
+    withScores.select(
+      ((col("cell") +: col("vec_id") +: col("embedding") +:
         col("__cnorm") +:
         (0 until numSub).map { s =>
           (array_position(col(s"__sc$s"), array_max(col(s"__sc$s"))) - 1)
             .cast("int").as(s"__c$s")
-        }): _*)
-    Layouts.publish(encoded, table, "ivfpq_codes", Seq("cell"), numBuckets,
-      props = Map(
-        "numCells" -> cellsN.toString, "numSub" -> numSub.toString,
-        "codebookK" -> codebookK.toString, "seed" -> seed.toString,
-        "nprobe_default" -> (if (nprobeDefault > 0) nprobeDefault
-          else math.max(1, cellsN / 4)).toString,
-        "base_rows" -> n.toString,
-        "replicateMargin" -> replicateMargin.toString,
-        "centroids_table" -> s"${table}_centroids",
-        "books_table" -> s"${table}_books"))
-    Layouts.ensureWritable(spark, s"${table}_centroids")
-    Layouts.ensureWritable(spark, s"${table}_books")
-    centsDf.write.mode("overwrite").saveAsTable(s"${table}_centroids")
-    books.zipWithIndex
-      .map { case (b, s) => (s, b.map(_.toSeq).toSeq) }.toSeq
-      .toDF("sub", "book")
-      .write.mode("overwrite").saveAsTable(s"${table}_books")
+        }) :+
+        greatest(lit(0.0), col("__resn2") -
+          (0 until numSub).map(s => array_max(col(s"__sc$s")) * 2)
+            .reduce(_ + _)).as("__qerr")): _*)
+  }
+
+  /** Incrementally append a batch into a [[writeIvfPqLayout]] index —
+    * the 100 TB ingestion path. A published ANN index must absorb new
+    * corpus batches WITHOUT the publish-time k-means: retraining per
+    * batch would pay the layout's one-off cost on every arrival, and
+    * a mutated quantizer would silently re-key every stored code. The
+    * frozen-quantizer design makes the append O(batch) and
+    * embarrassingly parallel: read the stored centroids/books
+    * (driver-tiny), assign + encode the batch map-side (the SAME
+    * [[assignIvfCells]]/[[encodeIvfPqCodes]] the publish used —
+    * per-row deterministic, so incremental == batch under any
+    * chunking), and append the coded rows into the SAME bucketed
+    * table. Bucket pruning and the exchange-free probe join survive:
+    * an append adds files per bucket, never re-shuffles history
+    * (compaction = re-publish, the LSM discipline).
+    *
+    * Freezing trades adaptivity for that O(batch) cost, so every
+    * append returns the STALENESS AUDIT that says when the trade has
+    * expired: `err_ratio` — the batch's mean ADC reconstruction error
+    * over the publish-time baseline (drifted data encodes worse: the
+    * frozen books no longer span the residual space) — and
+    * `cell_skew` — the batch's max cell share × numCells (a skewed
+    * batch concentrates new mass into few cells, eroding the coarse
+    * prune). `retrain_recommended` fires on err_ratio > 1.5, or on
+    * cell_skew > 8 once the batch is big enough for shares to mean
+    * anything (≥ 16·numCells codes). Returns the one-row audit;
+    * manifest n_rows updates additively — no table re-count, because
+    * at scale the running count IS the manifest's job. */
+  def appendIvfPqLayout(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val man = Layouts.manifest(spark)
+      .filter(col("layout") === table)
+      .select(col("n_rows"), col("num_buckets"), col("props")).head()
+    val priorRows = man.getLong(0)
+    val numBuckets = man.getInt(1)
+    val props = man.getString(2).split(";").map(_.split("=", 2))
+      .collect { case Array(k0, v) => k0 -> v }.toMap
+    val numSub = props("numSub").toInt
+    val numCells = props("numCells").toInt
+    val replicateMargin =
+      props.getOrElse("replicateMargin", "0.0").toDouble
+    val maxAssign = props.getOrElse("maxAssign", "4").toInt
+    val baseErr = props.getOrElse("mean_code_err", "0").toDouble
+    // Row.getSeq yields mutable ArraySeq at runtime — materialize to
+    // immutable Vectors before anything re-encodes them (toDF/typedLit)
+    val cents: Seq[Seq[Double]] = spark.table(s"${table}_centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toVector).toVector
+    val books: Array[Array[Array[Double]]] =
+      spark.table(s"${table}_books").collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[scala.collection.Seq[Double]](1)
+            .map(_.toArray).toArray)
+        .sortBy(_._1).map(_._2)
+    val subDim = cents.head.length / numSub
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+    val encoded = encodeIvfPqCodes(
+      assignIvfCells(batch, idCol, vecCol, cents, replicateMargin,
+        maxAssign),
+      centsDf, books, numSub, subDim)
+      .persist() // batch-bounded: the write + 3 audit jobs share one encode
+    try {
+      encoded.write.bucketBy(numBuckets, "cell").sortBy("cell")
+        .mode("append").saveAsTable(table)
+      val nCodes = encoded.count()
+      val st = encoded.agg(countDistinct(col("vec_id")).as("nvec"),
+        avg(col("__qerr")).as("err")).head()
+      val nVecs = st.getLong(0)
+      val batchErr = st.getDouble(1)
+      val maxCell = encoded.groupBy("cell").count()
+        .agg(max(col("count"))).head().getLong(0)
+      val errRatio = if (baseErr > 0) batchErr / baseErr else 1.0
+      val cellSkew = maxCell.toDouble * numCells / math.max(1L, nCodes)
+      val retrain = errRatio > 1.5 ||
+        (nCodes >= 16L * numCells && cellSkew > 8.0)
+      Layouts.recordManifest(spark, table, "ivfpq_codes", Seq("cell"),
+        numBuckets, priorRows + nCodes,
+        props + ("appended_rows" ->
+          (props.getOrElse("appended_rows", "0").toLong + nCodes).toString))
+      Seq((nVecs, nCodes, priorRows + nCodes,
+        math.rint(errRatio * 10000) / 10000,
+        math.rint(cellSkew * 10000) / 10000, retrain))
+        .toDF("batch_vecs", "batch_codes", "total_codes",
+          "err_ratio", "cell_skew", "retrain_recommended")
+    } finally { encoded.unpersist(); () }
   }
 
   /** Probe a [[writeIvfPqLayout]] index: rank the STORED frozen

@@ -2058,6 +2058,60 @@ object Streams {
       .orderBy("vec_id")
   }
 
+  /** IVF-PQ code-table maintenance over the embeddings table — p05's
+    * assignment fold upgraded to the FULL published index: the layout
+    * publishes once over the base corpus (vec_id % 5 ≠ 0, frozen
+    * √n̄-free 16-cell quantizer + global residual books), then the
+    * stream's arrivals (vec_id % 5 = 0) fold into the SAME bucketed
+    * code table per micro-batch through
+    * [[graft.operators.Similarity.appendIvfPqLayout]] — frozen
+    * quantizers, map-side encode, O(batch) per trigger, the
+    * staleness audit returned per append. Snapshot = the maintained
+    * index's per-cell profile (code count + mean quantization
+    * error). Because the encode is per-row deterministic against
+    * frozen books, the final code table equals the batch encode of
+    * the full corpus under ANY chunking — IvfPqAppendSpec pins the
+    * replay and the audit's drift trigger. */
+  def streamingIvfPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val table = "graft_p20_ivfpq"
+    dropManagedTable(spark, table)
+    dropManagedTable(spark, s"${table}_centroids")
+    dropManagedTable(spark, s"${table}_books")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.Similarity.writeIvfPqLayout(
+      emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", table,
+      numCells = 16, numBuckets = 8, numSub = 8, codebookK = 32,
+      sampleN = 1024, trainIters = 6, coarseIters = 3)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 5 === 0)
+    val q = withStreamPartitions(spark, 8) {
+      stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) {
+            graft.operators.Similarity
+              .appendIvfPqLayout(batch.toDF(), "vec_id", "embedding", table)
+              .collect()
+            ()
+          }
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_p20").toString
+            + "/ckpt")
+        .queryName(s"graft_p20_${java.util.UUID.randomUUID()}")
+        .start()
+    }
+    q.processAllAvailable()
+    q.stop()
+    spark.table(table)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_codes"),
+        round(avg(col("__qerr")), 4).as("mean_qerr"))
+      .select(col("cell").cast("long").as("cell"), col("n_codes"),
+        col("mean_qerr"))
+      .orderBy("cell")
+  }
+
   /** [[upsertLatestOf]] over the events table: the maintained
     * snapshot is the latest event per user. */
   def streamingUpsertLatest(spark: SparkSession, dir: String): DataFrame = {
