@@ -1605,6 +1605,48 @@ object Similarity {
     } finally { encoded.unpersist(); () }
   }
 
+  /** Compact a [[writeIvfPqLayout]] index after a run of
+    * [[appendIvfPqLayout]]s — the LSM discipline's other half: every
+    * append adds one file generation per touched bucket, and a probe
+    * pays the open/footer cost of every generation it prunes TO, so
+    * periodically the code table is rewritten as ONE bucketed pass.
+    * No k-means, no re-encode, no audit change: the codes are already
+    * final (frozen quantizers), so compaction is pure file-geometry
+    * maintenance — read the table, spill it once (Spark refuses to
+    * overwrite a table from its own live scan), republish through the
+    * same bucketed door with the manifest props carried over
+    * verbatim. At 100 TB this is one shuffle-free-per-bucket write
+    * pass, schedulable off-peak, amortized across the appends it
+    * absorbs. Returns (files_before, files_after). */
+  def compactIvfPqLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): (Long, Long) = {
+    val man = Layouts.manifest(spark)
+      .filter(col("layout") === table)
+      .select(col("num_buckets"), col("props")).head()
+    val numBuckets = man.getInt(0)
+    val props = man.getString(1).split(";").map(_.split("=", 2))
+      .collect { case Array(k0, v) => k0 -> v }.toMap
+    def dataFiles(): Long = spark.table(table).inputFiles.length.toLong
+    val before = dataFiles()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    try {
+      spark.table(table).write.parquet(s"$tmp/codes")
+      val back = spark.read.parquet(s"$tmp/codes")
+        .repartition(numBuckets, col("cell"))
+      Layouts.publish(back, table, "ivfpq_codes", Seq("cell"),
+        numBuckets, props = props)
+      (before, dataFiles())
+    } finally {
+      val root = java.nio.file.Paths.get(tmp)
+      val files = java.nio.file.Files.walk(root)
+      try files.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally files.close()
+    }
+  }
+
   /** Probe a [[writeIvfPqLayout]] index: rank the STORED frozen
     * centroids per query, `cell IN (top-nprobe)` bucket-prunes the
     * code-table scan, ADC-score the probed cells' codes against the

@@ -108,6 +108,41 @@ class IvfPqAppendSpec extends SparkSuite {
     } finally drop("graft_ivfpq_app_d")
   }
 
+  test("compaction shrinks file geometry, changes nothing else") {
+    publish("graft_ivfpq_app_c")
+    try {
+      Seq(2, 0, 1).foreach { r =>
+        Similarity.appendIvfPqLayout(
+          rest.filter(col("vec_id") % 3 === r),
+          "vec_id", "embedding", "graft_ivfpq_app_c")
+      }
+      val codesBefore = codeSet("graft_ivfpq_app_c")
+      val queries = rest.filter(col("vec_id") < 60)
+      def probe(): Set[(Long, Long)] =
+        Similarity.ivfPqAnnFromLayout(spark, "graft_ivfpq_app_c",
+          queries, "vec_id", "embedding", 5, nprobe = 12).collect()
+          .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+      val probeBefore = probe()
+      val manBefore = Layouts.manifest(spark)
+        .filter(col("layout") === "graft_ivfpq_app_c").head()
+      val (before, after) =
+        Similarity.compactIvfPqLayout(spark, "graft_ivfpq_app_c")
+      info(s"compaction: $before files -> $after")
+      assert(after < before,
+        s"compaction must reduce file generations: $before -> $after")
+      assert(codeSet("graft_ivfpq_app_c") == codesBefore,
+        "compaction must not change a single code")
+      assert(probe() == probeBefore,
+        "compaction must not change probe results")
+      val manAfter = Layouts.manifest(spark)
+        .filter(col("layout") === "graft_ivfpq_app_c").head()
+      assert(manAfter.getAs[Long]("n_rows") ==
+        manBefore.getAs[Long]("n_rows"))
+      assert(manAfter.getAs[String]("props")
+        .contains("mean_code_err="), "audit baseline must survive")
+    } finally drop("graft_ivfpq_app_c")
+  }
+
   test("p20 snapshot: per-cell profile covers the full corpus") {
     val df = SparkEntry.queries("p20_incremental_ann_layout")(spark, sfDir)
     val rows = df.collect()
