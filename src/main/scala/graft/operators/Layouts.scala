@@ -39,7 +39,12 @@ object Layouts {
   /** Publish `df` as a bucketed+sorted table and upsert its manifest
     * row. `sortCols` defaults to `bucketCols` (every current layout
     * sorts by its bucket key). `props` carries layout-specific
-    * lineage (e.g. IVF numCells/seed, span window w). */
+    * lineage (e.g. IVF numCells/seed, span window w). `propsOf` runs
+    * against the WRITTEN table and its result is merged into the
+    * manifest props — the hook for write-derived lineage (e.g. the
+    * IVF-PQ quantization-error baseline) that would otherwise need a
+    * second manifest rewrite, which is a full collect+overwrite of
+    * the manifest table per call. */
   def publish(
       df: DataFrame,
       table: String,
@@ -47,7 +52,8 @@ object Layouts {
       bucketCols: Seq[String],
       numBuckets: Int,
       sortCols: Seq[String] = Nil,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      propsOf: DataFrame => Map[String, String] = _ => Map.empty): Unit = {
     require(bucketCols.nonEmpty, "a layout needs at least one bucket column")
     val spark = df.sparkSession
     ensureWritable(spark, table)
@@ -55,8 +61,9 @@ object Layouts {
     df.write.bucketBy(numBuckets, bucketCols.head, bucketCols.drop(1): _*)
       .sortBy(sorts.head, sorts.drop(1): _*)
       .mode("overwrite").saveAsTable(table)
+    val written = spark.table(table)
     recordManifest(spark, table, kind, bucketCols, numBuckets,
-      spark.table(table).count(), props)
+      written.count(), props ++ propsOf(written))
   }
 
   /** Upsert the manifest row for `table`. Public so layouts with a

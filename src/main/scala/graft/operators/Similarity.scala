@@ -1390,8 +1390,16 @@ object Similarity {
       "maxAssign" -> maxAssign.toString,
       "centroids_table" -> s"${table}_centroids",
       "books_table" -> s"${table}_books")
+    // the publish-time quantization-error baseline for the append
+    // path's staleness audit rides the SAME manifest record (propsOf
+    // reads it back from the written table — one cheap single-column
+    // columnar scan; re-evaluating `encoded` would re-run the whole
+    // encode, and a second recordManifest would rewrite the manifest
+    // table twice)
     Layouts.publish(encoded, table, "ivfpq_codes", Seq("cell"), numBuckets,
-      props = baseProps)
+      props = baseProps,
+      propsOf = w => Map("mean_code_err" ->
+        f"${w.agg(avg(col("__qerr"))).head.getDouble(0)}%.8f"))
     Layouts.ensureWritable(spark, s"${table}_centroids")
     Layouts.ensureWritable(spark, s"${table}_books")
     centsDf.write.mode("overwrite").saveAsTable(s"${table}_centroids")
@@ -1399,16 +1407,6 @@ object Similarity {
       .map { case (b, s) => (s, b.map(_.toSeq).toSeq) }.toSeq
       .toDF("sub", "book")
       .write.mode("overwrite").saveAsTable(s"${table}_books")
-    // publish-time quantization-error baseline for the append path's
-    // staleness audit — read back from the WRITTEN table (one cheap
-    // single-column columnar scan; re-evaluating `encoded` would
-    // re-run the whole encode), then re-record the manifest row with
-    // the baseline attached
-    val written = spark.table(table)
-    val meanErr = written.agg(avg(col("__qerr"))).head.getDouble(0)
-    Layouts.recordManifest(spark, table, "ivfpq_codes", Seq("cell"),
-      numBuckets, written.count(),
-      baseProps + ("mean_code_err" -> f"$meanErr%.8f"))
   }
 
   /** Cell assignment against FROZEN coarse centroids, optionally with
@@ -1539,7 +1537,12 @@ object Similarity {
     * cell_skew > 8 once the batch is big enough for shares to mean
     * anything (≥ 16·numCells codes). Returns the one-row audit;
     * manifest n_rows updates additively — no table re-count, because
-    * at scale the running count IS the manifest's job. */
+    * at scale the running count IS the manifest's job. The audit
+    * itself is ONE bounded aggregate (the ≤ numCells per-cell
+    * histogram; every global derives from it driver-side). `batch`
+    * must carry unique vector ids — each arrival is one new vector —
+    * which is what lets `batch_vecs` be a cheap source-row count
+    * rather than a distinct aggregate over the replicated codes. */
   def appendIvfPqLayout(
       batch: DataFrame,
       idCol: String,
@@ -1578,17 +1581,25 @@ object Similarity {
       assignIvfCells(batch, idCol, vecCol, cents, replicateMargin,
         maxAssign),
       centsDf, books, numSub, subDim)
-      .persist() // batch-bounded: the write + 3 audit jobs share one encode
+      .persist() // batch-bounded: the write + the audit share one encode
     try {
       encoded.write.bucketBy(numBuckets, "cell").sortBy("cell")
         .mode("append").saveAsTable(table)
-      val nCodes = encoded.count()
-      val st = encoded.agg(countDistinct(col("vec_id")).as("nvec"),
-        avg(col("__qerr")).as("err")).head()
-      val nVecs = st.getLong(0)
-      val batchErr = st.getDouble(1)
-      val maxCell = encoded.groupBy("cell").count()
-        .agg(max(col("count"))).head().getLong(0)
+      // ONE bounded audit pass: the per-cell histogram (≤ numCells
+      // rows) carries every global the audit needs — count, error
+      // mass, max share — so no second/third aggregate job runs per
+      // batch. batch_vecs counts the SOURCE batch (ids are unique per
+      // batch by contract — each arrival is one new vector), which
+      // a column-pruned count answers without touching the encode.
+      val cellsHist = encoded.groupBy("cell")
+        .agg(count(lit(1)).as("n"), sum(col("__qerr")).as("se"))
+        .collect()
+      val nCodes = cellsHist.map(_.getAs[Long]("n")).sum
+      val batchErr =
+        cellsHist.map(_.getAs[Double]("se")).sum / math.max(1L, nCodes)
+      val maxCell =
+        if (cellsHist.isEmpty) 0L else cellsHist.map(_.getAs[Long]("n")).max
+      val nVecs = batch.select(col(idCol)).count()
       val errRatio = if (baseErr > 0) batchErr / baseErr else 1.0
       val cellSkew = maxCell.toDouble * numCells / math.max(1L, nCodes)
       val retrain = errRatio > 1.5 ||

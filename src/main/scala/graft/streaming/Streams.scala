@@ -2081,7 +2081,7 @@ object Streams {
     graft.operators.Similarity.writeIvfPqLayout(
       emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", table,
       numCells = 16, numBuckets = 8, numSub = 8, codebookK = 32,
-      sampleN = 1024, trainIters = 6, coarseIters = 3)
+      sampleN = 1024, trainIters = 4, coarseIters = 2)
     val stream = spark.readStream.schema(emb.schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
       .filter(col("vec_id") % 5 === 0)
