@@ -433,7 +433,11 @@ object SparkEntry {
       // return flags are a tiny enum — the fused few-group path
       // sizes and places boundaries in one job (a wrong hint only
       // falls back to the general path)
-      maxGroupsHint = 64)
+      maxGroupsHint = 64,
+      // footer row bound (driver-side metadata, no job): under the
+      // single-scan gate this makes q18 ONE aggregation pass
+      totalRowsHint =
+        operators.ExactDistinct.parquetRowCount(s, s"$dir/lineitem.parquet"))
     pct.select(col("l_returnflag"),
         trunc4(col("p50")).as("p50"), trunc4(col("p90")).as("p90"))
       .orderBy("l_returnflag")
@@ -1421,7 +1425,9 @@ object SparkEntry {
       // cache (lazy): the threshold pass and the gate both read the
       // scored frame — uncached, the tokenize+score runs twice
       .cache()
-    val thr = operators.Percentiles.exact(q, "quality", Seq(0.25))
+    val thr = operators.Percentiles.exact(q, "quality", Seq(0.25),
+      totalRowsHint = operators.ExactDistinct
+        .parquetRowCount(s, s"$dir/documents.parquet"))
     q.crossJoin(broadcast(thr))
       .groupBy(col("source"), col("p25"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1457,7 +1463,9 @@ object SparkEntry {
       // read the scored frame (same double-tokenize as t24)
       .cache()
     val thr = operators.Percentiles.exact(q, "quality",
-      Seq(0.2, 0.4, 0.6, 0.8))
+      Seq(0.2, 0.4, 0.6, 0.8),
+      totalRowsHint = operators.ExactDistinct
+        .parquetRowCount(s, s"$dir/documents.parquet"))
     q.crossJoin(broadcast(thr))
       .select(col("__ntok"), col("quality"),
         ((col("quality") >= col("p20")).cast("long") +
@@ -2489,10 +2497,16 @@ object SparkEntry {
       .select(col("n_events").cast("long").as("n_events"),
         (col("end_us") - col("start_us")).as("dur_us"))
       .cache()
-    val pe = operators.Percentiles.exact(sess, "n_events", Seq(0.5, 0.9))
+    // sessions ≤ events rows: the footer bound enables the one-scan
+    // percentile path over the cached session frame
+    val evRows = operators.ExactDistinct
+      .parquetRowCount(s, s"$dir/events.parquet")
+    val pe = operators.Percentiles.exact(sess, "n_events", Seq(0.5, 0.9),
+        totalRowsHint = evRows)
       .select(floor(col("p50")).cast("long").as("p50_events"),
         floor(col("p90")).cast("long").as("p90_events"))
-    val pd = operators.Percentiles.exact(sess, "dur_us", Seq(0.5, 0.9))
+    val pd = operators.Percentiles.exact(sess, "dur_us", Seq(0.5, 0.9),
+        totalRowsHint = evRows)
       .select(floor(col("p50")).cast("long").as("p50_dur_us"),
         floor(col("p90")).cast("long").as("p90_dur_us"))
     sess.agg(count(lit(1)).as("n_sessions"),
@@ -2575,7 +2589,9 @@ object SparkEntry {
       .cache()
     val thr = operators.Percentiles.exactByGroup(
         late, "event_type", "late_us", Seq(0.99),
-        maxGroupsHint = 256)
+        maxGroupsHint = 256,
+        totalRowsHint = operators.ExactDistinct
+          .parquetRowCount(s, s"$dir/events.parquet"))
       .select(col("event_type"),
         floor(col("p99")).cast("long").as("wm_delay_us"))
     late.join(thr, Seq("event_type"))
@@ -2609,7 +2625,9 @@ object SparkEntry {
       .cache()
     val quant = operators.Percentiles.exactByGroup(
         gaps, "event_type", "gap_us", Seq(0.5, 0.99),
-        maxGroupsHint = 256)
+        maxGroupsHint = 256,
+        totalRowsHint = operators.ExactDistinct
+          .parquetRowCount(s, s"$dir/events.parquet"))
       .select(col("event_type"),
         floor(col("p50")).cast("long").as("p50_gap_us"),
         floor(col("p99")).cast("long").as("p99_gap_us"))
@@ -2729,7 +2747,11 @@ object SparkEntry {
       .select((unix_micros(col("t1")) - unix_micros(col("t00")))
         .as("lat_us"))
       .cache()
-    val pq = operators.Percentiles.exact(lat, "lat_us", Seq(0.5, 0.9))
+    val pq = operators.Percentiles.exact(lat, "lat_us", Seq(0.5, 0.9),
+      // converted users ≤ event rows: footer bound for the
+      // one-scan path over the cached latency frame
+      totalRowsHint = operators.ExactDistinct
+        .parquetRowCount(s, s"$dir/events.parquet"))
       .select(floor(col("p50")).cast("long").as("p50_lat_us"),
         floor(col("p90")).cast("long").as("p90_lat_us"))
     lat.agg(count(lit(1)).as("n_converted"),

@@ -62,8 +62,22 @@ object Layouts {
       .sortBy(sorts.head, sorts.drop(1): _*)
       .mode("overwrite").saveAsTable(table)
     val written = spark.table(table)
+    // manifest n_rows from the written files' parquet footers — a
+    // driver-side metadata read (the count is exact either way), not
+    // a per-publish Spark job; layouts publish often enough (spans,
+    // bands, IVF cells, FTS) that the count job was a measurable
+    // fixed cost on every one of them
+    val nRows = ExactDistinct.parquetRowCount(
+      spark, tableLocation(spark, table))
     recordManifest(spark, table, kind, bucketCols, numBuckets,
-      written.count(), props ++ propsOf(written))
+      nRows, props ++ propsOf(written))
+  }
+
+  /** Filesystem location of a managed table (the warehouse dir path
+    * saveAsTable wrote). */
+  private def tableLocation(spark: SparkSession, table: String): String = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sessionState.catalog.getTableMetadata(ident).location.toString
   }
 
   /** Upsert the manifest row for `table`. Public so layouts with a

@@ -91,13 +91,14 @@ object Percentiles {
       df: DataFrame,
       valueCol: String,
       ps: Seq[Double],
-      numBuckets: Int = -1): DataFrame =
+      numBuckets: Int = -1,
+      totalRowsHint: Long = -1L): DataFrame =
     exactByGroup(
       df.select(lit(0).as("__all"), col(valueCol)),
       "__all", valueCol, ps, numBuckets,
       // the group column is a literal: exactly one group, so the
       // fused single-sizing-job path is always safe here
-      maxGroupsHint = 1).drop("__all")
+      maxGroupsHint = 1, totalRowsHint = totalRowsHint).drop("__all")
 
   /** Probe resolution of the fused few-group path: one fixed
     * 127-cut approximate-quantile sketch doubles as sizing AND
@@ -112,6 +113,15 @@ object Percentiles {
     * ≤ ~8 MB — the same budget the boundary table honors. */
   val MaxHintGroups = 8192
 
+  /** Row gate of the single-scan path: collecting the full per-group
+    * sorted value arrays is ≤ 2²³ doubles ≈ 64 MB primitive payload —
+    * bounded driver state in the same spirit as the ExactDistinct
+    * fast path's 2²⁴-row gate. Above it, the probe-based machinery
+    * (2 scans, O(n/32) candidate collect) takes over. Mutable ONLY so
+    * PercentilesSpec can force the fallback without 8M-row fixtures;
+    * production never writes it. */
+  private[graft] var MaxSingleScanRows = 1L << 23
+
   /** One output row per group: a column per requested percentile,
     * named p50/p90/... from the fraction.
     *
@@ -123,14 +133,26 @@ object Percentiles {
     *   the fused few-group path — one sizing+boundary job instead of
     *   two, per-group bucket counts instead of one uniform count. A
     *   hint that turns out too small falls back to the general path
-    *   (same values either way); -1 (default) = unknown/unbounded. */
+    *   (same values either way); -1 (default) = unknown/unbounded.
+    * @param totalRowsHint caller's upper bound on df's ROW count (a
+    *   parquet footer count, or the row count of the table the frame
+    *   derives from). When both hints are present and the bound fits
+    *   [[MaxSingleScanRows]], the r14 SINGLE-SCAN path runs: ONE
+    *   aggregation job collects each group's exact sorted values
+    *   (sort_array(collect_list)) and the driver reads the type-7
+    *   order statistics off them directly — one scan, no probe, no
+    *   second pass, values identical by construction. A bound that is
+    *   too small is the caller's bug ONLY if it under-reports
+    *   (the gate may then admit an over-budget collect); bounds come
+    *   from footers, which are exact. -1 (default) = unknown. */
   def exactByGroup(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       ps: Seq[Double],
       numBuckets: Int = -1,
-      maxGroupsHint: Int = -1): DataFrame = {
+      maxGroupsHint: Int = -1,
+      totalRowsHint: Long = -1L): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"percentile fractions must be in [0,1]: $ps")
     require(ps.map(tag).distinct.size == ps.size,
@@ -144,6 +166,42 @@ object Percentiles {
     // NULL values are excluded before ranking (quantile_cont ignores
     // them; ranking them would shift every cut position)
     val allVals = df.select(g, v).filter(v.isNotNull)
+
+    // SINGLE-SCAN PATH (r14): both cardinalities bounded and small —
+    // ONE aggregation job returns each group's exact sorted value
+    // array; the driver indexes the two boundary order statistics per
+    // percentile and interpolates (same type-7 arithmetic as
+    // finishRanked). The collect is ≤ totalRowsHint doubles
+    // (gate: [[MaxSingleScanRows]] ≈ 64 MB primitive), the per-group
+    // sort runs executor-side in sort_array. A hint the data outgrows
+    // (more groups than promised) falls back to the probe paths below
+    // — same values either way.
+    if (numBuckets <= 1 && maxGroupsHint > 0 && totalRowsHint > 0 &&
+        totalRowsHint <= MaxSingleScanRows) {
+      val rows = allVals.groupBy(g.as("__g"))
+        .agg(count(lit(1)).as("__gn"),
+          sort_array(collect_list(v.cast("double"))).as("__vals"))
+        .limit(maxGroupsHint + 1).collect()
+      if (rows.length <= maxGroupsHint) {
+        val outRows = rows.toSeq.map { r =>
+          val n = r.getLong(1)
+          val vals = r.getSeq[Double](2)
+          val pvals = ps.map { p =>
+            val pos = (n - 1) * p
+            val lo = vals(math.floor(pos).toInt)
+            val hi = vals(math.ceil(pos).toInt)
+            Double.box(lo + (hi - lo) * (pos - math.floor(pos)))
+          }
+          Row.fromSeq(r.get(0) +: pvals)
+        }
+        val outSchema = StructType(df.schema(groupCol) +:
+          ps.map(p => StructField("p" + tag(p),
+            org.apache.spark.sql.types.DoubleType)))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(outRows, 1), outSchema)
+      }
+      // hint exceeded: fall through to the probe-based paths
+    }
 
     // FEW-GROUP FUSED PATH: when the caller bounds the group
     // cardinality (an upper bound is enough — a wrong hint only

@@ -744,7 +744,15 @@ object Similarity {
       maxIter: Int = 10,
       seed: Long = 42L): Seq[Seq[Double]] = {
     require(k > 0, s"k must be positive: $k")
+    // persisted for the whole Lloyd run: the init sample plus every
+    // iteration re-reads these rows (iterations re-SCORE against new
+    // centroids, but the (id, vec) projection itself never changes —
+    // uncached, each of the 1+maxIter jobs re-scans the source).
+    // MEMORY_AND_DISK: a corpus-sized training set spills, never
+    // evicts-and-rescans.
     val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // seeded deterministic init: k hash-ordered rows
     var centroids: Array[Seq[Double]] = v
       .orderBy(xxhash64(col("__id"), lit(seed)), col("__id")).limit(k)
@@ -772,6 +780,7 @@ object Similarity {
       iter += 1
     }
     centroids.toSeq
+    } finally { v.unpersist(blocking = false); () }
   }
 
   /** K-means cell assignment — trains the IVF coarse codebook when no
@@ -876,7 +885,7 @@ object Similarity {
     * sub-codebook training. Deterministic: init = first k sample
     * points (the sample itself is hash-ordered), empty cells keep
     * their centroid. */
-  private def lloydEuclid(
+  private[graft] def lloydEuclid(
       points: Array[Array[Double]],
       k: Int,
       iters: Int): Array[Array[Double]] = {
@@ -952,10 +961,13 @@ object Similarity {
       trainIters: Int = 10,
       candMult: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    // one sizing job answers dim AND n (dim is uniform per corpus)
+    val sizing = corpus
+      .agg(count(lit(1)), first(size(col(vecCol)))).head()
+    val corpusN = sizing.getLong(0) // sizes the re-rank
+    val dim = sizing.getInt(1)
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
     val subDim = dim / numSub
-    val corpusN = corpus.count() // parquet footer count; sizes the re-rank
     val sample = corpus
       .select(col(idCol).as("__id"),
         transform(col(vecCol), _.cast("double")).as("__v"))
@@ -1096,10 +1108,13 @@ object Similarity {
       candMult: Int = 16,
       seed: Long = 42L,
       coarseIters: Int = 5): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    // one sizing job answers dim AND n (dim is uniform per corpus)
+    val sizing = corpus
+      .agg(count(lit(1)), first(size(col(vecCol)))).head()
+    val corpusN = sizing.getLong(0) // sizes the re-rank
+    val dim = sizing.getInt(1)
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
     val subDim = dim / numSub
-    val corpusN = corpus.count() // parquet footer count; sizes the re-rank
     // (No up-front corpus spread here, unlike pqKnn: kmeansCells
     // re-executes its input per Lloyd iteration, so a repartition
     // would be re-paid coarseIters times — measured NET-NEGATIVE,
@@ -1347,10 +1362,14 @@ object Similarity {
       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    // one sizing job answers dim AND n (dim is uniform per corpus —
+    // the require below rejects a bad one either way)
+    val sizing = corpus
+      .agg(count(lit(1)), first(size(col(vecCol)))).head()
+    val n = sizing.getLong(0)
+    val dim = sizing.getInt(1)
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
     val subDim = dim / numSub
-    val n = corpus.count()
     val cellsN =
       if (numCells > 0) numCells
       else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -1360,8 +1379,14 @@ object Similarity {
       corpus, idCol, vecCol, cellsN, coarseIters, seed)
     val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
+    // persisted across its two consumers (the residual-sample collect
+    // and the encode+write): un-persisted, the cell assignment — a
+    // full corpus scan scoring numCells cosines per row — runs twice.
+    // Publish-time only, never query-time; MEMORY_AND_DISK so a
+    // corpus-sized publish spills instead of evicting.
     val assigned = assignIvfCells(
       corpus, idCol, vecCol, cents, replicateMargin, maxAssign)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // global residual books on ONE pooled hash-ordered sample:
     // residual = v − centroid(cell(v)), computed map-side against the
     // broadcast centroid table
@@ -1396,17 +1421,32 @@ object Similarity {
     // columnar scan; re-evaluating `encoded` would re-run the whole
     // encode, and a second recordManifest would rewrite the manifest
     // table twice)
-    Layouts.publish(encoded, table, "ivfpq_codes", Seq("cell"), numBuckets,
-      props = baseProps,
-      propsOf = w => Map("mean_code_err" ->
-        f"${w.agg(avg(col("__qerr"))).head.getDouble(0)}%.8f"))
-    Layouts.ensureWritable(spark, s"${table}_centroids")
-    Layouts.ensureWritable(spark, s"${table}_books")
-    centsDf.write.mode("overwrite").saveAsTable(s"${table}_centroids")
-    books.zipWithIndex
-      .map { case (b, s) => (s, b.map(_.toSeq).toSeq) }.toSeq
-      .toDF("sub", "book")
-      .write.mode("overwrite").saveAsTable(s"${table}_books")
+    // the tiny centroids/books sibling writes ride a helper thread
+    // UNDER the big codes publish (independent tables, independent
+    // directories — same overlap discipline as the model-suite part
+    // appends): the two catalog round-trips stop costing wall
+    val sideWrites = new java.util.concurrent.FutureTask[Unit](() => {
+      Layouts.ensureWritable(spark, s"${table}_centroids")
+      Layouts.ensureWritable(spark, s"${table}_books")
+      centsDf.write.mode("overwrite").saveAsTable(s"${table}_centroids")
+      books.zipWithIndex
+        .map { case (b, s) => (s, b.map(_.toSeq).toSeq) }.toSeq
+        .toDF("sub", "book")
+        .write.mode("overwrite").saveAsTable(s"${table}_books")
+    })
+    val sideThread = new Thread(sideWrites)
+    sideThread.setDaemon(true)
+    sideThread.start()
+    try {
+      Layouts.publish(encoded, table, "ivfpq_codes", Seq("cell"), numBuckets,
+        props = baseProps,
+        propsOf = w => Map("mean_code_err" ->
+          f"${w.agg(avg(col("__qerr"))).head.getDouble(0)}%.8f"))
+      sideWrites.get() // rethrows a sibling-write failure
+    } finally {
+      assigned.unpersist()
+      ()
+    }
   }
 
   /** Cell assignment against FROZEN coarse centroids, optionally with
@@ -1582,15 +1622,22 @@ object Similarity {
         maxAssign),
       centsDf, books, numSub, subDim)
       .persist() // batch-bounded: the write + the audit share one encode
+    // batch_vecs counts the SOURCE batch (ids are unique per batch by
+    // contract — each arrival is one new vector): independent of the
+    // write, so it rides a helper thread under it instead of costing
+    // one more serial job per trigger
+    val nVecsTask = new java.util.concurrent.FutureTask[Long](() =>
+      batch.select(col(idCol)).count())
+    val nVecsThread = new Thread(nVecsTask)
+    nVecsThread.setDaemon(true)
+    nVecsThread.start()
     try {
       encoded.write.bucketBy(numBuckets, "cell").sortBy("cell")
         .mode("append").saveAsTable(table)
       // ONE bounded audit pass: the per-cell histogram (≤ numCells
       // rows) carries every global the audit needs — count, error
       // mass, max share — so no second/third aggregate job runs per
-      // batch. batch_vecs counts the SOURCE batch (ids are unique per
-      // batch by contract — each arrival is one new vector), which
-      // a column-pruned count answers without touching the encode.
+      // batch.
       val cellsHist = encoded.groupBy("cell")
         .agg(count(lit(1)).as("n"), sum(col("__qerr")).as("se"))
         .collect()
@@ -1599,7 +1646,7 @@ object Similarity {
         cellsHist.map(_.getAs[Double]("se")).sum / math.max(1L, nCodes)
       val maxCell =
         if (cellsHist.isEmpty) 0L else cellsHist.map(_.getAs[Long]("n")).max
-      val nVecs = batch.select(col(idCol)).count()
+      val nVecs = nVecsTask.get()
       val errRatio = if (baseErr > 0) batchErr / baseErr else 1.0
       val cellSkew = maxCell.toDouble * numCells / math.max(1L, nCodes)
       val retrain = errRatio > 1.5 ||

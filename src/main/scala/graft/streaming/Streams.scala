@@ -1598,17 +1598,24 @@ object Streams {
           incrementalKnnGraph(embStream, s"$base/knn"); ()
         }
       }))
-    val knnVecs = new LsmState(spark, s"$base/knn/vecs", identity, 8)
-      .result().count()
+    // seven manifest counts, one small job each — submitted together
+    // (same overlap rule as the per-model appends above: the manifest
+    // pays max(count) wall, not the sum)
+    val countFrames = Seq(
+      "char_lm" -> models("char_lm"),
+      "doc_freq" -> models("doc_freq"),
+      "dsir" -> models("dsir"),
+      "payload_sig" -> models("payload_sig"),
+      "quality_keeper" -> models("keeper_docs"),
+      "disorder" -> disorder,
+      "knn_graph_vecs" ->
+        new LsmState(spark, s"$base/knn/vecs", identity, 8).result())
+    val counts = new Array[Long](countFrames.length)
+    runParallel(countFrames.zipWithIndex.map { case ((_, df), i) =>
+      () => counts(i) = df.count()
+    })
     new BandState(spark, s"$base/knn", Seq("tbl", "bkt")).drop()
-    Seq(
-      ("char_lm", models("char_lm").count()),
-      ("doc_freq", models("doc_freq").count()),
-      ("dsir", models("dsir").count()),
-      ("payload_sig", models("payload_sig").count()),
-      ("quality_keeper", models("keeper_docs").count()),
-      ("disorder", disorder.count()),
-      ("knn_graph_vecs", knnVecs))
+    countFrames.map(_._1).zip(counts)
       .toDF("model", "n_rows")
       .orderBy("model")
   }

@@ -36,4 +36,9 @@ object GraftBridge {
       execution.LogicalRDD.fromDataset(
         cd.queryExecution.toRdd, cd, isStreaming = false))
   }
+
+  /** Block until queued listener-bus events have been delivered —
+    * measurement-tool support (tools.JobStats), never a query path. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -282,4 +282,61 @@ class PercentilesSpec extends SparkSuite {
       assert(math.abs(adaptive(k)(i) - pinned(k)(i)) < 1e-9,
         s"group $k p=${ps(i)}")
   }
+
+  test("single-scan path (totalRowsHint) is BIT-identical to the " +
+      "probe paths on mixed sizes, NULL groups, ties and nulls") {
+    val tied = (0 until 400).map(i => ("t", Seq(1.0, 2.0, 3.0)(i % 3)))
+      .toDF("grp", "v")
+    val mixed = data
+      .select(when(col("grp") === "g2", lit(null)).otherwise(col("grp"))
+        .as("grp"),
+        when(col("v") < 50, lit(null)).otherwise(col("v")).as("v"))
+      .unionByName(tied)
+    val ps = Seq(0.0, 0.1, 0.5, 0.99, 1.0)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => Option(r.getString(0)) ->
+        (1 to ps.size).map(r.getDouble).toSeq).toMap
+    val n = mixed.count()
+    val single = Percentiles.exactByGroup(mixed, "grp", "v", ps,
+      maxGroupsHint = 16, totalRowsHint = n)
+    // plan shape: ONE aggregate, no window, result is a driver-built
+    // frame (the single aggregation job already happened)
+    assert(single.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty)
+    val got = toMap(single)
+    val probed = toMap(Percentiles.exactByGroup(mixed, "grp", "v", ps,
+      maxGroupsHint = 16))
+    assert(got.keySet == probed.keySet)
+    for (k <- got.keySet; i <- ps.indices)
+      assert(got(k)(i) == probed(k)(i),
+        s"group $k p=${ps(i)}: single ${got(k)(i)} probe ${probed(k)(i)}")
+  }
+
+  test("single-scan path declines when the row bound exceeds its gate " +
+      "or the group hint is exceeded — values identical either way") {
+    val ps = Seq(0.5, 0.9)
+    val byGroup = data.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    // row bound over the gate: probe path must serve the call
+    val prev = Percentiles.MaxSingleScanRows
+    try {
+      Percentiles.MaxSingleScanRows = 10L
+      val over = Percentiles.exactByGroup(data, "grp", "v", ps,
+          maxGroupsHint = 16, totalRowsHint = data.count())
+        .collect().map(r => r.getString(0) -> r).toMap
+      for (grp <- byGroup.keys; (p, i) <- ps.zipWithIndex)
+        assert(math.abs(over(grp).getDouble(1 + i) -
+          expected(byGroup(grp), p)) < 1e-9, s"$grp p=$p (gate)")
+    } finally Percentiles.MaxSingleScanRows = prev
+    // group hint too small: single-scan collects hint+1 groups and
+    // falls back
+    val fb = Percentiles.exactByGroup(data, "grp", "v", ps,
+        maxGroupsHint = 1, totalRowsHint = data.count())
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(fb.keySet == Set("g1", "g2", "g3"))
+    for (grp <- byGroup.keys; (p, i) <- ps.zipWithIndex)
+      assert(math.abs(fb(grp).getDouble(1 + i) -
+        expected(byGroup(grp), p)) < 1e-9, s"$grp p=$p (hint)")
+  }
 }
