@@ -2366,9 +2366,12 @@ object SparkEntry {
     * SimilaritySpec. */
   private def s05(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
+    // assignment rides the corpus row (map-side) — the r13 form
+    // joined the bare (id, cell) table back onto the corpus by id
+    // just to re-attach the vector it had dropped
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
       k = 10, maxIter = 5)
-    Similarity.ivfAnn(emb.join(cells, "vec_id"),
+    Similarity.ivfAnn(Similarity.withNearestCell(emb, "embedding", cents),
         emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", "cell", 5, nprobe = 3)
       .orderBy("q_id", "rank")

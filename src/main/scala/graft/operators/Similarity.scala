@@ -730,6 +730,20 @@ object Similarity {
     df.select(col(idCol), nearestCellCol(col(vecCol), centroids))
   }
 
+  /** [[assignCells]] keeping EVERY input column — the vector (and any
+    * payload) rides the assigned row, so a consumer that needs
+    * (vector, cell) together never re-attaches the assignment with a
+    * corpus-by-id join (the guide-§8 anti-pattern: at scale that join
+    * shuffles the whole corpus on a key unrelated to where rows are
+    * going; the assignment itself is a per-row map). */
+  def withNearestCell(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "withNearestCell needs at least one centroid")
+    df.withColumn("cell", nearestCellCol(col(vecCol), centroids))
+  }
+
   /** The trained coarse centroids themselves (the same deterministic
     * seeded Lloyd loop [[kmeansCells]] runs), exposed so a quantizer
     * can be FROZEN and reused across incremental index maintenance —
@@ -1121,17 +1135,26 @@ object Similarity {
     // 7.8 → 10.9 s at sf1.0. The encode/ADC stages inherit the
     // assignment join's shuffled partitioning instead.)
     // ---- coarse quantizer: cell assignment + per-cell centroids.
+    // The assignment is a per-row map against the driver-held trained
+    // centroids, and the VECTOR RIDES THE ASSIGNED ROW — the r13 form
+    // dropped it (kmeansCells returns bare (id, cell)) and then paid
+    // TWO corpus×assignment joins BY ID to re-attach it (once for the
+    // per-cell means, once for the residuals): at scale that is the
+    // whole corpus shuffled on a key that has nothing to do with
+    // where rows are going (the guide's §8 anti-pattern), and locally
+    // it was two exchanges + two joins of pure re-attachment.
     // Residuals materialize in their OWN select (zip_with output
     // referenced by later lambdas would re-evaluate per element).
-    val cells = kmeansCells(corpus, idCol, vecCol, numCells,
+    val centroidSeqs = trainCentroids(corpus, idCol, vecCol, numCells,
       maxIter = coarseIters, seed = seed)
-    val cents = broadcast(centroids(
-      corpus.select(col(idCol), col(vecCol)).join(cells, idCol),
-      "cell", vecCol))
+    val assigned = corpus
+      .select(col(idCol), col(vecCol), nearestCellCol(col(vecCol),
+        centroidSeqs))
+    val cents = broadcast(centroids(assigned, "cell", vecCol))
     // cached: consumed by BOTH the driver-side residual sample and
     // the distributed encode pass (no CSE across jobs — uncached, the
-    // assignment join would run twice)
-    val withRes = corpus.select(col(idCol), col(vecCol)).join(cells, idCol)
+    // assignment map would run twice)
+    val withRes = assigned
       .join(cents, Seq("cell"))
       .select(col("cell"), col(idCol).as("cand_id"), col(vecCol).as("cv"),
         zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
