@@ -545,10 +545,18 @@ object Dedup {
       maxIter: Int = 50,
       maxChainHops: Int = 8,
       smallCutoff: Long = 2L << 20): DataFrame = {
-    // symmetric (receiver, sender) edges: recv adopts labels[send]
+    // symmetric (receiver, sender) edges: recv adopts labels[send].
+    // ONE-PASS symmetrization (the symTopK trick): each pair explodes
+    // into both directions in the same projection — the r13 two-branch
+    // union evaluated the whole upstream PAIR PIPELINE once per
+    // branch (no CSE across union arms), which for the LSH callers
+    // meant the banded scoring join + cosine + threshold ran twice
+    // before the first CC round.
     val edges = pairs
-      .select(col("a_id").as("recv"), col("b_id").as("send"))
-      .union(pairs.select(col("b_id").as("recv"), col("a_id").as("send")))
+      .select(explode(array(
+        struct(col("a_id").as("recv"), col("b_id").as("send")),
+        struct(col("b_id").as("recv"), col("a_id").as("send")))).as("e"))
+      .select(col("e.recv").as("recv"), col("e.send").as("send"))
       .repartition(col("send"))
       .cache()
     val idType = pairs.schema("a_id").dataType
