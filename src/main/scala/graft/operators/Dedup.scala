@@ -830,16 +830,19 @@ object Dedup {
       dim: Int = 64,
       seed: Long = 42L,
       maxBucketRows: Int = 2048): DataFrame =
-    Similarity.bucketLocalScoredPairs(
+    // r15: the THRESHOLD engine — band rows carry an int8-quantized
+    // payload (~3× fewer banded-shuffle bytes), buckets prune with a
+    // rigorous cosine upper bound, and only the survivors are scored
+    // exactly — the emitted pair set and sims are IDENTICAL to the
+    // float engine's (see bucketLocalThresholdPairs; equality + the
+    // boundary-adversarial spec in DedupSpec). The engine returns one
+    // row per DISTINCT candidate pair, sim exact, so no cross-table
+    // dedup aggregate is needed anymore — one less exchange.
+    Similarity.bucketLocalThresholdPairs(
         df.select(idCol.as("__id"), vecCol.as("__v")), "__id", "__v",
-        numTables, planesPerTable, dim, seed, maxBucketRows)
+        threshold, numTables, planesPerTable, dim, seed, maxBucketRows)
       .filter(col("sim") > threshold)
-      // cross-table duplicates carry bit-equal sims (same vectors,
-      // symmetric cosine) — max() is a deterministic pick of that
-      // one value; the exchange is output-sized, not candidate-sized
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(max(col("sim")).as("__sim"))
-      .select(col("a_id"), col("b_id"), round(col("__sim"), 4).as("cos_sim"))
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("cos_sim"))
 
   /** The candidate-JOIN form embeddingNearDupPairsBucketed used
     * through round 10 — bare-id pairs → candidate-sized distinct →

@@ -47,18 +47,25 @@ object ExactDistinct {
 
   /** Exact row count from parquet footers, summed over the part
     * files of `path` — driver-side metadata only, no Spark job (the
-    * same footer statistics q16's DSv2 COUNT(*) pushdown reads). */
+    * same footer statistics q16's DSv2 COUNT(*) pushdown reads).
+    * Listing is RECURSIVE: a partitioned layout (partitionBy
+    * subdirectories) would otherwise silently count 0 — no current
+    * publisher partitions, but a manifest recording n_rows=0 for a
+    * non-empty table is the silent-wrong-answer class this helper
+    * must not have. */
   def parquetRowCount(spark: SparkSession, path: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
+    def list(d: org.apache.hadoop.fs.FileStatus):
+        Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d.getPath)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .filterNot(_.getPath.getName.startsWith("."))
+        .flatMap(e => if (e.isDirectory) list(e) else Seq(e)).toSeq
     val files =
-      if (st.isDirectory)
-        fs.listStatus(p).filter { f =>
-          val n = f.getPath.getName
-          f.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }.toSeq
+      if (st.isDirectory) list(st)
       else Seq(st)
     files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile

@@ -171,18 +171,29 @@ object Percentiles {
     // ONE aggregation job returns each group's exact sorted value
     // array; the driver indexes the two boundary order statistics per
     // percentile and interpolates (same type-7 arithmetic as
-    // finishRanked). The collect is ≤ totalRowsHint doubles
-    // (gate: [[MaxSingleScanRows]] ≈ 64 MB primitive), the per-group
-    // sort runs executor-side in sort_array. A hint the data outgrows
-    // (more groups than promised) falls back to the probe paths below
-    // — same values either way.
+    // finishRanked). The collect is ≤ totalRowsHint doubles — at the
+    // 2²³-row gate that is 64 MB of PRIMITIVE payload, but the
+    // driver-side Row materialization boxes them (java.lang.Double +
+    // Seq wrappers, ~3-4× the primitive bytes), so real peak heap at
+    // the gate is ~200-300 MB transient; the gate is sized against a
+    // multi-GB driver, and the executor-side aggregation buffers see
+    // the same boxing one GROUP at a time (bounded by the largest
+    // group, not the corpus). The per-group sort runs executor-side
+    // in sort_array. A hint the data outgrows falls back to the probe
+    // paths below — same values either way: more groups than promised
+    // are caught by the limit() probe, and more ROWS than promised
+    // (an under-reporting totalRowsHint — hints come from parquet
+    // footers, so this means a caller bug) are caught post-collect by
+    // re-summing the group counts, so a dishonest bound degrades to
+    // the distributed path instead of silently trusting the caller.
     if (numBuckets <= 1 && maxGroupsHint > 0 && totalRowsHint > 0 &&
         totalRowsHint <= MaxSingleScanRows) {
       val rows = allVals.groupBy(g.as("__g"))
         .agg(count(lit(1)).as("__gn"),
           sort_array(collect_list(v.cast("double"))).as("__vals"))
         .limit(maxGroupsHint + 1).collect()
-      if (rows.length <= maxGroupsHint) {
+      if (rows.length <= maxGroupsHint &&
+          rows.map(_.getLong(1)).sum <= totalRowsHint) {
         val outRows = rows.toSeq.map { r =>
           val n = r.getLong(1)
           val vals = r.getSeq[Double](2)

@@ -214,6 +214,42 @@ class DedupSpec extends SparkSuite {
       "triangle tiling must not change the pair set")
   }
 
+  test("threshold engine: quantized prune equals the float oracle at the boundary") {
+    // r15: embeddingNearDupPairsBucketed prunes candidates with an
+    // int8 cosine UPPER BOUND and re-scores survivors exactly. The
+    // adversarial case for the bound is a corpus whose pairwise
+    // cosines crowd the threshold: vectors v_t = (1, t)/|(1, t)| in an
+    // 8-dim space, t in [0, 4] — pair (i, j) has cosine
+    // (1 + t_i·t_j)/√((1+t_i²)(1+t_j²)), densely straddling 0.3.
+    import spark.implicits._
+    val n = 80
+    val raws = (0 until n).map { i =>
+      val t = i * 4.0 / n
+      val nm = math.sqrt(1.0 + t * t)
+      (i.toLong, Seq((1.0 / nm).toFloat, (t / nm).toFloat,
+        0f, 0f, 0f, 0f, 0f, 0f))
+    }
+    // sanity: the fixture really exercises the boundary
+    val boundary = (for {
+      i <- 0 until n; j <- (i + 1) until n
+      ti = i * 4.0 / n; tj = j * 4.0 / n
+      c = (1 + ti * tj) / math.sqrt((1 + ti * ti) * (1 + tj * tj))
+      if math.abs(c - 0.3) < 0.02
+    } yield 1).size
+    assert(boundary >= 10, s"fixture has only $boundary boundary pairs")
+    val df = raws.toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      d.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val oracle = rows(Dedup.embeddingNearDupPairsCandidateJoin(
+      df, col("vec_id"), col("embedding"), 0.3, dim = 8))
+    assert(oracle.nonEmpty)
+    assert(rows(Dedup.embeddingNearDupPairsBucketed(
+      df, col("vec_id"), col("embedding"), 0.3, dim = 8)) == oracle,
+      "quantized prune + exact re-rank must equal the float oracle, " +
+        "sims included, on a threshold-crowding corpus")
+  }
+
   test("embeddingClusterDedup: one keeper per cluster, pairs co-clustered") {
     val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 200)
     val res = Dedup.embeddingClusterDedup(

@@ -131,4 +131,31 @@ class PushdownSpec extends SparkSuite {
     assert(SparkEntry.cachedFooterCount(spark, path) == 5L,
       "stale cached count served after a rewrite")
   }
+
+  test("q16 fingerprint: same-file-count rewrite still recounts") {
+    // VERDICT r14 #5: the fingerprint used to be a 32-bit hash of the
+    // entry list plus a file count — a colliding rewrite with the
+    // same file count could serve a stale count. The fingerprint is
+    // now the verbatim name:len:mtime list, so ANY rewrite (same file
+    // count included) moves it by construction.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q16_samecount").toString
+    val path = s"$dir/t.parquet"
+    Seq(1L, 2L, 3L).toDF("x")
+      .repartition(1).write.mode("overwrite").parquet(path)
+    assert(SparkEntry.cachedFooterCount(spark, path) == 3L)
+    val fp1 = SparkEntry.snapshotFingerprint(spark, path)
+    // the fingerprint is the full entry list, never a lossy digest
+    assert(fp1.contains(":"), fp1)
+    assert(fp1.split('|').forall(_.split(':').length == 3), fp1)
+    // rewrite with the SAME file count (1 part file) but new content
+    Seq(1L, 2L, 3L, 4L).toDF("x")
+      .repartition(1).write.mode("overwrite").parquet(path)
+    val fp2 = SparkEntry.snapshotFingerprint(spark, path)
+    assert(fp1 != fp2,
+      "same-file-count rewrite must move the snapshot fingerprint")
+    assert(SparkEntry.cachedFooterCount(spark, path) == 4L,
+      "stale cached count served after a same-file-count rewrite")
+  }
 }

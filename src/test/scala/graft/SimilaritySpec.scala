@@ -70,6 +70,23 @@ class SimilaritySpec extends SparkSuite {
     assert(cells.size <= 8 && cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("trainCentroids: persist guard does not change trained centroids") {
+    // r15 guard (VERDICT r14 #2/#3): tiny sources skip the Lloyd-run
+    // persist. Both paths must train BIT-identical centroids — the
+    // cached partition layout equals the scan's, so partial-agg order
+    // is unchanged either way.
+    val orig = Similarity.MinTrainPersistBytes
+    try {
+      Similarity.MinTrainPersistBytes = BigInt(Long.MaxValue) // never persist
+      val a = Similarity.trainCentroids(emb, "vec_id", "embedding", 8,
+        maxIter = 5)
+      Similarity.MinTrainPersistBytes = BigInt(0) // always persist
+      val b = Similarity.trainCentroids(emb, "vec_id", "embedding", 8,
+        maxIter = 5)
+      assert(a == b, "persist guard must not change trained centroids")
+    } finally Similarity.MinTrainPersistBytes = orig
+  }
+
   test("ivfAnn over trained k-means cells keeps usable recall") {
     val cells = Similarity.kmeansCells(emb, "vec_id", "embedding", 10,
       maxIter = 5)
