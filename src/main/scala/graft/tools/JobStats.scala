@@ -17,6 +17,8 @@ object JobStats {
     @volatile var tasks = 0L
     @volatile var shuffleRead = 0L
     @volatile var shuffleWrite = 0L
+    @volatile var cpuNs = 0L
+    @volatile var runMs = 0L
     override def onJobStart(j: SparkListenerJobStart): Unit =
       synchronized { jobs += 1 }
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
@@ -25,9 +27,14 @@ object JobStats {
         tasks += s.stageInfo.numTasks
         shuffleRead += s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
         shuffleWrite += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        // task CPU time is far more drift-robust than wall on a
+        // contended box — the r15 engine comparisons rank on it
+        cpuNs += s.stageInfo.taskMetrics.executorCpuTime
+        runMs += s.stageInfo.taskMetrics.executorRunTime
       }
     def reset(): Unit = synchronized {
       jobs = 0; stages = 0; tasks = 0L; shuffleRead = 0L; shuffleWrite = 0L
+      cpuNs = 0L; runMs = 0L
     }
   }
 
@@ -62,6 +69,7 @@ object JobStats {
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       println(f"[jobstats] $name%-32s jobs=${c.jobs}%4d stages=${c.stages}%4d " +
         f"tasks=${c.tasks}%6d shufR=${c.shuffleRead}%12d shufW=${c.shuffleWrite}%12d " +
+        f"cpu=${c.cpuNs / 1e9}%8.2f s run=${c.runMs / 1e3}%8.2f s " +
         f"wall=$secs%7.2f s")
       spark.catalog.clearCache()
     }
