@@ -187,14 +187,9 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val tableBuckets = (0 until numTables).map { t =>
-      struct(lit(t).as("tbl"),
-        hyperplaneBucket(col("v"), planesPerTable, dim,
-          seed + 7919L * t).as("bkt"))
-    }
-    v.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"),
-        col("tb.bkt").as("bkt"))
+    v.select(col("vec_id"), posexplode(
+        hyperplaneBuckets(col("v"), numTables, planesPerTable, dim, seed)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bkt"))
   }
 
   def knnGraphBucketed(
@@ -366,11 +361,6 @@ object Similarity {
       .get("spark.sql.shuffle.partitions", "32").toInt
     val v0 = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
     val v = if (spread) v0.repartition(nParts) else v0
-    val tableBuckets = (0 until numTables).map { t =>
-      struct(lit(t).as("tbl"),
-        hyperplaneBucket(col("v"), planesPerTable, dim,
-          seed + 7919L * t).as("bkt"))
-    }
     // __n = the vector's exact L2 norm, computed ONCE per corpus row
     // (pre-explode, so numTables band rows share it) with the same
     // cast-then-accumulate order as [[graft.plans.CosineSim]]'s norm
@@ -380,15 +370,39 @@ object Similarity {
     // the norms were 2/3 of every pair's fused-loop arithmetic).
     v.select(col("vec_id"), col("v"),
         l2norm(transform(col("v"), _.cast("double"))).as("__n"),
-        explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("__n"), col("tb.tbl").as("tbl"),
-        col("tb.bkt").as("bkt"))
+        posexplode(
+          hyperplaneBuckets(col("v"), numTables, planesPerTable, dim, seed)))
+      .select(col("vec_id"), col("v"), col("__n"), col("pos").as("tbl"),
+        col("col").as("bkt"))
   }
 
   /** The scoring half of [[bucketLocalScoredPairs]]: triangle-tiled
-    * within-bucket pair join over a [[bandedWithVecs]] frame, cosine
-    * inline. See [[bucketLocalScoredPairs]] for the contract. */
+    * within-bucket pair scoring over a [[bandedWithVecs]] frame. For
+    * bigint ids (every production caller — the top-k heap aggregate
+    * downstream is bigint-typed anyway) the Σm² pair loop runs in the
+    * PARTITION SCORER (r15, guide §1.2/§2.3): band rows are tagged
+    * with their triangle cells, shuffled ONCE by cell, and each cell
+    * is scored in a tight JVM loop over primitive arrays — the
+    * pair-join form materialized every candidate as a joined row
+    * through the SMJ machinery, which at sf1.0 was ~1 µs/pair × 1.6e8
+    * pairs ≈ 170 CPU-s of row plumbing for ~10 CPU-s of arithmetic
+    * (tools/R15StageProbe). Sims are BIT-identical (same left-to-right
+    * double dot, same precomputed norms — spec'd in SimilaritySpec);
+    * the join form survives for other id types and as the test-side
+    * equality oracle. See [[bucketLocalScoredPairs]] for the
+    * contract. */
   private[graft] def scoredPairsFromBanded(
+      banded: DataFrame,
+      maxBucketRows: Int): DataFrame =
+    if (banded.schema("vec_id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      scoredPairsPartition(banded, maxBucketRows)
+    else scoredPairsFromBandedJoin(banded, maxBucketRows)
+
+  /** The pair-JOIN form of [[scoredPairsFromBanded]] — kept for
+    * non-bigint ids and as the test-side equality oracle for the
+    * partition scorer. */
+  private[graft] def scoredPairsFromBandedJoin(
       banded: DataFrame,
       maxBucketRows: Int): DataFrame = {
     require(maxBucketRows > 0, s"maxBucketRows must be positive: $maxBucketRows")
@@ -461,6 +475,320 @@ object Similarity {
           .as("sim"))
   }
 
+  // ---- r15 PARTITION SCORER ---------------------------------------
+  //
+  // The triangle-cell pair loop as a mapPartitions over cell-sorted
+  // band rows instead of a self-join: the join form pushed every
+  // candidate PAIR through SMJ row materialization (~1 µs/pair —
+  // 170 CPU-s of plumbing per 1.6e8 candidates at sf1.0 for ~10 CPU-s
+  // of dot products). Here each (tbl, bkt, i, j) cell is buffered once
+  // (≤ 2·maxBucketRows rows) and its pairs are scored in a tight
+  // primitive loop; what shuffles is unchanged (the tagged band rows,
+  // linear + hot-tile replication), so the 100 TB posture is the same.
+  //
+  // Cell tagging mirrors the join form's tiling EXACTLY: a row with
+  // sub-block u owns the ROW coordinate of cells (u, j), j ∈ [u, g)
+  // (side 0) and the COLUMN coordinate of cells (i, u), i ∈ [0, u)
+  // (side 1). The diagonal cell appears ONCE on side 0 — the join
+  // form carried it on both sides and kept `a.vec_id < b.vec_id`,
+  // which is exactly "each unordered pair of the sub-block once".
+
+  /** Triangle-cell tags for one band row: array of (i, j, side). */
+  private def cellTags(u: Column, g: Column): Column = concat(
+    transform(sequence(u, g - 1), j =>
+      struct(u.cast("int").as("i"), j.cast("int").as("j"),
+        lit(0).as("s"))),
+    transform(slice(sequence(lit(0L), u), lit(1), u.cast("int")), i =>
+      struct(i.cast("int").as("i"), u.cast("int").as("j"),
+        lit(1).as("s"))))
+
+  /** (__m per bucket broadcast back, __g sub-block count, __u this
+    * row's sub-block) — identical derivation in the join and
+    * partition forms. */
+  private def withSubBlocks(banded: DataFrame, maxBucketRows: Int,
+      payload: Seq[String]): DataFrame = {
+    val counts = banded.groupBy(col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("__m"))
+      .select(col("tbl").as("__ctbl"), col("bkt").as("__cbkt"),
+        col("__m"))
+    banded
+      .join(broadcast(counts),
+        col("tbl") === col("__ctbl") && col("bkt") === col("__cbkt"))
+      .select((payload.map(col) ++ Seq(col("tbl"), col("bkt"),
+        when(col("__m") > maxBucketRows,
+          ceil(col("__m") / lit(maxBucketRows.toDouble)).cast("long"))
+          .otherwise(lit(1L)).as("__g"))): _*)
+      .withColumn("__u", pmod(xxhash64(col("vec_id")), col("__g")))
+  }
+
+  /** Numeric vector → primitive doubles + null-element flag (the
+    * float/double element cast the column form applied per pair is
+    * done once per band row here). */
+  private def vecToDoubles(a: Any): (Array[Double], Boolean) = a match {
+    case null => (null, false)
+    case s: scala.collection.Seq[_] =>
+      val out = new Array[Double](s.length)
+      var nullElem = false
+      var i = 0
+      val it = s.iterator
+      while (it.hasNext) {
+        it.next() match {
+          case null => nullElem = true
+          case f: java.lang.Float => out(i) = f.toDouble
+          case d: java.lang.Double => out(i) = d
+          case x: java.lang.Number => out(i) = x.doubleValue()
+        }
+        i += 1
+      }
+      (out, nullElem)
+    case other => throw new IllegalArgumentException(
+      s"unexpected vector value: ${other.getClass}")
+  }
+
+  private def vecToBytes(a: Any): (Array[Byte], Boolean) = a match {
+    case null => (null, false)
+    case s: scala.collection.Seq[_] =>
+      val out = new Array[Byte](s.length)
+      var nullElem = false
+      var i = 0
+      val it = s.iterator
+      while (it.hasNext) {
+        it.next() match {
+          case null => nullElem = true
+          case b: java.lang.Byte => out(i) = b.byteValue()
+        }
+        i += 1
+      }
+      (out, nullElem)
+    case other => throw new IllegalArgumentException(
+      s"unexpected code value: ${other.getClass}")
+  }
+
+  /** Stream cell-sorted rows, buffer one cell at a time (side 0 → A,
+    * side 1 → B; ≤ 2·maxBucketRows rows live), and emit each cell's
+    * pairs lazily. `parse` reads a row; `pairs` scores one cell
+    * (diag = i == j: unordered pairs of A; off-diagonal: A × B). */
+  private def cellStream[R, O](
+      rows: Iterator[org.apache.spark.sql.Row],
+      tblIdx: Int, parse: org.apache.spark.sql.Row => R,
+      pairs: (scala.collection.mutable.ArrayBuffer[R],
+        scala.collection.mutable.ArrayBuffer[R], Boolean) => Iterator[O])
+      : Iterator[O] = new scala.collection.AbstractIterator[O] {
+    private val buf = rows.buffered
+    private var inner: Iterator[O] = Iterator.empty
+    private val a = new scala.collection.mutable.ArrayBuffer[R]
+    private val b = new scala.collection.mutable.ArrayBuffer[R]
+    private def sameCell(r: org.apache.spark.sql.Row,
+        t: Int, k: Int, i: Int, j: Int): Boolean =
+      r.getInt(tblIdx) == t && r.getInt(tblIdx + 1) == k &&
+        r.getInt(tblIdx + 2) == i && r.getInt(tblIdx + 3) == j
+    private def loadCell(): Unit = {
+      val h = buf.head
+      val (t, k, i, j) = (h.getInt(tblIdx), h.getInt(tblIdx + 1),
+        h.getInt(tblIdx + 2), h.getInt(tblIdx + 3))
+      a.clear(); b.clear()
+      while (buf.hasNext && sameCell(buf.head, t, k, i, j)) {
+        val r = buf.next()
+        if (r.getInt(tblIdx + 4) == 0) a += parse(r) else b += parse(r)
+      }
+      inner = pairs(a, b, i == j)
+    }
+    override def hasNext: Boolean = {
+      while (!inner.hasNext && buf.hasNext) loadCell()
+      inner.hasNext
+    }
+    override def next(): O = { hasNext; inner.next() }
+  }
+
+  /** Lazy pair iterator over one cell: diagonal = unordered index
+    * pairs of A; off-diagonal = A × B. `score` returns the output
+    * tuple or null to skip the pair. */
+  private def cellPairs[R, O >: Null](
+      a: scala.collection.mutable.ArrayBuffer[R],
+      b: scala.collection.mutable.ArrayBuffer[R],
+      diag: Boolean, score: (R, R) => O): Iterator[O] =
+    new scala.collection.AbstractIterator[O] {
+      private val bb = if (diag) a else b
+      private var i = 0
+      private var j = if (diag) 1 else 0
+      private var out: O = null
+      private def advance(): Boolean = {
+        while (i < a.length) {
+          while (j < bb.length) {
+            val o = score(a(i), bb(j))
+            j += 1
+            if (o != null) { out = o; return true }
+          }
+          i += 1
+          j = if (diag) i + 1 else 0
+        }
+        false
+      }
+      override def hasNext: Boolean = out != null || advance()
+      override def next(): O = {
+        if (!hasNext) Iterator.empty.next()
+        val o = out; out = null; o
+      }
+    }
+
+  private final class FRow(val id: Long, val v: Array[Double],
+    val nullElem: Boolean, val nNull: Boolean, val n: Double)
+
+  /** [[scoredPairsFromBandedJoin]] as a partition scorer (bigint ids):
+    * identical pair set and BIT-identical sims — same left-to-right
+    * double-accumulated dot ([[graft.plans.DotProduct]]) over the same
+    * per-row norms, null parity included (unequal lengths, null
+    * element, or null norm → null sim, exactly the column form). */
+  private def scoredPairsPartition(
+      banded: DataFrame,
+      maxBucketRows: Int): DataFrame = {
+    require(maxBucketRows > 0, s"maxBucketRows must be positive: $maxBucketRows")
+    val spark = banded.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val tagged = withSubBlocks(banded, maxBucketRows,
+        Seq("vec_id", "v", "__n"))
+      .select(col("vec_id"), col("v"), col("__n"), col("tbl"), col("bkt"),
+        explode(cellTags(col("__u"), col("__g"))).as("c"))
+      .select(col("vec_id"), col("v"), col("__n"), col("tbl"), col("bkt"),
+        col("c.i").as("__i"), col("c.j").as("__j"), col("c.s").as("__sd"))
+      .repartition(nParts, col("tbl"), col("bkt"), col("__i"), col("__j"))
+      .sortWithinPartitions("tbl", "bkt", "__i", "__j")
+    val parse = (r: org.apache.spark.sql.Row) => {
+      val (v, nullElem) = vecToDoubles(r.get(1))
+      val nNull = r.isNullAt(2)
+      new FRow(r.getLong(0), v, nullElem, nNull,
+        if (nNull) 0.0 else r.getDouble(2))
+    }
+    val score = (x: FRow, y: FRow) => {
+      val sim: java.lang.Double =
+        if (x.v == null || y.v == null || x.v.length != y.v.length ||
+            x.nullElem || y.nullElem || x.nNull || y.nNull) null
+        else {
+          var dot = 0.0
+          var i = 0
+          val n = x.v.length
+          while (i < n) { dot += x.v(i) * y.v(i); i += 1 }
+          java.lang.Double.valueOf(dot / (x.n * y.n))
+        }
+      if (x.id < y.id) (x.id, y.id, sim) else (y.id, x.id, sim)
+    }
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.DOUBLE)
+    tagged.mapPartitions { rows =>
+      cellStream(rows, 3, parse,
+        (a: scala.collection.mutable.ArrayBuffer[FRow],
+         b: scala.collection.mutable.ArrayBuffer[FRow], diag: Boolean) =>
+          cellPairs[FRow, (Long, Long, java.lang.Double)](a, b, diag,
+            (x, y) => score(x, y)))
+    }.toDF("a_id", "b_id", "sim")
+  }
+
+  private final class QRow(val id: Long, val q: Array[Byte],
+    val nullElem: Boolean, val anyNull: Boolean, val s: Double,
+    val n: Double, val sa: Long)
+
+  /** The quantized prune of [[bucketLocalThresholdPairs]] as a
+    * partition scorer (bigint ids): same rigorous upper bound, same
+    * survivor rule (`ub > threshold` with Spark's NaN-above-everything
+    * comparison; NULL bound → pair dropped), emitting only surviving
+    * (a_id, b_id) — one row per shared bucket, deduped downstream. */
+  private def prunedPairsPartition(
+      qbanded: DataFrame,
+      threshold: Double,
+      maxBucketRows: Int): DataFrame = {
+    val spark = qbanded.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val tagged = withSubBlocks(qbanded, maxBucketRows,
+        Seq("vec_id", "qv", "__s", "__n", "__sa"))
+      .select(col("vec_id"), col("qv"), col("__s"), col("__n"), col("__sa"),
+        col("tbl"), col("bkt"),
+        explode(cellTags(col("__u"), col("__g"))).as("c"))
+      .select(col("vec_id"), col("qv"), col("__s"), col("__n"), col("__sa"),
+        col("tbl"), col("bkt"),
+        col("c.i").as("__i"), col("c.j").as("__j"), col("c.s").as("__sd"))
+      .repartition(nParts, col("tbl"), col("bkt"), col("__i"), col("__j"))
+      .sortWithinPartitions("tbl", "bkt", "__i", "__j")
+    val parse = (r: org.apache.spark.sql.Row) => {
+      val (q, nullElem) = vecToBytes(r.get(1))
+      val sNull = r.isNullAt(2)
+      val nNull = r.isNullAt(3)
+      val saNull = r.isNullAt(4)
+      new QRow(r.getLong(0), q, nullElem,
+        q == null || nullElem || sNull || nNull || saNull,
+        if (sNull) 0.0 else r.getDouble(2),
+        if (nNull) 0.0 else r.getDouble(3),
+        if (saNull) 0L else r.getLong(4))
+    }
+    val score = (x: QRow, y: QRow) => {
+      if (x.anyNull || y.anyNull || x.q.length != y.q.length) null
+      else {
+        // EXACTLY the column form's arithmetic shape (see the ub
+        // Column in bucketLocalThresholdPairs): ((Q + 0.5·(sa_a+sa_b))
+        // + 0.25·d), scaled by s_a·s_b, over n_a·n_b, plus 1e-6
+        var q = 0L
+        var i = 0
+        val d = x.q.length
+        while (i < d) { q += x.q(i).toLong * y.q(i).toLong; i += 1 }
+        val ub = x.s * y.s *
+          (q.toDouble + 0.5 * (x.sa + y.sa).toDouble + 0.25 * d.toDouble) /
+          (x.n * y.n) + 1e-6
+        // Spark's `>` on doubles is NaN-safe: NaN orders above all
+        if (ub > threshold || java.lang.Double.isNaN(ub))
+          (if (x.id < y.id) (x.id, y.id) else (y.id, x.id))
+        else null
+      }
+    }
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    tagged.mapPartitions { rows =>
+      cellStream(rows, 5, parse,
+        (a: scala.collection.mutable.ArrayBuffer[QRow],
+         b: scala.collection.mutable.ArrayBuffer[QRow], diag: Boolean) =>
+          cellPairs[QRow, (Long, Long)](a, b, diag, (x, y) => score(x, y)))
+    }.toDF("a_id", "b_id")
+  }
+
+  /** The pair-JOIN form of the quantized prune — kept for non-bigint
+    * ids and as the test-side equality oracle for
+    * [[prunedPairsPartition]]. Emits surviving (a_id, b_id), one row
+    * per shared bucket occurrence (NOT distinct — the caller dedups,
+    * same as the partition form). */
+  private[graft] def prunedPairsJoin(
+      qbanded: DataFrame,
+      threshold: Double,
+      maxBucketRows: Int,
+      nParts: Int): DataFrame = {
+    val withSub = withSubBlocks(qbanded, maxBucketRows,
+      Seq("vec_id", "qv", "__s", "__n", "__sa"))
+    val left = withSub
+      .withColumn("__j", explode(sequence(col("__u"), col("__g") - 1)))
+      .withColumnRenamed("__u", "__i").drop("__g")
+    val right = withSub
+      .withColumn("__i", explode(sequence(lit(0L), col("__u"))))
+      .withColumnRenamed("__u", "__j").drop("__g")
+    val cellCols = Seq(col("tbl"), col("bkt"), col("__i"), col("__j"))
+    val a = left.repartition(nParts, cellCols: _*).alias("a")
+    val b = right.repartition(nParts, cellCols: _*).alias("b")
+    val onceOnly = (col("a.__i") =!= col("a.__j")) ||
+      (col("a.vec_id") < col("b.vec_id"))
+    // rigorous upper bound on CosineSim(a.v, b.v) — see scaladoc
+    val ub = (col("a.__s") * col("b.__s") *
+        (byteDot(col("a.qv"), col("b.qv")).cast("double") +
+          lit(0.5) * (col("a.__sa") + col("b.__sa")).cast("double") +
+          lit(0.25) * size(col("a.qv")).cast("double"))) /
+      (col("a.__n") * col("b.__n")) + lit(1e-6)
+    a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.__i") === col("b.__i") && col("a.__j") === col("b.__j") &&
+          onceOnly)
+      .filter(ub > threshold)
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"))
+  }
+
   /** THRESHOLD-mode banded pair engine (r15 — guide §2.3 "shuffle
     * keys and metadata instead of payloads", §8): same multi-table
     * hyperplane buckets, triangle tiling and hot-bucket guard as
@@ -523,11 +851,6 @@ object Similarity {
     // per-ROW symmetric scale — map-side, no corpus-wide aggregate
     // (a global max would add a barrier job and couple rows at 100 TB)
     val maxAbs = aggregate(vd, lit(0.0), (acc, x) => greatest(acc, abs(x)))
-    val tableBuckets = (0 until numTables).map { t =>
-      struct(lit(t).as("tbl"),
-        hyperplaneBucket(col("v"), planesPerTable, dim,
-          seed + 7919L * t).as("bkt"))
-    }
     val qbanded = vc
       .select(col("vec_id"), col("v"), maxAbs.as("__ma"))
       .select(col("vec_id"),
@@ -541,55 +864,26 @@ object Similarity {
             .otherwise(lit(0.0)).cast("byte")).as("qv"),
         (col("__ma") / 127.0).as("__s"),
         l2norm(transform(col("v"), _.cast("double"))).as("__n"),
-        explode(array(tableBuckets: _*)).as("tb"))
+        posexplode(
+          hyperplaneBuckets(col("v"), numTables, planesPerTable, dim, seed)))
       .select(col("vec_id"), col("qv"), col("__s"), col("__n"),
         aggregate(col("qv"), lit(0L),
           (acc, x) => acc + abs(x.cast("long"))).as("__sa"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+        col("pos").as("tbl"), col("col").as("bkt"))
       .cache()
     // eager materialization (one count): same concurrent-stage race as
     // bucketLocalScoredPairs — and this one pass also populates vc,
     // which the re-rank joins then read from cache
     qbanded.count()
     retireBandedCaches(Seq(vc, qbanded))
-    // ---- measure + triangle-tile, exactly as scoredPairsFromBanded
-    val counts = qbanded.groupBy(col("tbl"), col("bkt"))
-      .agg(count(lit(1)).as("__m"))
-      .select(col("tbl").as("__ctbl"), col("bkt").as("__cbkt"),
-        col("__m"))
-    val withSub = qbanded
-      .join(broadcast(counts),
-        col("tbl") === col("__ctbl") && col("bkt") === col("__cbkt"))
-      .select(col("vec_id"), col("qv"), col("__s"), col("__n"),
-        col("__sa"), col("tbl"), col("bkt"),
-        when(col("__m") > maxBucketRows,
-          ceil(col("__m") / lit(maxBucketRows.toDouble)).cast("long"))
-          .otherwise(lit(1L)).as("__g"))
-      .withColumn("__u", pmod(xxhash64(col("vec_id")), col("__g")))
-    val left = withSub
-      .withColumn("__j", explode(sequence(col("__u"), col("__g") - 1)))
-      .withColumnRenamed("__u", "__i").drop("__g")
-    val right = withSub
-      .withColumn("__i", explode(sequence(lit(0L), col("__u"))))
-      .withColumnRenamed("__u", "__j").drop("__g")
-    val cellCols = Seq(col("tbl"), col("bkt"), col("__i"), col("__j"))
-    val a = left.repartition(nParts, cellCols: _*).alias("a")
-    val b = right.repartition(nParts, cellCols: _*).alias("b")
-    val onceOnly = (col("a.__i") =!= col("a.__j")) ||
-      (col("a.vec_id") < col("b.vec_id"))
-    // rigorous upper bound on CosineSim(a.v, b.v) — see scaladoc
-    val ub = (col("a.__s") * col("b.__s") *
-        (byteDot(col("a.qv"), col("b.qv")).cast("double") +
-          lit(0.5) * (col("a.__sa") + col("b.__sa")).cast("double") +
-          lit(0.25) * size(col("a.qv")).cast("double"))) /
-      (col("a.__n") * col("b.__n")) + lit(1e-6)
-    val pruned = a.join(b,
-        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
-          col("a.__i") === col("b.__i") && col("a.__j") === col("b.__j") &&
-          onceOnly)
-      .filter(ub > threshold)
-      .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
-        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"))
+    // the quantized prune: partition scorer for bigint ids (every
+    // production caller), pair-join form otherwise + as the test-side
+    // equality oracle (see the r15 PARTITION SCORER block)
+    val pruned =
+      (if (qbanded.schema("vec_id").dataType ==
+          org.apache.spark.sql.types.LongType)
+        prunedPairsPartition(qbanded, threshold, maxBucketRows)
+      else prunedPairsJoin(qbanded, threshold, maxBucketRows, nParts))
       .distinct()
     // ---- exact re-rank on the survivors only: fetch the original
     // vectors by id and score with CosineSim — the sims (and the final
@@ -773,9 +1067,24 @@ object Similarity {
     * embedding near-dup path ([[Dedup.embeddingNearDupPairsBucketed]]).
     * Two vectors collide with probability (1 − θ/π)^numPlanes for
     * angle θ, so fewer planes = bigger buckets = higher recall. */
-  private[operators] def hyperplaneBucket(
+  private[graft] def hyperplaneBucket(
       vec: Column, numPlanes: Int, dim: Int, seed: Long): Column =
     bucketCol(vec, planes(numPlanes, dim, seed))
+
+  /** ALL `numTables` bucket ids of a vector as one array<int>, through
+    * the single fused-loop native expression
+    * ([[graft.plans.HyperplaneBuckets]]) — bit-identical bucket ids to
+    * `numTables` separate [[hyperplaneBucket]] columns at seeds
+    * `seed + 7919·t`, but the multi-table band builders stop inlining
+    * 48 dot-product sub-trees into one giant projection method that
+    * the JIT refuses to compile (R15QProbe: ~120 CPU-s → ~0.3 CPU-s
+    * per band build at sf1.0). */
+  private[graft] def hyperplaneBuckets(vec: Column, numTables: Int,
+      planesPerTable: Int, dim: Int, seed: Long): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.HyperplaneBuckets(
+      GraftBridge.expression(vec), numTables, planesPerTable, dim, seed))
+  }
 
   /** Sign-bit bucket id from hyperplane projections — planes × dims
     * fused multiply-adds per row through the codegen dot product (the

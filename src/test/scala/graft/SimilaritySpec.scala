@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 class SimilaritySpec extends SparkSuite {
 
@@ -232,6 +232,112 @@ class SimilaritySpec extends SparkSuite {
       (if (java.lang.Double.doubleToRawLongBits(p._1) == 0L) "+0" else "-0",
         p._2)).toSeq ==
       Seq(("+0", 1L), ("+0", 2L), ("-0", 1L), ("-0", 2L)))
+  }
+
+  test("hyperplaneBuckets: fused native = per-table when(dot>=0) " +
+      "composition, degenerate rows included") {
+    import spark.implicits._
+    // normal vectors + every degenerate shape the band builders can
+    // meet: zero vector, NaN element, Infinity element, null element,
+    // wrong length, empty, NULL vector — the old composition mapped
+    // all the non-computable ones to bucket 0 per table
+    val rnd = new scala.util.Random(7)
+    val normal = (0L until 50L).map(i =>
+      (i, Option(Seq.fill(8)(Option(rnd.nextFloat() * 2 - 1)))))
+    val degenerate = Seq(
+      (100L, Option(Seq.fill(8)(Option(0f)))),
+      (101L, Option(Option(Float.NaN) +: Seq.fill(7)(Option(1f)))),
+      (102L, Option(Option(Float.PositiveInfinity) +:
+        Seq.fill(7)(Option(-1f)))),
+      (103L, Option(Option.empty[Float] +: Seq.fill(7)(Option(1f)))),
+      (104L, Option(Seq.fill(3)(Option(1f)))),
+      (105L, Option(Seq.empty[Option[Float]])),
+      (106L, Option.empty[Seq[Option[Float]]]))
+    val df = (normal ++ degenerate).toDF("vec_id", "v")
+    val oldForm = df.select(col("vec_id"), explode(array((0 until 12).map {
+        t => struct(lit(t).as("tbl"), Similarity.hyperplaneBucket(
+          col("v"), 4, 8, 42L + 7919L * t).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bkt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val newForm = df.select(col("vec_id"),
+        posexplode(Similarity.hyperplaneBuckets(col("v"), 12, 4, 8, 42L)))
+      .select(col("vec_id"), col("pos"), col("col"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(newForm == oldForm,
+      "fused bucket ids must equal the per-table composition")
+    // the NON-computable rows (null element, wrong length, empty,
+    // NULL vector) really take the all-zero branch; NaN/Inf elements
+    // still produce sign-testable dots (NaN orders above 0) and the
+    // zero vector's dot is +0.0 ≥ 0 — those bucket normally
+    assert(Seq(103L, 104L, 105L, 106L).forall(id =>
+      newForm.filter(_._1 == id).forall(_._3 == 0)))
+  }
+
+  test("partition scorer: degenerate vectors match the candidate-join " +
+      "oracle (zero norms → NaN sims kept, null elements dropped)") {
+    import spark.implicits._
+    // Long ids → partition path. Zero vector: every sim NaN (0/0) —
+    // NaN orders above any threshold, so its pairs survive with NaN
+    // sims in BOTH forms. Null-element and wrong-length vectors: null
+    // sims — dropped by the threshold filter in both forms.
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 60L).map { i =>
+      val t = i * 4.0 / 60
+      val nm = math.sqrt(1.0 + t * t)
+      (i, Option(Seq(Option((1.0 / nm).toFloat), Option((t / nm).toFloat),
+        Option(0f), Option(0f))))
+    }
+    val edge = Seq(
+      (200L, Option(Seq.fill(4)(Option(0f)))),
+      (201L, Option(Option.empty[Float] +: Seq.fill(3)(Option(1f)))),
+      (202L, Option(Seq.fill(2)(Option(1f)))))
+    val df = (base ++ edge).toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+      d.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos_sim").toString)).toSet
+    val oracle = rows(Dedup.embeddingNearDupPairsCandidateJoin(
+      df, col("vec_id"), col("embedding"), 0.3, dim = 4))
+    assert(oracle.exists(_._3 == "NaN"),
+      "fixture must produce NaN sims through the zero vector")
+    assert(rows(Dedup.embeddingNearDupPairsBucketed(
+      df, col("vec_id"), col("embedding"), 0.3, dim = 4)) == oracle,
+      "threshold engine must match on degenerate rows")
+    assert(rows(Dedup.embeddingNearDupPairsBucketed(
+      df, col("vec_id"), col("embedding"), 0.3, dim = 4,
+      maxBucketRows = 5)) == oracle,
+      "multi-cell tiling must match on degenerate rows")
+    // top-k mode over the same fixture: zero-vector NaNs and
+    // null-element null sims must flow through the partition scorer
+    // exactly as through the candidate join
+    def graph(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, String)] =
+      d.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id"), r.getAs[Double]("sim").toString)).toSet
+    val gOracle = graph(Similarity.knnGraphCandidateJoin(
+      df, "vec_id", "embedding", k = 3, dim = 4))
+    assert(graph(Similarity.knnGraphBucketed(
+      df, "vec_id", "embedding", k = 3, dim = 4)) == gOracle,
+      "top-k partition scorer must match on degenerate rows")
+  }
+
+  test("threshold engine: non-bigint ids fall back to the join prune " +
+      "and agree with the candidate-join oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 70).map { i =>
+      val t = i * 4.0 / 70
+      val nm = math.sqrt(1.0 + t * t)
+      (f"id_$i%03d", Seq((1.0 / nm).toFloat, (t / nm).toFloat, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(String, String, Double)] =
+      d.collect().map(r => (r.getAs[String]("a_id"), r.getAs[String]("b_id"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val oracle = rows(Dedup.embeddingNearDupPairsCandidateJoin(
+      df, col("vec_id"), col("embedding"), 0.3, dim = 4))
+    assert(oracle.nonEmpty)
+    assert(rows(Dedup.embeddingNearDupPairsBucketed(
+      df, col("vec_id"), col("embedding"), 0.3, dim = 4)) == oracle,
+      "string-id threshold engine (join prune) must equal the oracle")
   }
 
   test("bucket-local knn graph equals the candidate-join oracle at any cap") {
