@@ -202,7 +202,19 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       maxBucketRows: Int = 2048): DataFrame =
-    symTopK(
+    // bigint ids: the FUSED top-k partition scorer — per-node k-heaps
+    // maintained inside the Σm² cell loop, so the pair stream is
+    // never materialized at all (the pair-emitting forms push every
+    // candidate through a row encoder or SMJ row plumbing just for
+    // the aggregate to throw it away — see symTopKFromBanded).
+    if (corpus.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType) {
+      val banded = bandedWithVecs(corpus, idCol, vecCol, numTables,
+        planesPerTable, dim, seed).cache()
+      banded.count()
+      retireBandedCaches(Seq(banded))
+      symTopKFromBanded(banded, k, dedupIds = true, maxBucketRows)
+    } else symTopK(
       bucketLocalScoredPairs(corpus, idCol, vecCol, numTables,
         planesPerTable, dim, seed, maxBucketRows),
       k, dedupIds = true)
@@ -377,31 +389,22 @@ object Similarity {
   }
 
   /** The scoring half of [[bucketLocalScoredPairs]]: triangle-tiled
-    * within-bucket pair scoring over a [[bandedWithVecs]] frame. For
-    * bigint ids (every production caller — the top-k heap aggregate
-    * downstream is bigint-typed anyway) the Σm² pair loop runs in the
-    * PARTITION SCORER (r15, guide §1.2/§2.3): band rows are tagged
-    * with their triangle cells, shuffled ONCE by cell, and each cell
-    * is scored in a tight JVM loop over primitive arrays — the
-    * pair-join form materialized every candidate as a joined row
-    * through the SMJ machinery, which at sf1.0 was ~1 µs/pair × 1.6e8
-    * pairs ≈ 170 CPU-s of row plumbing for ~10 CPU-s of arithmetic
-    * (tools/R15StageProbe). Sims are BIT-identical (same left-to-right
-    * double dot, same precomputed norms — spec'd in SimilaritySpec);
-    * the join form survives for other id types and as the test-side
-    * equality oracle. See [[bucketLocalScoredPairs]] for the
-    * contract. */
+    * within-bucket pair JOIN over a [[bandedWithVecs]] frame, cosine
+    * inline. NOTE (r15): when the consumer immediately prunes or
+    * filters the pair stream, the fused partition-scorer forms beat
+    * this join ([[symRetainedPartialsFromBanded]] for the per-node
+    * retention folds, [[thresholdSurvivorsFromBanded]] for
+    * threshold-filter callers) — a pair-EMITTING mapPartitions form
+    * was measured and REJECTED: pushing the Σm² stream through a row
+    * encoder costs more than SMJ feeding codegen straight into the
+    * downstream aggregate (s16 at sf1.0: 438 vs 151 CPU-s). This join
+    * form remains the general pair source and the test-side equality
+    * oracle. See [[bucketLocalScoredPairs]] for the contract. */
   private[graft] def scoredPairsFromBanded(
       banded: DataFrame,
       maxBucketRows: Int): DataFrame =
-    if (banded.schema("vec_id").dataType ==
-        org.apache.spark.sql.types.LongType)
-      scoredPairsPartition(banded, maxBucketRows)
-    else scoredPairsFromBandedJoin(banded, maxBucketRows)
+    scoredPairsFromBandedJoin(banded, maxBucketRows)
 
-  /** The pair-JOIN form of [[scoredPairsFromBanded]] — kept for
-    * non-bigint ids and as the test-side equality oracle for the
-    * partition scorer. */
   private[graft] def scoredPairsFromBandedJoin(
       banded: DataFrame,
       maxBucketRows: Int): DataFrame = {
@@ -634,15 +637,190 @@ object Similarity {
   private final class FRow(val id: Long, val v: Array[Double],
     val nullElem: Boolean, val nNull: Boolean, val n: Double)
 
-  /** [[scoredPairsFromBandedJoin]] as a partition scorer (bigint ids):
-    * identical pair set and BIT-identical sims — same left-to-right
-    * double-accumulated dot ([[graft.plans.DotProduct]]) over the same
-    * per-row norms, null parity included (unequal lengths, null
-    * element, or null norm → null sim, exactly the column form). */
-  private def scoredPairsPartition(
-      banded: DataFrame,
-      maxBucketRows: Int): DataFrame = {
+  /** FUSED symmetrize + per-node retention over a [[bandedWithVecs]]
+    * frame (bigint ids): the triangle-cell loop, but each scored pair
+    * updates BOTH endpoints' bounded retention buffers in place
+    * instead of being emitted — only the per-partition partials leave
+    * the scorer (vs the Σm² pair stream, which the pair-emitting
+    * forms pushed through a row encoder or SMJ row plumbing just for
+    * the downstream aggregate to throw away). `keepThreshold = None`
+    * retains per-node top-k ([[graft.plans.TopKBuffer]]); `Some(t)`
+    * retains rank ≤ k OR sim > t ([[graft.plans.ThresholdTopKBuffer]])
+    * — the two [[graft.streaming.Streams]] graph-fold prunes. The
+    * emitted (vec_id, sim, nbr_id) partials feed the SAME downstream
+    * aggregate as before: retention-of-partition-retentions equals
+    * global retention (both buffers are merge-and-truncate monoids
+    * under the (score, id) total order — graphFold's scaladoc), null
+    * sims are skipped exactly as the aggregates' update skips null
+    * scores, and NaN behaves identically (top-k: ranks above all;
+    * threshold: joins neither side). Per-partition state is bounded:
+    * past `FlushHeapNodes` live nodes the partials flush into the
+    * output stream and the map restarts — monoid-safe, so a 100 TB
+    * partition degrades to more partial rows, not more memory. */
+  private[graft] var FlushHeapNodes: Int = 1 << 20
+
+  private[graft] def symRetainedPartialsFromBanded(
+      banded: DataFrame, k: Int, keepThreshold: Option[Double],
+      dedupIds: Boolean, maxBucketRows: Int): DataFrame = {
     require(maxBucketRows > 0, s"maxBucketRows must be positive: $maxBucketRows")
+    val spark = banded.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val flushAt = FlushHeapNodes
+    val tagged = withSubBlocks(banded, maxBucketRows,
+        Seq("vec_id", "v", "__n"))
+      .select(col("vec_id"), col("v"), col("__n"), col("tbl"), col("bkt"),
+        explode(cellTags(col("__u"), col("__g"))).as("c"))
+      .select(col("vec_id"), col("v"), col("__n"), col("tbl"), col("bkt"),
+        col("c.i").as("__i"), col("c.j").as("__j"), col("c.s").as("__sd"))
+      .repartition(nParts, col("tbl"), col("bkt"), col("__i"), col("__j"))
+      .sortWithinPartitions("tbl", "bkt", "__i", "__j")
+    val parse = (r: org.apache.spark.sql.Row) => {
+      val (v, nullElem) = vecToDoubles(r.get(1))
+      val nNull = r.isNullAt(2)
+      new FRow(r.getLong(0), v, nullElem, nNull,
+        if (nNull) 0.0 else r.getDouble(2))
+    }
+    // buffer strategy, closed over serializably
+    val thresholdOpt = keepThreshold
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val triples = tagged.mapPartitions { rows =>
+      val mkBuf: () => AnyRef = thresholdOpt match {
+        case Some(t) => () => new graft.plans.ThresholdTopKBuffer(k, t, dedupIds)
+        case None => () => new graft.plans.TopKBuffer(k, dedupIds)
+      }
+      val addTo: (AnyRef, Double, Long) => Unit = thresholdOpt match {
+        case Some(_) => (b, s, i) =>
+          b.asInstanceOf[graft.plans.ThresholdTopKBuffer].add(s, i)
+        case None => (b, s, i) =>
+          b.asInstanceOf[graft.plans.TopKBuffer].add(s, i)
+      }
+      val drainBuf: AnyRef => Array[(Double, Long)] = thresholdOpt match {
+        case Some(_) => b =>
+          b.asInstanceOf[graft.plans.ThresholdTopKBuffer].held
+        case None => b =>
+          b.asInstanceOf[graft.plans.TopKBuffer].sortedDesc
+      }
+      var heaps = new java.util.HashMap[Long, AnyRef]()
+      var flushed: List[Array[(Long, Double, Long)]] = Nil
+      def drain(): Array[(Long, Double, Long)] = {
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Double, Long)](
+          heaps.size * math.min(k, 8))
+        val it = heaps.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          drainBuf(e.getValue).foreach(p => out += ((e.getKey, p._1, p._2)))
+        }
+        heaps = new java.util.HashMap[Long, AnyRef]()
+        out.toArray
+      }
+      def heap(id: Long): AnyRef = {
+        var h = heaps.get(id)
+        if (h == null) { h = mkBuf(); heaps.put(id, h) }
+        h
+      }
+      def addPair(x: FRow, y: FRow): Unit = {
+        // null sims are SKIPPED exactly as the aggregates' update
+        // skips null scores; NaN flows to the buffers (top-k: ranks
+        // above all; threshold: joins neither side)
+        if (x.v == null || y.v == null || x.v.length != y.v.length ||
+            x.nullElem || y.nullElem || x.nNull || y.nNull) return
+        var dot = 0.0
+        var i = 0
+        val n = x.v.length
+        while (i < n) { dot += x.v(i) * y.v(i); i += 1 }
+        val sim = dot / (x.n * y.n)
+        addTo(heap(x.id), sim, y.id)
+        addTo(heap(y.id), sim, x.id)
+      }
+      val buf = rows.buffered
+      val a = new scala.collection.mutable.ArrayBuffer[FRow]
+      val b = new scala.collection.mutable.ArrayBuffer[FRow]
+      while (buf.hasNext) {
+        val h = buf.head
+        val (t, kk, ci, cj) = (h.getInt(3), h.getInt(4), h.getInt(5),
+          h.getInt(6))
+        a.clear(); b.clear()
+        while (buf.hasNext && {
+          val r = buf.head
+          r.getInt(3) == t && r.getInt(4) == kk && r.getInt(5) == ci &&
+            r.getInt(6) == cj
+        }) {
+          val r = buf.next()
+          if (r.getInt(7) == 0) a += parse(r) else b += parse(r)
+        }
+        if (ci == cj) {
+          var i = 0
+          while (i < a.length) {
+            var j = i + 1
+            while (j < a.length) { addPair(a(i), a(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < a.length) {
+            var j = 0
+            while (j < b.length) { addPair(a(i), b(j)); j += 1 }
+            i += 1
+          }
+        }
+        if (heaps.size > flushAt) flushed ::= drain()
+      }
+      val last = drain()
+      flushed.iterator.flatMap(_.iterator) ++ last.iterator
+    }.toDF("vec_id", "sim", "nbr_id")
+    triples
+  }
+
+  private def symTopKFromBanded(banded: DataFrame, k: Int,
+      dedupIds: Boolean, maxBucketRows: Int): DataFrame =
+    symRetainedPartialsFromBanded(banded, k, None, dedupIds, maxBucketRows)
+      .groupBy(col("vec_id"))
+      .agg(topKAgg(col("sim"), col("nbr_id"), k, dedupIds).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("nbr_id"), col("col.score").as("sim"))
+
+  /** Symmetrized, per-batch-PRE-PRUNED edges for the streaming graph
+    * folds ([[graft.streaming.Streams.incrementalKnnGraph]]): bigint
+    * ids take the fused partial scorer above; other id types fall
+    * back to the pair join + two-direction explode (the pre-r15
+    * shape, output-identical by the fold monoid). Output columns:
+    * (vec_id, nbr_id, sim). */
+  private[graft] def symEdgesFromBanded(
+      banded: DataFrame, k: Int, keepThreshold: Option[Double],
+      maxBucketRows: Int): DataFrame =
+    if (banded.schema("vec_id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      symRetainedPartialsFromBanded(banded, k, keepThreshold,
+        dedupIds = true, maxBucketRows)
+        .select(col("vec_id"), col("nbr_id"), col("sim"))
+    else
+      scoredPairsFromBandedJoin(banded, maxBucketRows)
+        .select(explode(array(
+          struct(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
+            col("sim")),
+          struct(col("b_id").as("vec_id"), col("a_id").as("nbr_id"),
+            col("sim")))).as("e"))
+        .select(col("e.vec_id"), col("e.nbr_id"), col("e.sim"))
+
+  /** WITHIN-batch survivors for the incremental pair fold
+    * ([[graft.streaming.Streams.incrementalEmbPairs]]): the float
+    * cell loop with the caller's `sim > threshold` filter fused in —
+    * only surviving (a_id, b_id) leave the scorer (NaN sims survive,
+    * Spark's NaN-above-all `>`; null sims drop), one row per shared
+    * bucket, deduped by the caller. Non-bigint ids fall back to the
+    * pair join + filter. */
+  private[graft] def thresholdSurvivorsFromBanded(
+      banded: DataFrame, threshold: Double,
+      maxBucketRows: Int): DataFrame = {
+    if (banded.schema("vec_id").dataType !=
+        org.apache.spark.sql.types.LongType)
+      return scoredPairsFromBandedJoin(banded, maxBucketRows)
+        .filter(col("sim") > threshold)
+        .select(col("a_id"), col("b_id"))
     val spark = banded.sparkSession
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val tagged = withSubBlocks(banded, maxBucketRows,
@@ -660,29 +838,29 @@ object Similarity {
         if (nNull) 0.0 else r.getDouble(2))
     }
     val score = (x: FRow, y: FRow) => {
-      val sim: java.lang.Double =
-        if (x.v == null || y.v == null || x.v.length != y.v.length ||
-            x.nullElem || y.nullElem || x.nNull || y.nNull) null
-        else {
-          var dot = 0.0
-          var i = 0
-          val n = x.v.length
-          while (i < n) { dot += x.v(i) * y.v(i); i += 1 }
-          java.lang.Double.valueOf(dot / (x.n * y.n))
-        }
-      if (x.id < y.id) (x.id, y.id, sim) else (y.id, x.id, sim)
+      if (x.v == null || y.v == null || x.v.length != y.v.length ||
+          x.nullElem || y.nullElem || x.nNull || y.nNull) null
+      else {
+        var dot = 0.0
+        var i = 0
+        val n = x.v.length
+        while (i < n) { dot += x.v(i) * y.v(i); i += 1 }
+        val sim = dot / (x.n * y.n)
+        // Spark's `>` is NaN-safe: NaN orders above any threshold
+        if (sim > threshold || java.lang.Double.isNaN(sim))
+          (if (x.id < y.id) (x.id, y.id) else (y.id, x.id))
+        else null
+      }
     }
     implicit val enc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.DOUBLE)
+      org.apache.spark.sql.Encoders.scalaLong)
     tagged.mapPartitions { rows =>
       cellStream(rows, 3, parse,
         (a: scala.collection.mutable.ArrayBuffer[FRow],
          b: scala.collection.mutable.ArrayBuffer[FRow], diag: Boolean) =>
-          cellPairs[FRow, (Long, Long, java.lang.Double)](a, b, diag,
-            (x, y) => score(x, y)))
-    }.toDF("a_id", "b_id", "sim")
+          cellPairs[FRow, (Long, Long)](a, b, diag, (x, y) => score(x, y)))
+    }.toDF("a_id", "b_id")
   }
 
   private final class QRow(val id: Long, val q: Array[Byte],

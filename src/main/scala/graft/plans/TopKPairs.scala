@@ -308,9 +308,11 @@ final class ThresholdTopKBuffer(
   }
 
   /** Everything the buffer holds (above + surviving below heap) —
-    * the serialization payload; replaying through [[add]]
-    * reconstructs the state including the dedup map. */
-  private[plans] def held: Array[(Double, Long)] =
+    * the serialization payload; replaying through [[add]] (or
+    * feeding it as aggregate input rows — update IS add) reconstructs
+    * the state including the dedup map. private[graft]: the fused
+    * banded partial scorer drains per-partition buffers through it. */
+  private[graft] def held: Array[(Double, Long)] =
     Array.tabulate(an)(i => (aScores(i), aIds(i))) ++ belowSurvivors
 }
 

@@ -1064,8 +1064,16 @@ object Streams {
         bandedV.count()
         val newBands = bandedV.select(col("vec_id"), col("tbl"),
           col("bkt"))
-        val withinScored = graft.operators.Similarity
-          .scoredPairsFromBanded(bandedV, maxBucketRows = 2048)
+        // WITHIN-batch edges, pre-pruned INSIDE the scorer (r15): the
+        // fused partial scorer keeps per-node retention buffers in
+        // the Σm² cell loop — the batch's full scored pair stream is
+        // never emitted, symmetrized, or shuffled (it was the fold
+        // trigger's dominant stage: ~85 of 178 CPU-s at sf1.0).
+        // Output-identical by the fold monoid: prune(prune(W) ∪ C) =
+        // prune(W ∪ C) — graphFold's scaladoc.
+        val withinSym = graft.operators.Similarity
+          .symEdgesFromBanded(bandedV, k, keepThreshold,
+            maxBucketRows = 2048)
         // cross-batch candidates: the batch side carries its vector
         // on the band row, so only the STORED side needs a vector
         // fetch (one join against the accumulated vec state instead
@@ -1088,17 +1096,18 @@ object Streams {
                   .as("sim"))
           }
         }
-        val scored = crossScored.map(withinScored.unionByName(_))
-          .getOrElse(withinScored)
-        // one-pass symmetrize (explode both directions from the single
-        // scored row — a two-branch union would score each pair twice)
-        val sym = scored
+        // cross edges symmetrize as before (explode both directions
+        // from the single scored row); the within-batch side arrives
+        // already symmetrized and pre-pruned from the fused scorer
+        val crossSym = crossScored.map(_
           .select(explode(array(
             struct(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
               col("sim")),
             struct(col("b_id").as("vec_id"), col("a_id").as("nbr_id"),
               col("sim")))).as("e"))
-          .select(col("e.vec_id"), col("e.nbr_id"), col("e.sim"))
+          .select(col("e.vec_id"), col("e.nbr_id"), col("e.sim")))
+        val sym = crossSym.map(withinSym.unionByName(_))
+          .getOrElse(withinSym)
         // Per-batch PRE-PRUNE before the part write: the fold is a
         // merge-and-truncate monoid (prune(prune(A) ∪ B) =
         // prune(A ∪ B) — see graphFold), so appending the batch's
@@ -1288,8 +1297,13 @@ object Streams {
         bandedV.count()
         val newBands = bandedV.select(col("vec_id"), col("tbl"),
           col("bkt"))
-        val withinScored = graft.operators.Similarity
-          .scoredPairsFromBanded(bandedV, maxBucketRows = 2048)
+        // WITHIN-batch survivors, filtered INSIDE the scorer (r15):
+        // only (a_id, b_id) above the threshold leave the cell loop —
+        // the batch's scored pair stream is never emitted (same
+        // output: the filter below distributes over the union)
+        val withinSurv = graft.operators.Similarity
+          .thresholdSurvivorsFromBanded(bandedV, threshold,
+            maxBucketRows = 2048)
         val storedVecs = vecsSt.view(except = Some(id))
         val crossScored = bands.scan().flatMap { ob =>
           storedVecs.map { sv =>
@@ -1308,14 +1322,15 @@ object Streams {
           }
         }
         // threshold FIRST, dedup after: the filter runs inside the
-        // scoring stage, so the distinct that absorbs the
-        // one-row-per-shared-table duplicates is OUTPUT-sized — the
-        // previous shape deduped the full candidate id-pair set
-        // before it ever scored a row
-        val survivors = crossScored.map(withinScored.unionByName(_))
-          .getOrElse(withinScored)
+        // scoring loop (within-batch) / stage (cross), so the
+        // distinct that absorbs the one-row-per-shared-table
+        // duplicates is OUTPUT-sized — the previous shape deduped the
+        // full candidate id-pair set before it ever scored a row
+        val crossSurv = crossScored.map(_
           .filter(col("sim") > threshold)
-          .select(col("a_id"), col("b_id"))
+          .select(col("a_id"), col("b_id")))
+        val survivors = crossSurv.map(withinSurv.unionByName(_))
+          .getOrElse(withinSurv)
           .distinct()
         // pairs part FIRST (executes the lazy cross-probe against the
         // pre-batch band table); the remaining two appends touch

@@ -354,6 +354,15 @@ class SimilaritySpec extends SparkSuite {
     assert(rows(Similarity.knnGraphBucketed(
       emb, "vec_id", "embedding", k = 5, maxBucketRows = 7)) == oracle,
       "triangle tiling must not change the graph")
+    // heap-flush generations (the fused scorer's bounded-memory
+    // degradation) must be merge-invisible
+    val oldFlush = Similarity.FlushHeapNodes
+    try {
+      Similarity.FlushHeapNodes = 4
+      assert(rows(Similarity.knnGraphBucketed(
+        emb, "vec_id", "embedding", k = 5)) == oracle,
+        "flushed partial heaps must merge to the same graph")
+    } finally Similarity.FlushHeapNodes = oldFlush
   }
 
   test("knn graph: ranks well-formed, sims exact, top-1 recall vs brute") {
