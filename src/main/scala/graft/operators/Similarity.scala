@@ -1443,15 +1443,7 @@ object Similarity {
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
-      val means = v
-        .select(col("__v"), nearestCellCol(col("__v"), centroids.toSeq))
-        .select(col("cell"), posexplode(col("__v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      val means = lloydMeans(v, centroids.toSeq)
       val next = centroids.zipWithIndex.map { case (old, i) =>
         means.getOrElse(i, old) // empty cell keeps its centroid
       }
@@ -1464,6 +1456,135 @@ object Similarity {
     centroids.toSeq
     } finally { if (doPersist) { v.unpersist(blocking = false); () } }
   }
+
+  /** One Lloyd round's per-cell means as per-PARTITION partial
+    * (cell, pos) sums combined on the driver — ONE job and ZERO
+    * exchanges per iteration. The aggregate form it replaces
+    * ([[lloydMeansAgg]], kept as the test-side equality oracle)
+    * planned two exchanges, which AQE executes as ~3 stage-jobs per
+    * iteration: of s08's 36 Spark jobs, 18 were the coarse trainer's
+    * scheduling overhead, ~130 ms each at bench scale (guide §1.2 —
+    * remove passes; §5 — bounded driver state: partials are
+    * k·dim·nParts (sum, count) pairs, ~160 KB at the defaults, and
+    * production k·dim caps them regardless of corpus size).
+    *
+    * BIT-PARITY with the aggregate form: the in-loop assignment
+    * reproduces nearestCellCol's struct-max EXACTLY (CosineSim's
+    * left-to-right double dot per cell; null sim loses to any
+    * non-null, NaN wins over all, ties → smaller cell id — Spark's
+    * nan-safe double order); per-(cell, pos) sums accumulate in row
+    * order within each partition and combine in partition order on
+    * the driver, which is precisely HashAggregate's partial-per-task
+    * + mapId-ordered final merge; null elements are skipped per
+    * position (avg semantics) and a cell's mean vector is its
+    * populated positions in ascending order (the
+    * collect_list+array_sort shape). Spec'd against [[lloydMeansAgg]]
+    * in SimilaritySpec on degenerate fixtures. */
+  private[graft] def lloydMeans(v: DataFrame,
+      centroids: Seq[Seq[Double]]): Map[Int, Seq[Double]] = {
+    val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+    val k = cents.length
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val partials = v.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val sums = Array.fill(k)(new Array[Double](0))
+      val cnts = Array.fill(k)(new Array[Long](0))
+      def grow(c: Int, n: Int): Unit = if (sums(c).length < n) {
+        sums(c) = java.util.Arrays.copyOf(sums(c), n)
+        cnts(c) = java.util.Arrays.copyOf(cnts(c), n)
+      }
+      rows.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val s = r.get(1).asInstanceOf[scala.collection.Seq[_]]
+          val n = s.length
+          val vd = new Array[Double](n)
+          val isNull = new Array[Boolean](n)
+          var anyNull = false
+          var i = 0
+          val it = s.iterator
+          while (it.hasNext) {
+            it.next() match {
+              case null => isNull(i) = true; anyNull = true
+              case f: java.lang.Float => vd(i) = f.toDouble
+              case d: java.lang.Double => vd(i) = d
+              case x: java.lang.Number => vd(i) = x.doubleValue()
+            }
+            i += 1
+          }
+          // argmax cosine, nearestCellCol's struct-max order
+          var best = 0
+          var bestSim = 0.0
+          var bestNull = true
+          var c = 0
+          while (c < k) {
+            val ct = cents(c)
+            var simNull = anyNull || ct.length != n
+            var sim = 0.0
+            if (!simNull) {
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var j = 0
+              while (j < n) {
+                val x = vd(j); val y = ct(j)
+                dot += x * y; na += x * x; nb += y * y
+                j += 1
+              }
+              sim = dot / (math.sqrt(na) * math.sqrt(nb))
+            }
+            // strictly better only (ascending c → ties keep smaller)
+            val better =
+              if (simNull) false
+              else if (bestNull) true
+              else if (java.lang.Double.isNaN(sim)) !java.lang.Double.isNaN(bestSim)
+              else if (java.lang.Double.isNaN(bestSim)) false
+              else sim > bestSim
+            if (better) { best = c; bestSim = sim; bestNull = false }
+            c += 1
+          }
+          grow(best, n)
+          var p = 0
+          while (p < n) {
+            if (!isNull(p)) { sums(best)(p) += vd(p); cnts(best)(p) += 1L }
+            p += 1
+          }
+        }
+      }
+      (0 until k).iterator.flatMap { c =>
+        (0 until sums(c).length).iterator
+          .filter(p => cnts(c)(p) > 0L)
+          .map(p => (pid, c, p, sums(c)(p), cnts(c)(p)))
+      }
+    }.collect()
+    // combine in partition order — HashAggregate's mapId-ordered merge
+    val bySum = new scala.collection.mutable.HashMap[(Int, Int), Double]()
+    val byCnt = new scala.collection.mutable.HashMap[(Int, Int), Long]()
+    partials.sortBy(t => (t._1, t._2, t._3)).foreach {
+      case (_, c, p, s, n) =>
+        bySum((c, p)) = bySum.getOrElse((c, p), 0.0) + s
+        byCnt((c, p)) = byCnt.getOrElse((c, p), 0L) + n
+    }
+    bySum.keys.groupBy(_._1).map { case (c, keys) =>
+      c -> keys.map(_._2).toSeq.sorted
+        .map(p => bySum((c, p)) / byCnt((c, p)))
+    }
+  }
+
+  /** The two-exchange aggregate form of one Lloyd round — the
+    * test-side equality oracle for [[lloydMeans]]. */
+  private[graft] def lloydMeansAgg(v: DataFrame,
+      centroids: Seq[Seq[Double]]): Map[Int, Seq[Double]] =
+    v.select(col("__v"), nearestCellCol(col("__v"), centroids))
+      .select(col("cell"), posexplode(col("__v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
 
   /** Size gate for [[trainCentroids]]'s Lloyd-run persist: below this
     * optimizer-estimated input size, 1+maxIter rescans of the source

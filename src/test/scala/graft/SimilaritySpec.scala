@@ -340,6 +340,34 @@ class SimilaritySpec extends SparkSuite {
       "string-id threshold engine (join prune) must equal the oracle")
   }
 
+  test("lloydMeans driver-combine equals the aggregate oracle, " +
+      "degenerate rows included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val normal = (0L until 120L).map(i =>
+      (i, Option(Seq.fill(6)(Option(rnd.nextFloat() * 2 - 1)))))
+    val degenerate = Seq(
+      (300L, Option(Seq.fill(6)(Option(0f)))),
+      (301L, Option(Option.empty[Float] +: Seq.fill(5)(Option(1f)))),
+      (302L, Option(Seq.fill(2)(Option(1f)))),
+      (303L, Option(Option(Float.NaN) +: Seq.fill(5)(Option(-1f)))),
+      (304L, Option.empty[Seq[Option[Float]]]),
+      (305L, Option(Seq.empty[Option[Float]])))
+    val v = (normal ++ degenerate).toDF("__id", "__v").repartition(7)
+    val cents = Seq(
+      Seq.fill(6)(0.5), Seq.fill(6)(-0.5),
+      (0 until 6).map(i => if (i % 2 == 0) 1.0 else -1.0),
+      Seq.fill(6)(0.0)) // zero centroid → NaN sims
+    def bits(m: Map[Int, Seq[Double]]): Map[Int, Seq[Long]] =
+      m.map { case (c, s) =>
+        c -> s.map(java.lang.Double.doubleToLongBits) }
+    val agg = Similarity.lloydMeansAgg(v, cents)
+    assert(agg.nonEmpty)
+    assert(bits(Similarity.lloydMeans(v, cents)) == bits(agg),
+      "driver-combined Lloyd means must be bit-identical to the " +
+        "two-exchange aggregate form")
+  }
+
   test("bucket-local knn graph equals the candidate-join oracle at any cap") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
       df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
